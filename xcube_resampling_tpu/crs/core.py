@@ -1,0 +1,566 @@
+"""CRS model: coordinate reference systems with CF round-tripping.
+
+This is the rebuild's replacement for ``pyproj.crs.CRS`` (the reference uses
+it as its CRS currency, e.g. /root/reference/xcube_resampling/gridmapping/
+base.py:49-52, cfconv.py:215-221).  A CRS here is a lightweight immutable
+description: geographic vs projected, ellipsoid, projection name + CF
+parameters, axis order.  Projected CRSs expose jit-compatible forward /
+inverse closures via :mod:`.projections`.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Any, Mapping
+
+from .datum import Ellipsoid, GRS80, WGS84, ellipsoid_from_params
+from .projections import make_projection
+
+
+class CRSError(ValueError):
+    """Raised when a CRS cannot be constructed (pyproj.crs.CRSError parity)."""
+
+
+class _AxisInfo:
+    def __init__(self, name: str, unit_name: str):
+        self.name = name
+        self.unit_name = unit_name
+
+    def __repr__(self):
+        return f"AxisInfo({self.name!r}, unit={self.unit_name!r})"
+
+
+_GEO_PARAM_KEYS = (
+    "semi_major_axis",
+    "semi_minor_axis",
+    "inverse_flattening",
+    "reference_ellipsoid_name",
+    "longitude_of_prime_meridian",
+    "prime_meridian_name",
+    "geographic_crs_name",
+    "horizontal_datum_name",
+    "projected_crs_name",
+    "grid_mapping_name",
+    "crs_wkt",
+    "spatial_ref",
+    "_spherical",
+)
+
+
+class CRS:
+    """Immutable coordinate reference system."""
+
+    def __init__(
+        self,
+        *,
+        kind: str,
+        ellipsoid: Ellipsoid,
+        proj_name: str | None = None,
+        params: Mapping[str, Any] | None = None,
+        name: str = "unnamed",
+        datum_name: str = "World Geodetic System 1984",
+        axis_lat_lon: bool = False,
+        epsg: int | None = None,
+    ):
+        assert kind in ("geographic", "projected")
+        self._kind = kind
+        self._ellipsoid = ellipsoid
+        self._proj_name = proj_name
+        self._params = dict(params or {})
+        self._name = name
+        self._datum_name = datum_name
+        self._axis_lat_lon = axis_lat_lon
+        self._epsg = epsg
+        self._fwd_inv = None
+
+    # -- identity ----------------------------------------------------------
+
+    @property
+    def name(self) -> str:
+        return self._name
+
+    @property
+    def is_geographic(self) -> bool:
+        return self._kind == "geographic"
+
+    @property
+    def is_projected(self) -> bool:
+        return self._kind == "projected"
+
+    @property
+    def ellipsoid(self) -> Ellipsoid:
+        return self._ellipsoid
+
+    @property
+    def datum_name(self) -> str:
+        return self._datum_name
+
+    @property
+    def proj_name(self) -> str | None:
+        return self._proj_name
+
+    @property
+    def params(self) -> dict:
+        return dict(self._params)
+
+    @property
+    def srs(self) -> str:
+        if self._epsg:
+            return f"EPSG:{self._epsg}"
+        return self.to_wkt()
+
+    @property
+    def axis_info(self) -> list[_AxisInfo]:
+        if self.is_geographic:
+            if self._axis_lat_lon:
+                return [
+                    _AxisInfo("Geodetic latitude", "degree"),
+                    _AxisInfo("Geodetic longitude", "degree"),
+                ]
+            return [
+                _AxisInfo("Geodetic longitude", "degree"),
+                _AxisInfo("Geodetic latitude", "degree"),
+            ]
+        return [_AxisInfo("Easting", "metre"), _AxisInfo("Northing", "metre")]
+
+    def to_epsg(self) -> int | None:
+        return self._epsg
+
+    # -- equality ----------------------------------------------------------
+
+    def _key(self):
+        params = tuple(
+            sorted(
+                (k, tuple(v) if isinstance(v, (list, tuple)) else round(float(v), 9))
+                for k, v in self._params.items()
+                if isinstance(v, (int, float, list, tuple))
+            )
+        )
+        return (
+            self._kind,
+            self._proj_name,
+            params,
+            round(self._ellipsoid.a, 6),
+            round(self._ellipsoid.inverse_flattening, 9),
+            self._datum_name,
+            self._axis_lat_lon,
+        )
+
+    def equals(self, other: "CRS") -> bool:
+        if not isinstance(other, CRS):
+            try:
+                other = CRS.from_user_input(other)
+            except CRSError:
+                return False
+        return self._key() == other._key()
+
+    def __eq__(self, other):
+        if not isinstance(other, CRS):
+            return NotImplemented
+        return self._key() == other._key()
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __repr__(self):
+        return f"<CRS {self.srs}: {self._name}>"
+
+    def __str__(self):
+        return self._name
+
+    # -- projection closures -----------------------------------------------
+
+    def projection(self):
+        """Return (forward, inverse) closures mapping lon/lat degrees <->
+        projected metres.  Geographic CRSs return identity."""
+        if self._fwd_inv is None:
+            if self.is_geographic:
+                ident = (lambda x, y, xp: (x, y))
+                self._fwd_inv = (ident, ident)
+            else:
+                self._fwd_inv = make_projection(
+                    self._proj_name, self._params, self._ellipsoid
+                )
+        return self._fwd_inv
+
+    # -- CF conventions ----------------------------------------------------
+
+    def to_cf(self) -> dict:
+        """Export as CF grid-mapping attributes
+        (pyproj.CRS.to_cf parity; reference cfconv.py:341, utils.py:147)."""
+        ell = self._ellipsoid
+        attrs: dict[str, Any] = {
+            "semi_major_axis": ell.a,
+            "semi_minor_axis": ell.b,
+            "inverse_flattening": ell.inverse_flattening,
+            "reference_ellipsoid_name": ell.name,
+            "longitude_of_prime_meridian": 0.0,
+            "prime_meridian_name": "Greenwich",
+            "geographic_crs_name": (
+                self._name if self.is_geographic else self._datum_name
+            ),
+            "horizontal_datum_name": self._datum_name,
+        }
+        if self.is_geographic:
+            attrs["grid_mapping_name"] = "latitude_longitude"
+        else:
+            attrs["projected_crs_name"] = self._name
+            attrs["grid_mapping_name"] = self._proj_name
+            for k, v in self._params.items():
+                if not k.startswith("_"):
+                    attrs[k] = v
+        attrs["crs_wkt"] = self.to_wkt()
+        return attrs
+
+    @classmethod
+    def from_cf(cls, attrs: Mapping[str, Any]) -> "CRS":
+        """Build a CRS from CF grid-mapping attributes
+        (pyproj.CRS.from_cf parity; reference cfconv.py:215-221)."""
+        attrs = dict(attrs)
+        wkt = attrs.get("crs_wkt") or attrs.get("spatial_ref")
+        if isinstance(wkt, str):
+            m = re.search(r'ID\s*\[\s*"EPSG"\s*,\s*(\d+)\s*\]\s*\]\s*$', wkt)
+            if m:
+                try:
+                    return cls.from_epsg(int(m.group(1)))
+                except CRSError:
+                    pass
+        gm_name = attrs.get("grid_mapping_name")
+        if not gm_name:
+            raise CRSError(f"cannot build CRS from attributes: {list(attrs)[:8]}")
+        ell = ellipsoid_from_params(
+            attrs.get("semi_major_axis"),
+            attrs.get("inverse_flattening"),
+            attrs.get("semi_minor_axis"),
+            attrs.get("reference_ellipsoid_name"),
+        )
+        if gm_name == "latitude_longitude":
+            crs = cls(
+                kind="geographic",
+                ellipsoid=ell,
+                name=attrs.get("geographic_crs_name", "undefined geographic CRS"),
+                datum_name=attrs.get(
+                    "horizontal_datum_name", "World Geodetic System 1984"
+                ),
+                axis_lat_lon=True,
+            )
+            epsg = _match_epsg(crs)
+            return _EPSG_CACHE.get(epsg, crs) if epsg else crs
+        if gm_name == "rotated_latitude_longitude":
+            params = {
+                k: attrs[k]
+                for k in (
+                    "grid_north_pole_latitude",
+                    "grid_north_pole_longitude",
+                    "north_pole_grid_longitude",
+                )
+                if k in attrs
+            }
+            if "grid_north_pole_latitude" not in params:
+                raise CRSError("rotated_latitude_longitude needs pole attributes")
+            return cls(
+                kind="projected",
+                ellipsoid=ell,
+                proj_name=gm_name,
+                params=params,
+                name=attrs.get("projected_crs_name", "undefined rotated CRS"),
+                datum_name=attrs.get(
+                    "horizontal_datum_name", "World Geodetic System 1984"
+                ),
+            )
+        # generic projected CRS: collect numeric projection parameters
+        params = {
+            k: v
+            for k, v in attrs.items()
+            if k not in _GEO_PARAM_KEYS and isinstance(v, (int, float, list, tuple))
+        }
+        crs = cls(
+            kind="projected",
+            ellipsoid=ell,
+            proj_name=str(gm_name),
+            params=params,
+            name=attrs.get("projected_crs_name", "undefined projected CRS"),
+            datum_name=attrs.get("horizontal_datum_name", "World Geodetic System 1984"),
+        )
+        # validate projection is supported
+        try:
+            crs.projection()
+        except ValueError as e:
+            raise CRSError(str(e)) from None
+        epsg = _match_epsg(crs)
+        return _EPSG_CACHE.get(epsg, crs) if epsg else crs
+
+    # -- WKT (compact WKT2-style, self-describing) --------------------------
+
+    def to_wkt(self) -> str:
+        ell = self._ellipsoid
+        ell_wkt = (
+            f'ELLIPSOID["{ell.name}",{ell.a},{ell.inverse_flattening},'
+            f'LENGTHUNIT["metre",1]]'
+        )
+        datum = f'DATUM["{self._datum_name}",{ell_wkt}]'
+        if self.is_geographic:
+            body = (
+                f'GEOGCRS["{self._name}",{datum},'
+                f'CS[ellipsoidal,2],AXIS["{"latitude" if self._axis_lat_lon else "longitude"}",'
+                f'{"north" if self._axis_lat_lon else "east"}],'
+                f'AXIS["{"longitude" if self._axis_lat_lon else "latitude"}",'
+                f'{"east" if self._axis_lat_lon else "north"}],'
+                f'ANGLEUNIT["degree",0.0174532925199433]'
+            )
+        else:
+            params = ",".join(
+                f'PARAMETER["{k}",{v}]'
+                for k, v in sorted(self._params.items())
+                if isinstance(v, (int, float))
+            )
+            body = (
+                f'PROJCRS["{self._name}",BASEGEOGCRS["{self._datum_name}",{datum}],'
+                f'CONVERSION["{self._proj_name}",METHOD["{self._proj_name}"],{params}],'
+                f'CS[Cartesian,2],AXIS["easting",east],AXIS["northing",north],'
+                f'LENGTHUNIT["metre",1]'
+            )
+        if self._epsg:
+            return f'{body},ID["EPSG",{self._epsg}]]'
+        return body + "]"
+
+    # -- constructors --------------------------------------------------------
+
+    @classmethod
+    def from_epsg(cls, code: int | str) -> "CRS":
+        try:
+            code = int(code)
+        except (TypeError, ValueError):
+            raise CRSError(f"invalid EPSG code {code!r}") from None
+        crs = _epsg(code)
+        if crs is None:
+            raise CRSError(f"unsupported EPSG code {code}")
+        return crs
+
+    @classmethod
+    def from_string(cls, text: str) -> "CRS":
+        if not isinstance(text, str):
+            raise CRSError(f"expected string, got {type(text)}")
+        s = text.strip()
+        su = s.upper()
+        if su in ("OGC:CRS84", "CRS84", "URN:OGC:DEF:CRS:OGC:1.3:CRS84"):
+            return CRS_CRS84
+        if su in ("WGS84", "WGS 84"):
+            return cls.from_epsg(4326)
+        m = re.match(r"^(?:EPSG|epsg)\s*:\s*(\d+)$", s)
+        if m:
+            return cls.from_epsg(int(m.group(1)))
+        m = re.search(r'ID\s*\[\s*"EPSG"\s*,\s*(\d+)\s*\]\s*\]\s*$', s)
+        if m:
+            return cls.from_epsg(int(m.group(1)))
+        raise CRSError(f"cannot parse CRS from {text!r}")
+
+    @classmethod
+    def from_user_input(cls, value) -> "CRS":
+        if isinstance(value, CRS):
+            return value
+        if isinstance(value, int):
+            return cls.from_epsg(value)
+        if isinstance(value, str):
+            return cls.from_string(value)
+        if isinstance(value, Mapping):
+            return cls.from_cf(value)
+        raise CRSError(f"cannot create CRS from {value!r}")
+
+    # pyproj-compatible alias
+    @classmethod
+    def from_wkt(cls, wkt: str) -> "CRS":
+        return cls.from_string(wkt)
+
+
+def _utm_params(zone: int) -> dict:
+    return {
+        "scale_factor_at_central_meridian": 0.9996,
+        "longitude_of_central_meridian": float(zone * 6 - 183),
+        "latitude_of_projection_origin": 0.0,
+        "false_easting": 500000.0,
+        "false_northing": 0.0,
+    }
+
+
+_EPSG_CACHE: dict[int, CRS] = {}
+
+
+def _epsg(code: int) -> CRS | None:
+    if code in _EPSG_CACHE:
+        return _EPSG_CACHE[code]
+    crs: CRS | None = None
+    if code == 4326:
+        crs = CRS(
+            kind="geographic",
+            ellipsoid=WGS84,
+            name="WGS 84",
+            datum_name="World Geodetic System 1984",
+            axis_lat_lon=True,
+            epsg=4326,
+        )
+    elif code == 4258:
+        crs = CRS(
+            kind="geographic",
+            ellipsoid=GRS80,
+            name="ETRS89",
+            datum_name="European Terrestrial Reference System 1989",
+            axis_lat_lon=True,
+            epsg=4258,
+        )
+    elif code == 3035:
+        crs = CRS(
+            kind="projected",
+            ellipsoid=GRS80,
+            proj_name="lambert_azimuthal_equal_area",
+            params={
+                "latitude_of_projection_origin": 52.0,
+                "longitude_of_projection_origin": 10.0,
+                "false_easting": 4321000.0,
+                "false_northing": 3210000.0,
+            },
+            name="ETRS89-extended / LAEA Europe",
+            datum_name="European Terrestrial Reference System 1989",
+            epsg=3035,
+        )
+    elif code == 3857:
+        crs = CRS(
+            kind="projected",
+            ellipsoid=WGS84,
+            proj_name="mercator",
+            params={
+                "longitude_of_projection_origin": 0.0,
+                "false_easting": 0.0,
+                "false_northing": 0.0,
+                "_spherical": True,
+            },
+            name="WGS 84 / Pseudo-Mercator",
+            epsg=3857,
+        )
+    elif code == 3395:
+        crs = CRS(
+            kind="projected",
+            ellipsoid=WGS84,
+            proj_name="mercator",
+            params={
+                "longitude_of_projection_origin": 0.0,
+                "false_easting": 0.0,
+                "false_northing": 0.0,
+            },
+            name="WGS 84 / World Mercator",
+            epsg=3395,
+        )
+    elif code == 3031:
+        crs = CRS(
+            kind="projected",
+            ellipsoid=WGS84,
+            proj_name="polar_stereographic",
+            params={
+                "latitude_of_projection_origin": -90.0,
+                "standard_parallel": -71.0,
+                "straight_vertical_longitude_from_pole": 0.0,
+                "false_easting": 0.0,
+                "false_northing": 0.0,
+            },
+            name="WGS 84 / Antarctic Polar Stereographic",
+            epsg=3031,
+        )
+    elif code == 3413:
+        crs = CRS(
+            kind="projected",
+            ellipsoid=WGS84,
+            proj_name="polar_stereographic",
+            params={
+                "latitude_of_projection_origin": 90.0,
+                "standard_parallel": 70.0,
+                "straight_vertical_longitude_from_pole": -45.0,
+                "false_easting": 0.0,
+                "false_northing": 0.0,
+            },
+            name="WGS 84 / NSIDC Sea Ice Polar Stereographic North",
+            epsg=3413,
+        )
+    elif code == 2154:
+        crs = CRS(
+            kind="projected",
+            ellipsoid=GRS80,
+            proj_name="lambert_conformal_conic",
+            params={
+                "standard_parallel": [49.0, 44.0],
+                "latitude_of_projection_origin": 46.5,
+                "longitude_of_central_meridian": 3.0,
+                "false_easting": 700000.0,
+                "false_northing": 6600000.0,
+            },
+            name="RGF93 v1 / Lambert-93",
+            datum_name="Reseau Geodesique Francais 1993 v1",
+            epsg=2154,
+        )
+    elif 32601 <= code <= 32660:
+        zone = code - 32600
+        crs = CRS(
+            kind="projected",
+            ellipsoid=WGS84,
+            proj_name="transverse_mercator",
+            params=_utm_params(zone),
+            name=f"WGS 84 / UTM zone {zone}N",
+            epsg=code,
+        )
+    elif 32701 <= code <= 32760:
+        zone = code - 32700
+        params = _utm_params(zone)
+        params["false_northing"] = 10000000.0
+        crs = CRS(
+            kind="projected",
+            ellipsoid=WGS84,
+            proj_name="transverse_mercator",
+            params=params,
+            name=f"WGS 84 / UTM zone {zone}S",
+            epsg=code,
+        )
+    elif 25828 <= code <= 25838:
+        zone = code - 25800
+        crs = CRS(
+            kind="projected",
+            ellipsoid=GRS80,
+            proj_name="transverse_mercator",
+            params=_utm_params(zone),
+            name=f"ETRS89 / UTM zone {zone}N",
+            datum_name="European Terrestrial Reference System 1989",
+            epsg=code,
+        )
+    if crs is not None:
+        _EPSG_CACHE[code] = crs
+    return crs
+
+
+def _match_epsg(crs: CRS) -> int | None:
+    """Try to identify a CRS built from raw parameters with a known EPSG
+    entry (so e.g. a CF transverse_mercator with UTM-32 parameters compares
+    equal to CRS.from_epsg(32632))."""
+    candidates: list[int] = [4326, 4258, 3035, 3857, 3395, 3031, 3413, 2154]
+    if crs.is_projected and crs.proj_name == "transverse_mercator":
+        lon0 = crs._params.get("longitude_of_central_meridian")
+        if lon0 is not None and (float(lon0) + 183.0) % 6 == 0:
+            zone = int(round((float(lon0) + 183.0) / 6))
+            if 1 <= zone <= 60:
+                candidates += [32600 + zone, 32700 + zone, 25800 + zone]
+    for code in candidates:
+        known = _epsg(code)
+        if known is not None and known._key() == crs._key():
+            return code
+    return None
+
+
+#: WGS84 geographic CRS with (lat, lon) axis order — pyproj CRS(4326) parity
+CRS_WGS84 = CRS.from_epsg(4326)
+
+#: WGS84 geographic CRS with (lon, lat) axis order — OGC:CRS84 parity
+CRS_CRS84 = CRS(
+    kind="geographic",
+    ellipsoid=WGS84,
+    name="WGS 84 (CRS84)",
+    datum_name="World Geodetic System 1984",
+    axis_lat_lon=False,
+)
