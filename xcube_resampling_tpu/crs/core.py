@@ -82,11 +82,23 @@ class CRS:
 
     @property
     def is_geographic(self) -> bool:
-        return self._kind == "geographic"
+        # pyproj parity: rotated-pole CRSs are derived geographic CRSs
+        return (
+            self._kind == "geographic"
+            or self._proj_name == "rotated_latitude_longitude"
+        )
 
     @property
     def is_projected(self) -> bool:
-        return self._kind == "projected"
+        return self._kind == "projected" and not self.is_geographic
+
+    @property
+    def type_name(self) -> str:
+        if self._proj_name == "rotated_latitude_longitude":
+            return "Derived Geographic 2D CRS"
+        if self._kind == "geographic":
+            return "Geographic 2D CRS"
+        return "Projected CRS"
 
     @property
     def ellipsoid(self) -> Ellipsoid:
@@ -126,6 +138,9 @@ class CRS:
 
     def to_epsg(self) -> int | None:
         return self._epsg
+
+    def to_string(self) -> str:
+        return self.srs
 
     # -- equality ----------------------------------------------------------
 
@@ -167,7 +182,8 @@ class CRS:
         return f"<CRS {self.srs}: {self._name}>"
 
     def __str__(self):
-        return self._name
+        # pyproj parity: str(CRS(4326)) == "EPSG:4326"
+        return f"EPSG:{self._epsg}" if self._epsg else self._name
 
     # -- projection closures -----------------------------------------------
 
@@ -175,7 +191,7 @@ class CRS:
         """Return (forward, inverse) closures mapping lon/lat degrees <->
         projected metres.  Geographic CRSs return identity."""
         if self._fwd_inv is None:
-            if self.is_geographic:
+            if self._proj_name is None:
                 ident = (lambda x, y, xp: (x, y))
                 self._fwd_inv = (ident, ident)
             else:
@@ -202,10 +218,11 @@ class CRS:
             ),
             "horizontal_datum_name": self._datum_name,
         }
-        if self.is_geographic:
+        if self._proj_name is None:
             attrs["grid_mapping_name"] = "latitude_longitude"
         else:
-            attrs["projected_crs_name"] = self._name
+            if not self.is_geographic:
+                attrs["projected_crs_name"] = self._name
             attrs["grid_mapping_name"] = self._proj_name
             for k, v in self._params.items():
                 if not k.startswith("_"):
@@ -480,6 +497,22 @@ def _epsg(code: int) -> CRS | None:
             },
             name="WGS 84 / NSIDC Sea Ice Polar Stereographic North",
             epsg=3413,
+        )
+    elif code == 5243:
+        crs = CRS(
+            kind="projected",
+            ellipsoid=GRS80,
+            proj_name="lambert_conformal_conic",
+            params={
+                "standard_parallel": [48.666666666666664, 53.666666666666664],
+                "latitude_of_projection_origin": 51.0,
+                "longitude_of_central_meridian": 10.5,
+                "false_easting": 0.0,
+                "false_northing": 0.0,
+            },
+            name="ETRS89 / LCC Germany (E-N)",
+            datum_name="European Terrestrial Reference System 1989",
+            epsg=5243,
         )
     elif code == 2154:
         crs = CRS(

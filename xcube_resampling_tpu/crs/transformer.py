@@ -35,7 +35,11 @@ class Transformer:
     def __init__(self, src: CRS, dst: CRS):
         self.src = src
         self.dst = dst
-        self._identity = src.is_geographic and dst.is_geographic or src == dst
+        # plain (non-derived) geographic <-> geographic is an identity
+        # (datums are treated as coincident, see crs.datum)
+        self._identity = (
+            src.proj_name is None and dst.proj_name is None
+        ) or src == dst
         _, self._src_inv = src.projection()
         self._dst_fwd, _ = dst.projection()
 

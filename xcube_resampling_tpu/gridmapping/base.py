@@ -1,0 +1,669 @@
+"""GridMapping — image grid <-> Earth coordinate mapping (thread-safe ABC).
+
+Behavioural port of the reference's GridMapping
+(/root/reference/xcube_resampling/gridmapping/base.py:59-913) onto the
+TPU-native stack: coordinates are eager numpy-backed xrlite DataArrays with
+chunk *metadata* (no dask); the per-tile bbox scan runs as a vectorized
+masked reduction (:mod:`.bboxes`) instead of a numba loop; CRS objects come
+from the native :mod:`xcube_resampling_tpu.crs` engine.
+"""
+
+from __future__ import annotations
+
+import abc
+import copy
+import math
+import threading
+from collections.abc import Callable, Mapping
+from typing import Any
+
+import numpy as np
+
+from ..chunk import get_block_iterators, get_chunk_sizes
+from ..constants import AffineTransformMatrix, FloatInt
+from ..crs import CRS, CRS_CRS84, CRS_WGS84
+from ..xrlite import DataArray
+from .assertions import assert_given, assert_instance, assert_true
+from .helpers import (
+    _assert_valid_xy_coords,
+    _assert_valid_xy_names,
+    _from_affine,
+    _normalize_int_pair,
+    _normalize_number_pair,
+    _to_affine,
+    scale_xy_res_and_size,
+)
+
+#: String id of the OGC CRS84 coordinate reference system
+CRS84 = "OGC:CRS84"
+
+# Default tolerance for all operations that accept a "tolerance" kwarg
+DEFAULT_TOLERANCE = 1.0e-5
+
+
+class GridMapping(abc.ABC):
+    """An abstract base class for grid mappings that define an image grid and
+    a transformation from image pixel coordinates to spatial Earth
+    coordinates defined in a well-known coordinate reference system (CRS).
+
+    Construct instances through the factory classmethods
+    :meth:`regular`, :meth:`from_dataset`, :meth:`from_coords`; derive new
+    instances with :meth:`derive`, :meth:`scale`, :meth:`transform`,
+    :meth:`to_regular`.
+
+    This class is thread-safe.
+    """
+
+    def __init__(
+        self,
+        /,
+        size: int | tuple[int, int],
+        tile_size: int | tuple[int, int] | None,
+        xy_bbox: tuple[FloatInt, FloatInt, FloatInt, FloatInt],
+        xy_res: FloatInt | tuple[FloatInt, FloatInt],
+        crs: CRS,
+        xy_var_names: tuple[str, str],
+        xy_dim_names: tuple[str, str],
+        is_regular: bool | None = None,
+        is_lon_360: bool | None = None,
+        is_j_axis_up: bool | None = None,
+        x_coords: DataArray | None = None,
+        y_coords: DataArray | None = None,
+    ):
+        width, height = _normalize_int_pair(size, name="size")
+        assert_true(width > 1 and height > 1, "invalid size")
+
+        tile_width, tile_height = _normalize_int_pair(
+            tile_size, default=(width, height)
+        )
+        assert_true(tile_width > 1 and tile_height > 1, "invalid tile_size")
+
+        assert_given(xy_bbox, name="xy_bbox")
+        assert_given(xy_res, name="xy_res")
+        _assert_valid_xy_names(xy_var_names, name="xy_var_names")
+        _assert_valid_xy_names(xy_dim_names, name="xy_dim_names")
+        assert_instance(crs, CRS, name="crs")
+
+        if x_coords is not None:
+            assert_instance(x_coords, DataArray, name="x_coords")
+            assert_true(
+                x_coords.ndim in (1, 2),
+                message=f"x_coords.ndim must be 1 or 2, was {x_coords.ndim}",
+            )
+        if y_coords is not None:
+            assert_instance(y_coords, DataArray, name="y_coords")
+            assert_true(
+                y_coords.ndim in (1, 2),
+                message=f"y_coords.ndim must be 1 or 2, was {y_coords.ndim}",
+            )
+
+        x_min, y_min, x_max, y_max = xy_bbox
+        x_res, y_res = _normalize_number_pair(xy_res, name="xy_res")
+        assert_true(x_res > 0 and y_res > 0, "invalid xy_res")
+
+        self._lock = threading.RLock()
+
+        self._size = width, height
+        self._tile_size = tile_width, tile_height
+        self._xy_bbox = x_min, y_min, x_max, y_max
+        self._xy_res = x_res, y_res
+        self._crs = crs
+        self._xy_var_names = xy_var_names
+        self._xy_dim_names = xy_dim_names
+        self._is_regular = is_regular
+        self._is_lon_360 = is_lon_360
+        self._is_j_axis_up = is_j_axis_up
+        self._x_coords = x_coords
+        self._y_coords = y_coords
+        self._xy_coords = None
+
+    def derive(
+        self,
+        /,
+        xy_var_names: tuple[str, str] = None,
+        xy_dim_names: tuple[str, str] = None,
+        tile_size: int | tuple[int, int] = None,
+        is_j_axis_up: bool = None,
+    ) -> "GridMapping":
+        """Derive a new grid mapping from this one with some properties
+        changed (new names, tile size, or j-axis orientation)."""
+        other = copy.copy(self)
+        if xy_var_names is not None:
+            _assert_valid_xy_names(xy_var_names, name="xy_var_names")
+            other._xy_var_names = xy_var_names
+        if xy_dim_names is not None:
+            _assert_valid_xy_names(xy_dim_names, name="xy_dim_names")
+            other._xy_dim_names = xy_dim_names
+        if tile_size is not None:
+            tile_width, tile_height = _normalize_int_pair(tile_size, name="tile_size")
+            assert_true(tile_width > 1 and tile_height > 1, "invalid tile_size")
+            tile_size = tile_width, tile_height
+            if other.tile_size != tile_size:
+                other._tile_size = tile_width, tile_height
+                with self._lock:
+                    if other._xy_coords is None:
+                        _ = other.xy_coords
+                    other._xy_coords = other._xy_coords.chunk(
+                        {
+                            dim: size
+                            for (dim, size) in zip(
+                                other._xy_coords.dims, other.xy_coords_chunks
+                            )
+                        }
+                    )
+        if is_j_axis_up is not None and is_j_axis_up != other._is_j_axis_up:
+            other._is_j_axis_up = is_j_axis_up
+            if other._y_coords is not None:
+                other._y_coords = other._y_coords[::-1]
+            if other._xy_coords is not None:
+                other._xy_coords = other._xy_coords[:, ::-1, :]
+                other._xy_coords = other._xy_coords.chunk(
+                    {
+                        dim: size
+                        for (dim, size) in zip(
+                            other._xy_coords.dims, other.xy_coords_chunks
+                        )
+                    }
+                )
+
+        return other
+
+    def scale(
+        self,
+        xy_scale: FloatInt | tuple[FloatInt, FloatInt],
+        tile_size: int | tuple[int, int] | None = None,
+    ) -> "GridMapping":
+        """Derive a scaled version of this regular grid mapping.  Factors > 1
+        up-scale (finer pixels), factors < 1 down-scale."""
+        self._assert_regular()
+        x_scale, y_scale = _normalize_number_pair(xy_scale)
+        new_xy_res, new_size = scale_xy_res_and_size(
+            self.xy_res, self.size, (x_scale, y_scale)
+        )
+        if tile_size is not None:
+            tile_width, tile_height = _normalize_int_pair(tile_size, name="tile_size")
+        else:
+            tile_width, tile_height = self.tile_size
+        tile_width = min(new_size[0], tile_width)
+        tile_height = min(new_size[1], tile_height)
+        return self.regular(
+            new_size,
+            (self.x_min, self.y_min),
+            new_xy_res,
+            self.crs,
+            tile_size=(tile_width, tile_height),
+            is_j_axis_up=self.is_j_axis_up,
+        ).derive(xy_dim_names=self.xy_dim_names, xy_var_names=self.xy_var_names)
+
+    @property
+    def size(self) -> tuple[int, int]:
+        """Image size (width, height) in pixels."""
+        return self._size
+
+    @property
+    def width(self) -> int:
+        """Image width in pixels."""
+        return self.size[0]
+
+    @property
+    def height(self) -> int:
+        """Image height in pixels."""
+        return self.size[1]
+
+    @property
+    def tile_size(self) -> tuple[int, int]:
+        """Image tile size (width, height) in pixels."""
+        return self._tile_size
+
+    @property
+    def is_tiled(self) -> bool:
+        """Whether the image is tiled."""
+        return self.size != self.tile_size
+
+    @property
+    def tile_width(self) -> int:
+        """Image tile width in pixels."""
+        return self.tile_size[0]
+
+    @property
+    def tile_height(self) -> int:
+        """Image tile height in pixels."""
+        return self.tile_size[1]
+
+    @property
+    def x_coords(self) -> DataArray:
+        """The 1D or 2D x-coordinate array of shape (width,) or
+        (height, width)."""
+        return self._get_computed_attribute("_x_coords", self._new_x_coords)
+
+    @abc.abstractmethod
+    def _new_x_coords(self) -> DataArray:
+        """Create new 1D or 2D x-coordinate array."""
+
+    @property
+    def y_coords(self) -> DataArray:
+        """The 1D or 2D y-coordinate array of shape (height,) or
+        (height, width)."""
+        return self._get_computed_attribute("_y_coords", self._new_y_coords)
+
+    @abc.abstractmethod
+    def _new_y_coords(self) -> DataArray:
+        """Create new 1D or 2D y-coordinate array."""
+
+    @property
+    def xy_coords(self) -> DataArray:
+        """The x,y coordinates as data array of shape (2, height, width) in
+        units of the CRS."""
+        xy_coords = self._get_computed_attribute("_xy_coords", self._new_xy_coords)
+        _assert_valid_xy_coords(xy_coords)
+        return xy_coords
+
+    @property
+    def xy_coords_chunks(self) -> tuple[int, int, int]:
+        """Chunks for the *xy_coords* array."""
+        return 2, self.tile_height, self.tile_width
+
+    @abc.abstractmethod
+    def _new_xy_coords(self) -> DataArray:
+        """Create new coordinate array of shape (2, height, width)."""
+
+    def _get_computed_attribute(self, name: str, computer: Callable[[], Any]) -> Any:
+        """Double-checked-locking lazy attribute computation."""
+        value = getattr(self, name)
+        if value is not None:
+            return value
+        with self._lock:
+            value = getattr(self, name)
+            if value is not None:
+                return value
+            value = computer()
+            setattr(self, name, value)
+            return value
+
+    @property
+    def xy_var_names(self) -> tuple[str, str]:
+        """Variable names of the x,y coordinates (x_var_name, y_var_name)."""
+        return self._xy_var_names
+
+    @property
+    def xy_dim_names(self) -> tuple[str, str]:
+        """Dimension names of the x,y coordinates (x_dim_name, y_dim_name)."""
+        return self._xy_dim_names
+
+    @property
+    def xy_bbox(self) -> tuple[float, float, float, float]:
+        """The image's bounding box in CRS coordinates."""
+        return self._xy_bbox
+
+    @property
+    def x_min(self) -> FloatInt:
+        """Minimum x-coordinate in CRS units."""
+        return self._xy_bbox[0]
+
+    @property
+    def y_min(self) -> FloatInt:
+        """Minimum y-coordinate in CRS units."""
+        return self._xy_bbox[1]
+
+    @property
+    def x_max(self) -> FloatInt:
+        """Maximum x-coordinate in CRS units."""
+        return self._xy_bbox[2]
+
+    @property
+    def y_max(self) -> FloatInt:
+        """Maximum y-coordinate in CRS units."""
+        return self._xy_bbox[3]
+
+    @property
+    def xy_res(self) -> tuple[FloatInt, FloatInt]:
+        """Pixel size in x and y direction."""
+        return self._xy_res
+
+    @property
+    def x_res(self) -> FloatInt:
+        """Pixel size in CRS units per pixel in x-direction."""
+        return self._xy_res[0]
+
+    @property
+    def y_res(self) -> FloatInt:
+        """Pixel size in CRS units per pixel in y-direction."""
+        return self._xy_res[1]
+
+    @property
+    def crs(self) -> CRS:
+        """The coordinate reference system."""
+        return self._crs
+
+    @property
+    def spatial_unit_name(self) -> str:
+        return self._crs.axis_info[0].unit_name
+
+    @property
+    def is_lon_360(self) -> bool | None:
+        """Whether *x_max* is greater than 180 degrees, i.e. the range
+        crosses the anti-meridian (geographic CRSs only)."""
+        return self._is_lon_360
+
+    @property
+    def is_regular(self) -> bool | None:
+        """Whether the x,y coordinates form a regular grid (constant deltas
+        in both directions); None if undetermined."""
+        return self._is_regular
+
+    @property
+    def is_j_axis_up(self) -> bool | None:
+        """Whether the positive image j-axis points up; None if
+        undetermined.  By default it points down."""
+        return self._is_j_axis_up
+
+    @property
+    def ij_to_xy_transform(self) -> AffineTransformMatrix:
+        """Affine transformation matrix from image to CRS coordinates.
+        Defined only for regular grid mappings."""
+        self._assert_regular()
+        if self.is_j_axis_up:
+            return (
+                (self.x_res, 0.0, self.x_min),
+                (0.0, self.y_res, self.y_min),
+            )
+        else:
+            return (
+                (self.x_res, 0.0, self.x_min),
+                (0.0, -self.y_res, self.y_max),
+            )
+
+    @property
+    def xy_to_ij_transform(self) -> AffineTransformMatrix:
+        """Affine transformation matrix from CRS to image coordinates.
+        Defined only for regular grid mappings."""
+        self._assert_regular()
+        return _from_affine(~_to_affine(self.ij_to_xy_transform))
+
+    def ij_transform_to(self, other: "GridMapping") -> AffineTransformMatrix:
+        """Affine matrix transforming image coordinates of *other* into
+        image coordinates of this grid mapping."""
+        self._assert_regular()
+        self.assert_regular(other, name="other")
+        a = _to_affine(self.ij_to_xy_transform)
+        b = _to_affine(other.xy_to_ij_transform)
+        return _from_affine(b * a)
+
+    def ij_transform_from(self, other: "GridMapping") -> AffineTransformMatrix:
+        """Affine matrix transforming image coordinates of this grid mapping
+        into image coordinates of *other*."""
+        self._assert_regular()
+        self.assert_regular(other, name="other")
+        a = _to_affine(self.ij_transform_to(other))
+        return _from_affine(~a)
+
+    @property
+    def ij_bbox(self) -> tuple[int, int, int, int]:
+        """The image's bounding box in pixel coordinates."""
+        return 0, 0, self.width, self.height
+
+    @property
+    def ij_bboxes(self) -> np.ndarray:
+        """The image tiles' bounding boxes in image pixel coordinates."""
+        chunk_sizes = get_chunk_sizes(
+            (self.height, self.width), (self.tile_height, self.tile_width)
+        )
+        _, _, block_slices = get_block_iterators(chunk_sizes)
+        block_slices = tuple(block_slices)
+        n = len(block_slices)
+        ij_bboxes = np.ndarray((n, 4), dtype=np.int64)
+        for i in range(n):
+            y_slice, x_slice = block_slices[i]
+            ij_bboxes[i, 0] = x_slice.start
+            ij_bboxes[i, 1] = y_slice.start
+            ij_bboxes[i, 2] = x_slice.stop
+            ij_bboxes[i, 3] = y_slice.stop
+        return ij_bboxes
+
+    @property
+    def xy_bboxes(self) -> np.ndarray:
+        """The image tiles' bounding boxes in CRS coordinates."""
+        if self.is_j_axis_up:
+            xy_offset = np.array([self.x_min, self.y_min, self.x_min, self.y_min])
+            xy_scale = np.array([self.x_res, self.y_res, self.x_res, self.y_res])
+            xy_bboxes = xy_offset + xy_scale * self.ij_bboxes
+        else:
+            xy_offset = np.array([self.x_min, self.y_max, self.x_min, self.y_max])
+            xy_scale = np.array([self.x_res, -self.y_res, self.x_res, -self.y_res])
+            xy_bboxes = xy_offset + xy_scale * self.ij_bboxes
+            xy_bboxes[:, [1, 3]] = xy_bboxes[:, [3, 1]]
+        return xy_bboxes
+
+    def ij_bbox_from_xy_bbox(
+        self,
+        xy_bbox: tuple[float, float, float, float],
+        xy_border: float = 0.0,
+        ij_border: int = 0,
+    ) -> tuple[int, int, int, int]:
+        """Compute the (i_min, j_min, i_max, j_max) pixel bounding box
+        covering *xy_bbox*; (-1, -1, -1, -1) if nothing intersects."""
+        xy_bboxes = np.array([xy_bbox], dtype=np.float64)
+        ij_bboxes = np.full_like(xy_bboxes, -1, dtype=np.int64)
+        self.ij_bboxes_from_xy_bboxes(
+            xy_bboxes, xy_border=xy_border, ij_border=ij_border, ij_bboxes=ij_bboxes
+        )
+        # noinspection PyTypeChecker
+        return tuple(map(int, ij_bboxes[0]))
+
+    def ij_bboxes_from_xy_bboxes(
+        self,
+        xy_bboxes: np.ndarray,
+        xy_border: float = 0.0,
+        ij_border: int = 0,
+        ij_bboxes: np.ndarray = None,
+    ) -> np.ndarray:
+        """Compute pixel bounding boxes [[i_min, j_min, i_max, j_max], ...]
+        covering the given x,y bounding boxes; i_max/j_max are exclusive so
+        the results can be used as array index slices.
+
+        This is the halo/overlap discovery step of rectify — implemented as a
+        vectorized masked min/max reduction over the coordinate image
+        (replacing the reference's numba prange scan, bboxes.py:28-106)."""
+        if ij_bboxes is None:
+            ij_bboxes = np.full_like(xy_bboxes, -1, dtype=np.int64)
+        else:
+            ij_bboxes[:, :] = -1
+        from .bboxes import compute_ij_bboxes
+
+        xy_coords = self.xy_coords
+        compute_ij_bboxes(
+            np.asarray(xy_coords.data[0]),
+            np.asarray(xy_coords.data[1]),
+            np.asarray(xy_bboxes, dtype=np.float64),
+            xy_border,
+            ij_border,
+            ij_bboxes,
+        )
+        return ij_bboxes
+
+    def to_coords(
+        self,
+        xy_var_names: tuple[str, str] = None,
+        xy_dim_names: tuple[str, str] = None,
+        exclude_bounds: bool = False,
+        reuse_coords: bool = False,
+    ) -> Mapping[str, DataArray]:
+        """Get CF-compliant axis coordinate variables and cell boundary
+        coordinate variables.  Defined only for regular grid mappings."""
+        self._assert_regular()
+        from .coords import grid_mapping_to_coords
+
+        return grid_mapping_to_coords(
+            self,
+            xy_var_names=xy_var_names,
+            xy_dim_names=xy_dim_names,
+            exclude_bounds=exclude_bounds,
+            reuse_coords=reuse_coords,
+        )
+
+    def transform(
+        self,
+        crs: str | CRS,
+        *,
+        xy_res: FloatInt | tuple[FloatInt, FloatInt] = None,
+        tile_size: int | tuple[int, int] = None,
+        xy_var_names: tuple[str, str] = None,
+        tolerance: float = DEFAULT_TOLERANCE,
+    ) -> "GridMapping":
+        """Transform this grid mapping into another *crs* (yields an
+        irregular 2D-coords grid mapping)."""
+        from .transform import transform_grid_mapping
+
+        return transform_grid_mapping(
+            self,
+            crs,
+            xy_res=xy_res,
+            tile_size=tile_size,
+            xy_var_names=xy_var_names,
+            tolerance=tolerance,
+        )
+
+    @classmethod
+    def regular(
+        cls,
+        size: int | tuple[int, int],
+        xy_min: tuple[float, float],
+        xy_res: float | tuple[float, float],
+        crs: str | CRS,
+        *,
+        tile_size: int | tuple[int, int] = None,
+        is_j_axis_up: bool = False,
+    ) -> "GridMapping":
+        """Create a new regular grid mapping."""
+        from .regular import new_regular_grid_mapping
+
+        return new_regular_grid_mapping(
+            size=size,
+            xy_min=xy_min,
+            xy_res=xy_res,
+            crs=crs,
+            tile_size=tile_size,
+            is_j_axis_up=is_j_axis_up,
+        )
+
+    def to_regular(
+        self, tile_size: int | tuple[int, int] | None = None, is_j_axis_up: bool = False
+    ) -> "GridMapping":
+        """Transform this grid mapping into one that is regular."""
+        from .regular import to_regular_grid_mapping
+
+        return to_regular_grid_mapping(
+            self, tile_size=tile_size, is_j_axis_up=is_j_axis_up
+        )
+
+    @classmethod
+    def from_dataset(
+        cls,
+        dataset,
+        *,
+        crs: str | CRS | None = None,
+        tile_size: int | tuple[int, int] | None = None,
+        prefer_is_regular: bool = True,
+        prefer_crs: str | CRS | None = None,
+        emit_warnings: bool = False,
+        tolerance: float = DEFAULT_TOLERANCE,
+    ) -> "GridMapping":
+        """Create a grid mapping for the given dataset (CF inference)."""
+        from .dataset import new_grid_mapping_from_dataset
+
+        return new_grid_mapping_from_dataset(
+            dataset=dataset,
+            crs=crs,
+            tile_size=tile_size,
+            prefer_is_regular=prefer_is_regular,
+            prefer_crs=prefer_crs,
+            emit_warnings=emit_warnings,
+            tolerance=tolerance,
+        )
+
+    @classmethod
+    def from_coords(
+        cls,
+        x_coords: DataArray,
+        y_coords: DataArray,
+        crs: str | CRS,
+        *,
+        tile_size: int | tuple[int, int] | None = None,
+        tolerance: float = DEFAULT_TOLERANCE,
+    ) -> "GridMapping":
+        """Create a grid mapping from x/y coordinate variables and a CRS."""
+        from .coords import new_grid_mapping_from_coords
+
+        return new_grid_mapping_from_coords(
+            x_coords=x_coords,
+            y_coords=y_coords,
+            crs=crs,
+            tile_size=tile_size,
+            tolerance=tolerance,
+        )
+
+    def is_close(
+        self, other: "GridMapping", tolerance: float = DEFAULT_TOLERANCE
+    ) -> bool:
+        """Whether this grid mapping is approximately equal to *other*."""
+        if self is other:
+            return True
+        if (
+            self.is_j_axis_up == other.is_j_axis_up
+            and self.is_lon_360 == other.is_lon_360
+            and self.is_regular == other.is_regular
+            and self.size == other.size
+            and self.tile_size == other.tile_size
+            and self.crs == other.crs
+        ):
+            sxr, syr = self.xy_res
+            oxr, oyr = other.xy_res
+            if math.isclose(sxr, oxr, abs_tol=tolerance) and math.isclose(
+                syr, oyr, abs_tol=tolerance
+            ):
+                sx1, sy1, sx2, sy2 = self.xy_bbox
+                ox1, oy1, ox2, oy2 = other.xy_bbox
+                return (
+                    math.isclose(sx1, ox1, abs_tol=tolerance)
+                    and math.isclose(sy1, oy1, abs_tol=tolerance)
+                    and math.isclose(sx2, ox2, abs_tol=tolerance)
+                    and math.isclose(sy2, oy2, abs_tol=tolerance)
+                )
+        return False
+
+    @classmethod
+    def assert_regular(cls, value: Any, name: str = None):
+        assert_instance(value, GridMapping, name=name)
+        if not value.is_regular:
+            raise ValueError(f"{name or 'value'} must be a regular grid mapping")
+
+    def _assert_regular(self):
+        if not self.is_regular:
+            raise NotImplementedError(
+                "Operation not implemented for non-regular grid mappings"
+            )
+
+    def _repr_markdown_(self) -> str:
+        """Generate an IPython Notebook Markdown representation."""
+        is_regular = self.is_regular if self.is_regular is not None else "_unknown_"
+        is_j_axis_up = (
+            self.is_j_axis_up if self.is_j_axis_up is not None else "_unknown_"
+        )
+        is_lon_360 = self.is_lon_360 if self.is_lon_360 is not None else "_unknown_"
+        xy_res = repr(self.xy_res) + ("" if self.is_regular else "  _estimated_")
+        return "\n".join(
+            [
+                f"class: **{self.__class__.__name__}**",
+                f"* is_regular: {is_regular}",
+                f"* is_j_axis_up: {is_j_axis_up}",
+                f"* is_lon_360: {is_lon_360}",
+                f"* crs: {self.crs}",
+                f"* xy_res: {xy_res}",
+                f"* xy_bbox: {self.xy_bbox}",
+                f"* ij_bbox: {self.ij_bbox}",
+                f"* xy_dim_names: {self.xy_dim_names}",
+                f"* xy_var_names: {self.xy_var_names}",
+                f"* size: {self.size}",
+                f"* tile_size: {self.tile_size}",
+            ]
+        )

@@ -1,0 +1,288 @@
+"""Numeric and naming helpers for grid mappings.
+
+Port of the reference's gridmapping/helpers.py semantics
+(/root/reference/xcube_resampling/gridmapping/helpers.py:39-255) minus the
+``affine``/dask/xarray dependencies: 2x3 affine matrix algebra is implemented
+natively in :class:`Affine`, lon-360 wrapping works on numpy arrays and
+xrlite DataArrays.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Hashable
+from fractions import Fraction
+from typing import Any
+
+import numpy as np
+
+from ..constants import AffineTransformMatrix, FloatInt
+from ..crs import CRS
+from ..xrlite import DataArray, Dataset
+from .assertions import assert_given, assert_instance, assert_true
+from .undefined import UNDEFINED
+
+
+class Affine:
+    """Minimal 2x3 affine transform (a, b, c, d, e, f):
+
+        x' = a * x + b * y + c
+        y' = d * x + e * y + f
+
+    Replacement for the external ``affine.Affine`` dependency
+    (reference helpers.py:51-56)."""
+
+    __slots__ = ("a", "b", "c", "d", "e", "f")
+
+    def __init__(self, a, b, c, d, e, f):
+        self.a, self.b, self.c, self.d, self.e, self.f = a, b, c, d, e, f
+
+    def __mul__(self, other):
+        if isinstance(other, Affine):
+            # composition: self âˆ˜ other (apply other first)
+            a1, b1, c1, d1, e1, f1 = self.a, self.b, self.c, self.d, self.e, self.f
+            a2, b2, c2, d2, e2, f2 = (
+                other.a,
+                other.b,
+                other.c,
+                other.d,
+                other.e,
+                other.f,
+            )
+            return Affine(
+                a1 * a2 + b1 * d2,
+                a1 * b2 + b1 * e2,
+                a1 * c2 + b1 * f2 + c1,
+                d1 * a2 + e1 * d2,
+                d1 * b2 + e1 * e2,
+                d1 * c2 + e1 * f2 + f1,
+            )
+        x, y = other
+        return (
+            self.a * x + self.b * y + self.c,
+            self.d * x + self.e * y + self.f,
+        )
+
+    def __invert__(self) -> "Affine":
+        # reciprocal-determinant formulation (bit-compatible with the
+        # `affine` package used by the reference)
+        det = self.a * self.e - self.b * self.d
+        if det == 0:
+            raise ValueError("affine matrix is not invertible")
+        idet = 1.0 / det
+        ra = self.e * idet
+        rb = -self.b * idet
+        rd = -self.d * idet
+        re = self.a * idet
+        return Affine(
+            ra,
+            rb,
+            -self.c * ra - self.f * rb,
+            rd,
+            re,
+            -self.c * rd - self.f * re,
+        )
+
+    def __eq__(self, other):
+        if not isinstance(other, Affine):
+            return NotImplemented
+        return (self.a, self.b, self.c, self.d, self.e, self.f) == (
+            other.a,
+            other.b,
+            other.c,
+            other.d,
+            other.e,
+            other.f,
+        )
+
+    def __repr__(self):
+        return f"Affine({self.a}, {self.b}, {self.c}, {self.d}, {self.e}, {self.f})"
+
+
+def _to_int_or_float(x: FloatInt) -> FloatInt:
+    """If x is an int or close to an int return it as int, else float —
+    guards against floating point drift in grid geometry
+    (reference helpers.py:39-48)."""
+    if isinstance(x, int):
+        return x
+    xf = float(x)
+    xi = round(xf)
+    return xi if math.isclose(xi, xf, rel_tol=1e-5) else xf
+
+
+def _from_affine(matrix: Affine) -> AffineTransformMatrix:
+    return (matrix.a, matrix.b, matrix.c), (matrix.d, matrix.e, matrix.f)
+
+
+def _to_affine(matrix: AffineTransformMatrix) -> Affine:
+    return Affine(*matrix[0], *matrix[1])
+
+
+def _normalize_crs(crs: str | CRS) -> CRS:
+    if isinstance(crs, CRS):
+        return crs
+    assert_instance(crs, str, "crs")
+    return CRS.from_string(crs)
+
+
+def _normalize_int_pair(
+    value: Any, name: str = None, default: tuple[int, int] | None = UNDEFINED
+) -> tuple[int, int]:
+    if isinstance(value, int):
+        return value, value
+    elif value is not None:
+        x, y = value
+        return int(x), int(y)
+    elif default != UNDEFINED:
+        return default
+    else:
+        assert_given(name, "name")
+        raise ValueError(f"{name} must be an int or a sequence of two ints")
+
+
+def _normalize_number_pair(
+    value: Any, name: str = None, default: tuple[FloatInt, FloatInt] | None = UNDEFINED
+) -> tuple[FloatInt, FloatInt]:
+    if isinstance(value, (float, int)):
+        x, y = value, value
+        return _to_int_or_float(x), _to_int_or_float(y)
+    elif value is not None:
+        x, y = value
+        return _to_int_or_float(x), _to_int_or_float(y)
+    elif default != UNDEFINED:
+        return default
+    else:
+        assert_given(name, "name")
+        raise ValueError(f"{name} must be a number or a sequence of two numbers")
+
+
+def to_lon_360(lon_var):
+    """Wrap longitudes into [0, 360) (reference helpers.py:97-102)."""
+    if isinstance(lon_var, DataArray):
+        return lon_var.where(np.asarray(lon_var.data) >= 0.0, lon_var + 360.0)
+    arr = np.asarray(lon_var)
+    return np.where(arr >= 0.0, arr, arr + 360.0)
+
+
+def from_lon_360(lon_var):
+    """Unwrap longitudes into (-180, 180] (reference helpers.py:105-110)."""
+    if isinstance(lon_var, DataArray):
+        return lon_var.where(np.asarray(lon_var.data) <= 180.0, lon_var - 360.0)
+    arr = np.asarray(lon_var)
+    return np.where(arr <= 180.0, arr, arr - 360.0)
+
+
+def get_dataset_chunks(dataset: Dataset) -> dict[Hashable, int]:
+    """Get the most common chunk size per chunked dimension of *dataset*
+    (reference helpers.py:113-161).  Only data variables are considered."""
+    dim_size_counts: dict[Hashable, dict[int, int]] = {}
+    for var_name, var in dataset.data_vars.items():
+        if var.chunks:
+            for d, c in zip(var.dims, var.chunks):
+                max_c = max(0, *c)
+                if d not in dim_size_counts:
+                    dim_size_counts[d] = {max_c: 1}
+                else:
+                    size_counts = dim_size_counts[d]
+                    size_counts[max_c] = size_counts.get(max_c, 0) + 1
+
+    dim_sizes: dict[Hashable, int] = {}
+    for d, size_counts in dim_size_counts.items():
+        max_count = 0
+        best_max_c = 0
+        for max_c, count in size_counts.items():
+            if count > max_count:
+                max_count = count
+                best_max_c = max_c
+        assert best_max_c > 0
+        dim_sizes[d] = best_max_c
+
+    return dim_sizes
+
+
+def _default_xy_var_names(crs: CRS) -> tuple[str, str]:
+    return ("lon", "lat") if crs.is_geographic else ("x", "y")
+
+
+def _default_xy_dim_names(crs: CRS) -> tuple[str, str]:
+    return _default_xy_var_names(crs)
+
+
+def _assert_valid_xy_names(value: Any, name: str = None):
+    assert_instance(value, tuple, name=name)
+    assert_true(
+        len(value) == 2 and all(value) and value[0] != value[1],
+        f"invalid {name or 'value'}",
+    )
+
+
+def _assert_valid_xy_coords(xy_coords: Any):
+    assert_instance(xy_coords, DataArray, name="xy_coords")
+    assert_true(
+        xy_coords.ndim == 3
+        and xy_coords.shape[0] == 2
+        and xy_coords.shape[1] >= 2
+        and xy_coords.shape[2] >= 2,
+        "xy_coords must have dimensions"
+        " (2, height, width) with height >= 2 and width >= 2",
+    )
+
+
+_RESOLUTIONS = {
+    10: (1, 0),
+    20: (2, 0),
+    25: (25, 1),
+    50: (5, 0),
+    100: (1, -1),
+}
+
+_RESOLUTION_SET = {k / 100 for k in _RESOLUTIONS.keys()}
+
+
+def round_to_fraction(value: float, digits: int = 2, resolution: float = 1) -> Fraction:
+    """Round *value* at the position given by significant *digits* and return
+    the result as an exact fraction (reference helpers.py:203-239).
+
+    Args:
+        value: The value.
+        digits: Number of significant digits, integer >= 1. Default 2.
+        resolution: Rounding resolution for the least significant digit,
+            one of (0.1, 0.2, 0.25, 0.5, 1). Default 1.
+    """
+    if digits < 1:
+        raise ValueError("digits must be a positive integer")
+    resolution_key = round(100 * resolution)
+    if resolution_key not in _RESOLUTIONS or not math.isclose(
+        100 * resolution, resolution_key
+    ):
+        raise ValueError(f"resolution must be one of {_RESOLUTION_SET}")
+    if value == 0:
+        return Fraction(0, 1)
+    sign = 1
+    if value < 0:
+        sign = -1
+        value = -value
+    resolution, resolution_digits = _RESOLUTIONS[resolution_key]
+    exponent = math.floor(math.log10(value)) - digits - resolution_digits
+    if exponent >= 0:
+        magnitude = Fraction(10**exponent, 1)
+    else:
+        magnitude = Fraction(1, 10**-exponent)
+    scaled_value = value / magnitude
+    discrete_value = resolution * round(scaled_value / resolution)
+    return (sign * discrete_value) * magnitude
+
+
+def scale_xy_res_and_size(
+    xy_res: tuple[float, float], size: tuple[int, int], xy_scale: tuple[float, float]
+) -> tuple[tuple[float, float], tuple[int, int]]:
+    """Scale *xy_res* and *size* by *xy_scale*, keeping size >= 2
+    (reference helpers.py:242-255)."""
+    x_res, y_res = xy_res
+    x_scale, y_scale = xy_scale
+    w, h = size
+    w, h = round(x_scale * w), round(y_scale * h)
+    return (
+        (x_res / x_scale, y_res / y_scale),
+        (w if w >= 2 else 2, h if h >= 2 else 2),
+    )

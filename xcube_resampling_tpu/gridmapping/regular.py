@@ -1,0 +1,154 @@
+"""Regular grid mappings (reference gridmapping/regular.py:38-166 parity).
+
+Coordinate arrays are eager numpy linspaces carried as xrlite DataArrays
+with chunk metadata from the tile size (the dask-linspace of the reference
+becomes plain arrays; tiling happens in the executor, not the array layer).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..crs import CRS
+from ..xrlite import DataArray
+from .assertions import assert_true
+from .base import GridMapping
+from .helpers import (
+    _default_xy_dim_names,
+    _default_xy_var_names,
+    _normalize_crs,
+    _normalize_int_pair,
+    _normalize_number_pair,
+    _to_int_or_float,
+)
+
+
+class RegularGridMapping(GridMapping):
+    def __init__(self, **kwargs):
+        kwargs.pop("is_regular", None)
+        super().__init__(is_regular=True, **kwargs)
+        self._xy_coords = None
+
+    def _new_x_coords(self) -> DataArray:
+        self._assert_regular()
+        x_res = self.x_res
+        x1, x2 = self.x_min + x_res / 2, self.x_max - x_res / 2
+        return DataArray(
+            np.linspace(x1, x2, self.width),
+            dims=self.xy_dim_names[0],
+            chunks=(self._chunk_tuple(self.width, self.tile_width),),
+        )
+
+    def _new_y_coords(self) -> DataArray:
+        self._assert_regular()
+        y_res = self.y_res
+        y1, y2 = self.y_min + y_res / 2, self.y_max - y_res / 2
+        if not self.is_j_axis_up:
+            y1, y2 = y2, y1
+        return DataArray(
+            np.linspace(y1, y2, self.height),
+            dims=self.xy_dim_names[1],
+            chunks=(self._chunk_tuple(self.height, self.tile_height),),
+        )
+
+    def _new_xy_coords(self) -> DataArray:
+        self._assert_regular()
+        x_1d = np.asarray(self.x_coords.data)
+        y_1d = np.asarray(self.y_coords.data)
+        y_2d, x_2d = np.broadcast_arrays(y_1d[:, np.newaxis], x_1d[np.newaxis, :])
+        xy = np.stack([x_2d, y_2d])
+        xy_coords = DataArray(
+            xy,
+            dims=("coord", self.y_coords.dims[0], self.x_coords.dims[0]),
+            name="xy_coords",
+        )
+        return xy_coords.chunk(
+            {
+                dim: size
+                for dim, size in zip(xy_coords.dims, self.xy_coords_chunks)
+            }
+        )
+
+    @staticmethod
+    def _chunk_tuple(size: int, chunk: int):
+        n = size // chunk
+        rest = size - n * chunk
+        return (chunk,) * n + ((rest,) if rest else ())
+
+
+def new_regular_grid_mapping(
+    size: int | tuple[int, int],
+    xy_min: tuple[float, float],
+    xy_res: float | tuple[float, float],
+    crs: str | CRS,
+    *,
+    tile_size: int | tuple[int, int] = None,
+    is_j_axis_up: bool = False,
+) -> GridMapping:
+    width, height = _normalize_int_pair(size, name="size")
+    assert_true(width > 1 and height > 1, "invalid size")
+
+    x_min, y_min = _normalize_number_pair(xy_min, name="xy_min")
+
+    x_res, y_res = _normalize_number_pair(xy_res, name="xy_res")
+    assert_true(x_res > 0 and y_res > 0, "invalid xy_res")
+
+    crs = _normalize_crs(crs)
+
+    x_min = _to_int_or_float(x_min)
+    y_min = _to_int_or_float(y_min)
+    x_max = _to_int_or_float(x_min + x_res * width)
+    y_max = _to_int_or_float(y_min + y_res * height)
+
+    if crs.is_geographic:
+        # geographic grids must stay within the valid latitude range
+        if y_min < -90:
+            raise ValueError("invalid y_min")
+        if y_max > 90:
+            raise ValueError("invalid size, y_min combination")
+
+    return RegularGridMapping(
+        crs=crs,
+        size=(width, height),
+        tile_size=tile_size or (width, height),
+        xy_bbox=(x_min, y_min, x_max, y_max),
+        xy_res=(x_res, y_res),
+        xy_var_names=_default_xy_var_names(crs),
+        xy_dim_names=_default_xy_dim_names(crs),
+        is_lon_360=(x_max > 180) and crs.is_geographic,
+        is_j_axis_up=is_j_axis_up,
+    )
+
+
+def to_regular_grid_mapping(
+    grid_mapping: GridMapping,
+    *,
+    tile_size: int | tuple[int, int] = None,
+    is_j_axis_up: bool = False,
+) -> GridMapping:
+    """Derive a regular grid mapping covering an irregular one: square pixels
+    at the finer of the two estimated resolutions
+    (reference regular.py:132-166)."""
+    if grid_mapping.is_regular:
+        if tile_size is not None or is_j_axis_up != grid_mapping.is_j_axis_up:
+            return grid_mapping.derive(tile_size=tile_size, is_j_axis_up=is_j_axis_up)
+        return grid_mapping
+
+    x_min, y_min, x_max, y_max = grid_mapping.xy_bbox
+    x_res, y_res = grid_mapping.xy_res
+    xy_res = min(x_res, y_res) or max(x_res, y_res)
+    width = round((x_max - x_min + xy_res) / xy_res)
+    height = round((y_max - y_min + xy_res) / xy_res)
+    width = width if width >= 2 else 2
+    height = height if height >= 2 else 2
+
+    if tile_size is None:
+        tile_size = grid_mapping.tile_size
+    return new_regular_grid_mapping(
+        size=(width, height),
+        xy_min=(x_min, y_min),
+        xy_res=xy_res,
+        crs=grid_mapping.crs,
+        tile_size=tile_size,
+        is_j_axis_up=is_j_axis_up,
+    )
