@@ -218,6 +218,17 @@ class DataArray:
             # boolean/fancy indexing not dim-preserving; fall back
             new_dims = _default_dims(data.ndim)
         out = DataArray(data, dims=tuple(new_dims), attrs=dict(self._attrs), name=self.name)
+        if self._chunks is not None and len(new_dims) and all(
+            d in self._dims for d in new_dims
+        ):
+            # preserve chunking metadata through slicing: keep each surviving
+            # dimension's leading chunk size, re-tiled to the new extent
+            out._chunks = tuple(
+                _chunk_tuple(
+                    out.shape[ax], self._chunks[self._dims.index(d)][0]
+                )
+                for ax, d in enumerate(new_dims)
+            )
         return out
 
     def isel(self, indexers: Mapping[str, Any] | None = None, **kwargs) -> "DataArray":

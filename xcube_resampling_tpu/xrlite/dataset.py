@@ -131,14 +131,18 @@ class Dataset:
                 var = self._coords.get(key)
             if var is None:
                 raise KeyError(key)
-            # attach relevant coords
-            var = var.copy()
-            var._coords = {
+            # return a view sharing data and attrs with the stored variable
+            # (xarray parity: mutating ds[name].attrs persists), with the
+            # relevant coords attached
+            view = DataArray(var.data, dims=var.dims, name=var.name)
+            view._attrs = var._attrs
+            view._chunks = var._chunks
+            view._coords = {
                 cname: cvar
                 for cname, cvar in self._coords.items()
                 if set(cvar.dims) <= set(var.dims) or cvar.ndim == 0
             }
-            return var
+            return view
         if isinstance(key, (list, tuple)):
             out = Dataset(attrs=dict(self._attrs))
             for name in key:
