@@ -15,3 +15,27 @@ A from-scratch rebuild of the capabilities of xcube-dev/xcube-resampling
 from .version import version
 
 __version__ = version
+
+from .affine import affine_transform_dataset, resample_dataset
+from .crs import CRS, CRS_CRS84, CRS_WGS84, Transformer
+from .gridmapping import GridMapping
+from .rectify import rectify_dataset
+from .reproject import reproject_dataset
+from .spatial import resample_in_space
+from .xrlite import DataArray, Dataset
+
+__all__ = [
+    "CRS",
+    "CRS_CRS84",
+    "CRS_WGS84",
+    "DataArray",
+    "Dataset",
+    "GridMapping",
+    "Transformer",
+    "affine_transform_dataset",
+    "rectify_dataset",
+    "reproject_dataset",
+    "resample_dataset",
+    "resample_in_space",
+    "version",
+]
