@@ -1,0 +1,177 @@
+"""Benchmark harness (BASELINE.json configs) — run on real TPU hardware.
+
+Prints one JSON line per run:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Headline metric: bilinear reprojection throughput in Mpix/s on one chip
+(BASELINE config #3, global 0.05 deg EPSG:4326 -> EPSG:3035).  The
+reference publishes no benchmark numbers (BASELINE.md); the only measured
+figures are its example-notebook wall times, whose best sustained
+throughput is ~4.9 Mpix/s (6.4 Mpix rectified band in ~1.3 s,
+examples/rectify_sentinel3.ipynb).  ``vs_baseline`` is computed against
+that 4.9 Mpix/s figure.
+
+Extra diagnostic lines (affine, coarsen, rectify) are printed to stderr so
+stdout stays a single JSON line for the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_MPIX_S = 4.9  # best sustained reference throughput (see docstring)
+
+
+def _time_fn(fn, *args, warmup=2, iters=5):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_reproject_global(log):
+    """Config #3: global 0.05 deg EPSG:4326 grid -> EPSG:3035, bilinear."""
+    import jax.numpy as jnp
+
+    from xcube_resampling_tpu.gridmapping import GridMapping
+    from xcube_resampling_tpu.ops.reproject_ops import make_fused_reproject_fn
+
+    src_w, src_h = 7200, 3600
+    source_gm = GridMapping.regular(
+        size=(src_w, src_h), xy_min=(-180.0, -90.0), xy_res=0.05, crs="epsg:4326"
+    )
+    out_w = out_h = 4096
+    target_gm = GridMapping.regular(
+        size=(out_w, out_h),
+        xy_min=(2000000.0, 1000000.0),
+        xy_res=1500.0,
+        crs="epsg:3035",
+    )
+    src = jnp.asarray(
+        np.random.default_rng(0).random((src_h, src_w), dtype=np.float32)
+    )
+    results = {}
+    for interp in ("bilinear", "nearest"):
+        fn = make_fused_reproject_fn(source_gm, target_gm, interp, np.nan)
+        dt = _time_fn(fn, src)
+        mpix_s = out_w * out_h / dt / 1e6
+        results[interp] = mpix_s
+        log(f"reproject 4326->3035 {interp}: {mpix_s:.1f} Mpix/s ({dt*1e3:.2f} ms)")
+    return results
+
+
+def bench_affine(log):
+    """Config #1: affine bilinear 2x downscale of a 1024x1024 float32."""
+    import jax
+    import jax.numpy as jnp
+
+    from xcube_resampling_tpu.ops import coarsen_ops, gather
+
+    src = jnp.asarray(
+        np.random.default_rng(0).random((1024, 1024), dtype=np.float32)
+    )
+
+    def downscale(a):
+        up = gather.affine_gather(
+            a, 1.0, 1.0, 0.0, 0.0, 1024, 1024, 1, np.nan, xp=jnp
+        )
+        return coarsen_ops.coarsen_jax(up, 2, 2, "mean")
+
+    fn = jax.jit(downscale)
+    dt = _time_fn(fn, src)
+    mpix_s = 1024 * 1024 / dt / 1e6
+    log(f"affine 2x downscale 1024^2: {mpix_s:.1f} Mpix/s ({dt*1e3:.3f} ms)")
+    return mpix_s
+
+
+def bench_coarsen(log):
+    """Config #2: coarsen aggregation of a 4-band 4096x4096 raster, 4x."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from xcube_resampling_tpu.ops import coarsen_ops
+
+    src = jnp.asarray(
+        np.random.default_rng(0).random((4, 4096, 4096), dtype=np.float32)
+    )
+    src_int = jnp.asarray(
+        np.random.default_rng(0).integers(0, 16, (4, 4096, 4096), dtype=np.int32)
+    )
+    out = {}
+    for agg, data in (("mean", src), ("first", src), ("mode", src_int)):
+        fn = jax.jit(partial(coarsen_ops.coarsen_jax, j_div=4, i_div=4, agg_name=agg))
+        dt = _time_fn(fn, data)
+        mpix_s = 4 * 4096 * 4096 / dt / 1e6
+        out[agg] = mpix_s
+        log(f"coarsen 4x {agg} 4-band 4096^2: {mpix_s:.1f} Mpix/s ({dt*1e3:.2f} ms)")
+    return out
+
+
+def bench_rectify(log):
+    """Config #4: rectify a synthetic OLCI-like swath to a regular grid."""
+    sys.path.insert(0, ".")
+    from tests.sampledata import create_olci_like_swath
+
+    from xcube_resampling_tpu.rectify import rectify_dataset
+
+    ds = create_olci_like_swath(width=1189, height=1890, tile_size=512)
+    t0 = time.perf_counter()
+    out = rectify_dataset(ds, interp_methods=0)
+    _ = out.rad.values
+    dt = time.perf_counter() - t0
+    npix = out.rad.shape[-2] * out.rad.shape[-1]
+    mpix_s = npix / dt / 1e6
+    log(
+        f"rectify OLCI-like swath -> {out.rad.shape}: "
+        f"{mpix_s:.1f} Mpix/s ({dt:.2f} s)"
+    )
+    return mpix_s
+
+
+def main():
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    import jax
+
+    log(f"devices: {jax.devices()}")
+
+    try:
+        bench_affine(log)
+    except Exception as e:  # noqa: BLE001
+        log(f"affine bench failed: {e!r}")
+    try:
+        bench_coarsen(log)
+    except Exception as e:  # noqa: BLE001
+        log(f"coarsen bench failed: {e!r}")
+    try:
+        bench_rectify(log)
+    except Exception as e:  # noqa: BLE001
+        log(f"rectify bench failed: {e!r}")
+
+    results = bench_reproject_global(log)
+    value = results["bilinear"]
+    print(
+        json.dumps(
+            {
+                "metric": "reproject_bilinear_4326_to_3035_mpix_per_s_per_chip",
+                "value": round(float(value), 1),
+                "unit": "Mpix/s",
+                "vs_baseline": round(float(value) / REFERENCE_MPIX_S, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Multi-chip execution: fused device kernel parity and halo-exchange
+sharding on the virtual 8-device CPU mesh (the rebuild's distributed test
+surface — chunking/sharding must not change results)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from xcube_resampling_tpu.crs import CRS_WGS84
+from xcube_resampling_tpu.gridmapping import GridMapping
+from xcube_resampling_tpu.ops.reproject_ops import make_fused_reproject_fn
+from xcube_resampling_tpu.parallel import (
+    batch_tiles,
+    make_mesh,
+    sharded_reproject,
+    untile,
+)
+from xcube_resampling_tpu.reproject import reproject_dataset
+from xcube_resampling_tpu.xrlite import DataArray, Dataset
+
+
+def _source_case(h=96, w=96):
+    source_gm = GridMapping.regular(
+        size=(w, h), xy_min=(565000.0, 5930000.0), xy_res=100.0, crs="epsg:32632"
+    )
+    data = (
+        np.arange(h * w, dtype=np.float32).reshape(h, w) / w
+    )
+    # overlaps the source footprint in EPSG:3035, same ground resolution
+    # (no pre-downscale path, so the fused kernel and the engine agree)
+    target_gm = GridMapping.regular(
+        size=(80, 80), xy_min=(4320500, 3379500), xy_res=100, crs="epsg:3035"
+    )
+    return source_gm, data, target_gm
+
+
+def test_tile_batch_roundtrip():
+    arr = np.arange(2 * 13 * 17).reshape(2, 13, 17)
+    tb = batch_tiles(arr, 5, 8, fill=-1)
+    assert tb.tiles.shape == (3 * 3, 2, 5, 8)
+    back = untile(tb)
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_fused_reproject_matches_engine():
+    source_gm, data, target_gm = _source_case()
+    fn = make_fused_reproject_fn(source_gm, target_gm, "bilinear", np.nan)
+    fused = np.asarray(fn(jnp.asarray(data)))
+
+    ds = Dataset(
+        dict(band=DataArray(data, dims=("y", "x"))),
+        coords=dict(
+            x=np.asarray(source_gm.x_coords.data),
+            y=np.asarray(source_gm.y_coords.data),
+            spatial_ref=DataArray(np.array(0), dims=(), attrs=source_gm.crs.to_cf()),
+        ),
+    )
+    ds.data_vars["band"].attrs["grid_mapping"] = "spatial_ref"
+    ref = reproject_dataset(ds, target_gm, interp_methods="bilinear").band.values
+
+    both_valid = ~np.isnan(fused) & ~np.isnan(ref)
+    # the coarse-field device path is accurate to ~1e-2 px; tolerance covers
+    # that index jitter on a unit-gradient field
+    assert both_valid.mean() > 0.5
+    np.testing.assert_allclose(fused[both_valid], ref[both_valid], atol=0.05)
+    # NaN masks may differ only at coverage borders
+    assert (np.isnan(fused) != np.isnan(ref)).mean() < 0.02
+
+
+def test_sharded_reproject_matches_fused():
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs multiple devices")
+    source_gm, data, target_gm = _source_case()
+    mesh = make_mesh(("bands",))
+
+    fn = make_fused_reproject_fn(source_gm, target_gm, "bilinear", np.nan)
+    fused = np.asarray(fn(jnp.asarray(data)))
+
+    sharded = np.asarray(
+        sharded_reproject(
+            jnp.asarray(data), source_gm, target_gm, mesh, halo=None
+        )
+    )
+    assert sharded.shape == fused.shape
+    both_valid = ~np.isnan(fused) & ~np.isnan(sharded)
+    assert both_valid.mean() > 0.5
+    np.testing.assert_allclose(sharded[both_valid], fused[both_valid], atol=1e-4)
+    # halo exchange must cover the stencil: identical coverage except at
+    # most a sliver at band seams
+    assert (np.isnan(sharded) != np.isnan(fused)).mean() < 0.02
+
+
+def test_sharded_reproject_batched():
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs multiple devices")
+    source_gm, data, target_gm = _source_case()
+    batch = jnp.stack([jnp.asarray(data), jnp.asarray(data) * 2])
+    mesh = make_mesh(("bands",))
+    out = np.asarray(
+        sharded_reproject(batch, source_gm, target_gm, mesh, halo=None)
+    )
+    assert out.shape[0] == 2
+    valid = ~np.isnan(out[0])
+    np.testing.assert_allclose(out[1][valid], 2 * out[0][valid], rtol=1e-6)

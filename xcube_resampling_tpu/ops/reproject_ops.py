@@ -1,0 +1,152 @@
+"""Fused on-device reprojection kernel.
+
+The reference's reprojection is host-staged: pyproj C calls per dask block,
+then a numpy gather (reference reproject.py:472-496, 268-335).  Here the
+device kernel is a single fused XLA computation.  Two coordinate strategies:
+
+* ``exact=True`` — evaluate the native projection pipeline per pixel on
+  device.  Only valid with float64 (TPU f64 is slow); used for validation.
+* default (approximate-field) — evaluate the inverse transform on a coarse
+  grid (every ``step``-th target pixel) on the host in float64, convert to
+  *fractional source indices* (bounded magnitudes, float32-safe), and let
+  the device bilinearly interpolate the coarse index field and gather.
+  Curvature error over a 16-pixel cell is far below 1e-2 px for real CRS
+  pairs, while naive float32 evaluation of geodetic formulas loses ~100 m
+  to cancellation.  This is also faster: the per-pixel cost is a handful of
+  FMAs + one gather — HBM-bandwidth bound, the speed-of-light regime for
+  this op (and the strategy production warpers use).
+
+This is the headline-benchmark kernel (BASELINE config #3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..crs import Transformer
+from ..gridmapping import GridMapping
+
+
+def coarse_coord_field(
+    source_gm: GridMapping,
+    target_gm: GridMapping,
+    step: int = 16,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Host-side float64 evaluation of the inverse coordinate transform on
+    every ``step``-th target pixel, returned as float32 fractional source
+    index fields (ix, iy) of shape (ceil((h-1)/step)+1, ceil((w-1)/step)+1).
+    """
+    transformer = Transformer.from_crs(target_gm.crs, source_gm.crs)
+
+    out_h, out_w = target_gm.height, target_gm.width
+    ncj = (out_h - 1) // step + 2
+    nci = (out_w - 1) // step + 2
+
+    tgt_x = np.asarray(target_gm.x_coords.data, dtype=np.float64)
+    tgt_y = np.asarray(target_gm.y_coords.data, dtype=np.float64)
+    tgt_x0, tgt_dx = float(tgt_x[0]), float(tgt_x[1] - tgt_x[0])
+    tgt_y0, tgt_dy = float(tgt_y[0]), float(tgt_y[1] - tgt_y[0])
+
+    xs = tgt_x0 + tgt_dx * (np.arange(nci, dtype=np.float64) * step)
+    ys = tgt_y0 + tgt_dy * (np.arange(ncj, dtype=np.float64) * step)
+    xx, yy = np.meshgrid(xs, ys)
+    sx, sy = transformer.transform(xx, yy)
+
+    src_x0 = float(np.asarray(source_gm.x_coords.data)[0])
+    y_vals = np.asarray(source_gm.y_coords.data)
+    src_y0 = float(y_vals[0])
+    src_yres_signed = float(y_vals[1] - y_vals[0])
+
+    ix = (np.asarray(sx) - src_x0) / float(source_gm.x_res)
+    iy = (np.asarray(sy) - src_y0) / src_yres_signed
+    return ix.astype(np.float32), iy.astype(np.float32), step
+
+
+def _interp_field(field, rows, cols, step, xp):
+    """Bilinear interpolation of a coarse (ncj, nci) field at fractional
+    cell coordinates given by target pixel rows/cols (broadcastable)."""
+    inv = 1.0 / step
+    cj = rows * inv
+    ci = cols * inv
+    j0 = xp.floor(cj).astype(xp.int32)
+    i0 = xp.floor(ci).astype(xp.int32)
+    fj = cj - j0
+    fi = ci - i0
+    j0 = xp.clip(j0, 0, field.shape[0] - 2)
+    i0 = xp.clip(i0, 0, field.shape[1] - 2)
+    f00 = field[j0, i0]
+    f01 = field[j0, i0 + 1]
+    f10 = field[j0 + 1, i0]
+    f11 = field[j0 + 1, i0 + 1]
+    f0 = f00 + fi * (f01 - f00)
+    f1 = f10 + fi * (f11 - f10)
+    return f0 + fj * (f1 - f0)
+
+
+def gather_interp(src, ix, iy, interp_method, fill_value, xp, valid=None):
+    """Bounds-masked gather + interpolation at fractional source indices
+    (shared by the fused single-chip and sharded halo-exchange kernels).
+    Coordinates are clamped to the array extent before the taps are taken
+    (clamp-to-edge), so halo-extended and plain arrays give identical
+    results over the valid domain."""
+    src_h, src_w = src.shape[-2], src.shape[-1]
+    if valid is None:
+        valid = (
+            (ix > -0.5) & (ix < src_w - 0.5) & (iy > -0.5) & (iy < src_h - 0.5)
+        )
+    ix = xp.clip(ix, 0, src_w - 1)
+    iy = xp.clip(iy, 0, src_h - 1)
+    if interp_method == "nearest":
+        jx = xp.rint(ix).astype(xp.int32)
+        jy = xp.rint(iy).astype(xp.int32)
+        vals = src[..., jy, jx]
+    else:
+        x0f = xp.floor(ix)
+        y0f = xp.floor(iy)
+        fx = ix - x0f
+        fy = iy - y0f
+        x0 = x0f.astype(xp.int32)
+        y0 = y0f.astype(xp.int32)
+        x1 = xp.clip(x0 + 1, 0, src_w - 1)
+        y1 = xp.clip(y0 + 1, 0, src_h - 1)
+        v00 = src[..., y0, x0]
+        v01 = src[..., y0, x1]
+        v10 = src[..., y1, x0]
+        v11 = src[..., y1, x1]
+        if interp_method == "triangular":
+            near = v00 + fx * (v01 - v00) + fy * (v10 - v00)
+            far = v11 + (1.0 - fx) * (v10 - v11) + (1.0 - fy) * (v01 - v11)
+            vals = xp.where(fx + fy < 1.0, near, far)
+        else:
+            vu0 = v00 + fx * (v01 - v00)
+            vu1 = v10 + fx * (v11 - v10)
+            vals = vu0 + fy * (vu1 - vu0)
+    fill = xp.asarray(fill_value, dtype=vals.dtype)
+    return xp.where(valid, vals, fill)
+
+
+def make_fused_reproject_fn(
+    source_gm: GridMapping,
+    target_gm: GridMapping,
+    interp_method: str = "bilinear",
+    fill_value: float = np.nan,
+    step: int = 16,
+):
+    """Build a jit-compiled ``fn(src_data) -> target_data`` closure using
+    the approximate coordinate-field strategy (see module docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    ix_c_np, iy_c_np, step = coarse_coord_field(source_gm, target_gm, step)
+    ix_c = jnp.asarray(ix_c_np)
+    iy_c = jnp.asarray(iy_c_np)
+    out_h, out_w = target_gm.height, target_gm.width
+
+    def fn(src):
+        rows = jnp.arange(out_h, dtype=jnp.float32)[:, None]
+        cols = jnp.arange(out_w, dtype=jnp.float32)[None, :]
+        ix = _interp_field(ix_c, rows, cols, step, jnp)
+        iy = _interp_field(iy_c, rows, cols, step, jnp)
+        return gather_interp(src, ix, iy, interp_method, fill_value, jnp)
+
+    return jax.jit(fn)
