@@ -26,16 +26,23 @@ import numpy as np
 REFERENCE_MPIX_S = 4.9  # best sustained reference throughput (see docstring)
 
 
-def _time_fn(fn, *args, warmup=2, iters=5):
+def _time_fn(fn, *args, warmup=2, iters=10):
+    """Robust device timing: every iteration ends with a forced host fetch
+    of a scalar reduction of the output, so asynchronous dispatch and
+    remote-execution pipelining cannot fake the numbers."""
     import jax
+    import jax.numpy as jnp
 
+    sink = jax.jit(lambda x: jnp.sum(jnp.nan_to_num(x.astype(jnp.float32))))
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        float(sink(fn(*args)))
     t0 = time.perf_counter()
+    acc = 0.0
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        acc += float(sink(fn(*args)))
+    dt = (time.perf_counter() - t0) / iters
+    assert acc == acc  # keep the dependency alive
+    return dt
 
 
 def bench_reproject_global(log):

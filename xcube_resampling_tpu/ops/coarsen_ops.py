@@ -88,8 +88,15 @@ def coarsen_jax(array, j_div: int, i_div: int, agg_name: str):
 
 
 def _mode_jax(block, axis):
-    """Categorical mode via one-hot counting; ties resolve to the smallest
-    value (argmax picks the first maximum), matching the host reducer."""
+    """Categorical mode via sort + longest-run detection.
+
+    Value-range independent and O(window log window) per pixel with tiny
+    memory (the one-hot/histogram alternative is O(range) memory, which
+    blows up on device for wide-ranged categorical data).  Ties resolve to
+    the smallest value — the run lengths of an ascending sort peak at each
+    group's end, and argmax returns the first maximum — matching the host
+    reducer's histogram scan."""
+    import jax.lax
     import jax.numpy as jnp
 
     ndim = block.ndim
@@ -97,17 +104,17 @@ def _mode_jax(block, axis):
     perm = keep + list(axis)
     moved = jnp.transpose(block, perm)
     lead_shape = moved.shape[: len(keep)]
-    flat = moved.reshape((-1, int(np.prod(moved.shape[len(keep):]))))
-    vmin = jnp.min(flat).astype(jnp.int32)
-    vmax = jnp.max(flat).astype(jnp.int32)
-    # static bound: categorical data is small-ranged; cap the histogram width
-    n_bins = 4096
-    norm = flat.astype(jnp.int32) - vmin
-    one_hot = (norm[:, :, None] == jnp.arange(n_bins)[None, None, :]).astype(jnp.int32)
-    counts = one_hot.sum(axis=1)
-    # mask bins beyond the actual range so ties outside data cannot win
-    counts = jnp.where(jnp.arange(n_bins)[None, :] <= (vmax - vmin), counts, -1)
-    modes = counts.argmax(axis=1).astype(block.dtype) + vmin.astype(block.dtype)
+    w = int(np.prod(moved.shape[len(keep):]))
+    flat = moved.reshape((-1, w))
+    s = jnp.sort(flat, axis=1)
+    idx = jnp.arange(w)
+    new_group = jnp.concatenate(
+        [jnp.ones((s.shape[0], 1), bool), s[:, 1:] != s[:, :-1]], axis=1
+    )
+    start = jax.lax.cummax(jnp.where(new_group, idx, 0), axis=1)
+    run_len = idx - start + 1
+    best = jnp.argmax(run_len, axis=1)
+    modes = jnp.take_along_axis(s, best[:, None], axis=1)[:, 0]
     return modes.reshape(lead_shape)
 
 

@@ -242,6 +242,122 @@ def _accept_quad(
     return accept, src_if, src_jf
 
 
+def inverse_ij_map_jax(
+    src_x,
+    src_y,
+    src_i_min: int,
+    src_j_min: int,
+    dst_shape: tuple[int, int],
+    dst_x_offset: float,
+    dst_y_offset: float,
+    dst_x_scale: float,
+    dst_y_scale: float,
+    uv_delta: float,
+    r_i: int = 4,
+    r_j: int = 4,
+):
+    """XLA/device variant of :func:`inverse_ij_map` (jit-compatible, static
+    shapes).  Same candidate-enumeration + scatter-min algorithm; the quad
+    set is kept dense (dead quads carry an infinite rank) and the candidate
+    rectangle is bounded by the static (r_j, r_i) — callers size it from
+    host metadata (after pre-downscaling a quad covers only a few target
+    pixels, reference rectify.py:136-143 guarantees this).
+    """
+    import jax.numpy as jnp
+
+    dst_h, dst_w = dst_shape
+    src_h, src_w = src_x.shape
+    nq = (src_h - 1) * (src_w - 1)
+    size = dst_h * dst_w
+
+    p0x = src_x[:-1, :-1].reshape(-1)
+    p1x = src_x[:-1, 1:].reshape(-1)
+    p2x = src_x[1:, :-1].reshape(-1)
+    p3x = src_x[1:, 1:].reshape(-1)
+    p0y = src_y[:-1, :-1].reshape(-1)
+    p1y = src_y[:-1, 1:].reshape(-1)
+    p2y = src_y[1:, :-1].reshape(-1)
+    p3y = src_y[1:, 1:].reshape(-1)
+
+    qj = jnp.repeat(jnp.arange(src_h - 1), src_w - 1)
+    qi = jnp.tile(jnp.arange(src_w - 1), src_h - 1)
+
+    pi = jnp.floor(
+        (jnp.stack([p0x, p1x, p2x, p3x]) - dst_x_offset) / dst_x_scale
+    )
+    pj = jnp.floor(
+        (jnp.stack([p0y, p1y, p2y, p3y]) - dst_y_offset) / dst_y_scale
+    )
+    nan_rect = jnp.isnan(pi).any(axis=0) | jnp.isnan(pj).any(axis=0)
+    pi = jnp.nan_to_num(pi, nan=-(10.0**9))
+    pj = jnp.nan_to_num(pj, nan=-(10.0**9))
+    i_lo = pi.min(axis=0)
+    i_hi = pi.max(axis=0)
+    j_lo = pj.min(axis=0)
+    j_hi = pj.max(axis=0)
+
+    det_a = jnp.nan_to_num(_fdet(p0x, p0y, p1x, p1y, p2x, p2y), nan=0.0)
+    det_b = jnp.nan_to_num(_fdet(p3x, p3y, p2x, p2y, p1x, p1y), nan=0.0)
+
+    alive = (
+        ~nan_rect
+        & (i_hi >= 0)
+        & (j_hi >= 0)
+        & (i_lo < dst_w)
+        & (j_lo < dst_h)
+        & ((det_a != 0.0) | (det_b != 0.0))
+    )
+
+    i_lo_q = jnp.clip(i_lo, 0, dst_w - 1).astype(jnp.int32)
+    i_hi_q = jnp.clip(i_hi, 0, dst_w - 1).astype(jnp.int32)
+    j_lo_q = jnp.clip(j_lo, 0, dst_h - 1).astype(jnp.int32)
+    j_hi_q = jnp.clip(j_hi, 0, dst_h - 1).astype(jnp.int32)
+
+    u_min = v_min = -uv_delta
+    uv_max = 1.0 + 2 * uv_delta
+    q = dict(
+        p0x=p0x, p0y=p0y, p1x=p1x, p1y=p1y,
+        p2x=p2x, p2y=p2y, p3x=p3x, p3y=p3y,
+        det_a=det_a, det_b=det_b,
+    )
+
+    inf_rank = jnp.iinfo(jnp.int32).max
+    rank = jnp.where(alive, (qj * (src_w - 1) + qi).astype(jnp.int32), inf_rank)
+    claim = jnp.full((size + 1,), inf_rank, dtype=jnp.int32)
+
+    candidates = []
+    for dj in range(r_j):
+        for di in range(r_i):
+            pixel_j = j_lo_q + dj
+            pixel_i = i_lo_q + di
+            in_rect = (pixel_j <= j_hi_q) & (pixel_i <= i_hi_q)
+            accept, src_if, src_jf = _accept_quad(
+                q, qi, qj, pixel_i, pixel_j,
+                dst_x_offset, dst_y_offset, dst_x_scale, dst_y_scale,
+                u_min, v_min, uv_max, xp=jnp,
+            )
+            ok = accept & in_rect & alive
+            flat = jnp.where(ok, pixel_j * dst_w + pixel_i, size)
+            claim = claim.at[flat].min(jnp.where(ok, rank, inf_rank))
+            candidates.append((ok, flat, src_if, src_jf))
+
+    out_i = jnp.full((size + 1,), jnp.nan, dtype=src_x.dtype)
+    out_j = jnp.full((size + 1,), jnp.nan, dtype=src_x.dtype)
+    for ok, flat, src_if, src_jf in candidates:
+        win = ok & (claim[flat] == rank)
+        slot = jnp.where(win, flat, size)
+        out_i = out_i.at[slot].set(
+            jnp.where(win, src_i_min + src_if, out_i[slot]), mode="drop"
+        )
+        out_j = out_j.at[slot].set(
+            jnp.where(win, src_j_min + src_jf, out_j[slot]), mode="drop"
+        )
+
+    return jnp.stack(
+        [out_i[:size].reshape(dst_h, dst_w), out_j[:size].reshape(dst_h, dst_w)]
+    )
+
+
 def var_image_from_ij_map(
     src_var: np.ndarray,
     ij_map: np.ndarray,

@@ -138,15 +138,22 @@ def make_fused_reproject_fn(
     import jax.numpy as jnp
 
     ix_c_np, iy_c_np, step = coarse_coord_field(source_gm, target_gm, step)
+    # The coarse fields are passed as call arguments, not captured
+    # constants: embedded host constants force per-call re-staging on some
+    # backends (measured 5 orders of magnitude slower on the remote TPU).
     ix_c = jnp.asarray(ix_c_np)
     iy_c = jnp.asarray(iy_c_np)
     out_h, out_w = target_gm.height, target_gm.width
 
-    def fn(src):
+    @jax.jit
+    def kernel(src, ix_field, iy_field):
         rows = jnp.arange(out_h, dtype=jnp.float32)[:, None]
         cols = jnp.arange(out_w, dtype=jnp.float32)[None, :]
-        ix = _interp_field(ix_c, rows, cols, step, jnp)
-        iy = _interp_field(iy_c, rows, cols, step, jnp)
+        ix = _interp_field(ix_field, rows, cols, step, jnp)
+        iy = _interp_field(iy_field, rows, cols, step, jnp)
         return gather_interp(src, ix, iy, interp_method, fill_value, jnp)
 
-    return jax.jit(fn)
+    def fn(src):
+        return kernel(src, ix_c, iy_c)
+
+    return fn

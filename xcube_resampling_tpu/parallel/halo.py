@@ -122,8 +122,9 @@ def make_sharded_regrid_step(
 
     use_halo = n > 1 and halo > 0
 
-    def band_step(src_band):
-        # src_band: (..., band_h, W) per device
+    def band_step(src_band, ix_field, iy_field):
+        # src_band: (..., band_h, W) per device; coordinate fields are
+        # replicated arguments (not captured constants — see reproject_ops)
         idx = lax.axis_index(axis_name)
         if use_halo:
             above = lax.ppermute(src_band[..., -halo:, :], axis_name, up_perm)
@@ -136,8 +137,8 @@ def make_sharded_regrid_step(
         row0 = (idx * out_band_h).astype(jnp.float32)
         rows = row0 + jnp.arange(out_band_h, dtype=jnp.float32)[:, None]
         cols = jnp.arange(out_w, dtype=jnp.float32)[None, :]
-        ix = _interp_field(ix_c, rows, cols, step, jnp)
-        iy = _interp_field(iy_c, rows, cols, step, jnp)
+        ix = _interp_field(ix_field, rows, cols, step, jnp)
+        iy = _interp_field(iy_field, rows, cols, step, jnp)
 
         # global bounds mask, clamp to the real source extent (clamp-to-edge
         # like the single-chip kernel), then rebase into the extended band
@@ -161,13 +162,22 @@ def make_sharded_regrid_step(
 
     batch_spec = [None] * src_batch_dims
     shard_map = _shard_map()
-    step_fn = shard_map(
+    mapped = shard_map(
         band_step,
         mesh=mesh,
-        in_specs=P(*batch_spec, axis_name, None),
+        in_specs=(
+            P(*batch_spec, axis_name, None),
+            P(None, None),
+            P(None, None),
+        ),
         out_specs=P(*batch_spec, axis_name, None),
     )
-    return jax.jit(step_fn), (src_pad_h, out_h)
+    jitted = jax.jit(mapped)
+
+    def step_fn(src):
+        return jitted(src, ix_c, iy_c)
+
+    return step_fn, (src_pad_h, out_h)
 
 
 def sharded_reproject(
