@@ -26,23 +26,56 @@ import numpy as np
 REFERENCE_MPIX_S = 4.9  # best sustained reference throughput (see docstring)
 
 
+_RTT = None
+
+
+def _round_trip_seconds():
+    """Measured host<->device round-trip latency (the axon tunnel adds
+    tens of ms per synchronous fetch; it must be subtracted from kernel
+    timings)."""
+    global _RTT
+    if _RTT is None:
+        import jax
+        import jax.numpy as jnp
+
+        tiny = jax.jit(lambda x: x + 1.0)
+        v = jnp.float32(0.0)
+        for _ in range(2):
+            v = tiny(v)
+            float(v)
+        t0 = time.perf_counter()
+        n = 5
+        for _ in range(n):
+            float(tiny(v))
+        _RTT = (time.perf_counter() - t0) / n
+    return _RTT
+
+
 def _time_fn(fn, *args, warmup=2, iters=10):
-    """Robust device timing: every iteration ends with a forced host fetch
-    of a scalar reduction of the output, so asynchronous dispatch and
-    remote-execution pipelining cannot fake the numbers."""
+    """Device timing that defeats both failure modes of the remote
+    backend: a forced scalar fetch at the end guarantees all queued
+    executions really ran (plain block_until_ready does not synchronize
+    here), while batching *iters* dispatches per fetch amortizes the
+    tunnel round-trip, which is subtracted using a measured estimate."""
     import jax
     import jax.numpy as jnp
 
-    sink = jax.jit(lambda x: jnp.sum(jnp.nan_to_num(x.astype(jnp.float32))))
+    # every iteration's output feeds a device-side accumulator, so no
+    # execution can be elided; only the final scalar is fetched
+    probe = jax.jit(
+        lambda acc, x: acc + jnp.nan_to_num(x).ravel()[0].astype(jnp.float32)
+    )
+    rtt = _round_trip_seconds()
+    acc = jnp.float32(0.0)
     for _ in range(warmup):
-        float(sink(fn(*args)))
+        acc = probe(acc, fn(*args))
+    float(acc)
     t0 = time.perf_counter()
-    acc = 0.0
     for _ in range(iters):
-        acc += float(sink(fn(*args)))
-    dt = (time.perf_counter() - t0) / iters
-    assert acc == acc  # keep the dependency alive
-    return dt
+        acc = probe(acc, fn(*args))
+    float(acc)
+    dt = time.perf_counter() - t0
+    return max((dt - rtt) / iters, 1e-9)
 
 
 def bench_reproject_global(log):
@@ -63,16 +96,25 @@ def bench_reproject_global(log):
         xy_res=1500.0,
         crs="epsg:3035",
     )
+    from xcube_resampling_tpu.ops.srw import make_srw_reproject_fn
+
     src = jnp.asarray(
         np.random.default_rng(0).random((src_h, src_w), dtype=np.float32)
     )
     results = {}
     for interp in ("bilinear", "nearest"):
-        fn = make_fused_reproject_fn(source_gm, target_gm, interp, np.nan)
+        fn = make_srw_reproject_fn(source_gm, target_gm, interp, np.nan)
+        kind = "srw"
+        if fn is None:
+            fn = make_fused_reproject_fn(source_gm, target_gm, interp, np.nan)
+            kind = "gather"
         dt = _time_fn(fn, src)
         mpix_s = out_w * out_h / dt / 1e6
         results[interp] = mpix_s
-        log(f"reproject 4326->3035 {interp}: {mpix_s:.1f} Mpix/s ({dt*1e3:.2f} ms)")
+        log(
+            f"reproject 4326->3035 {interp} [{kind}]: "
+            f"{mpix_s:.1f} Mpix/s ({dt*1e3:.2f} ms)"
+        )
     return results
 
 

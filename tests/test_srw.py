@@ -1,0 +1,73 @@
+"""Separable-residual warp kernel: parity with the gather-based device path
+and the host engine (the gather-free fast path must not change results)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from xcube_resampling_tpu.gridmapping import GridMapping
+from xcube_resampling_tpu.ops.reproject_ops import make_fused_reproject_fn
+from xcube_resampling_tpu.ops.srw import make_srw_reproject_fn, plan_srw
+
+
+def _case(src=96, out=80):
+    source_gm = GridMapping.regular(
+        size=(src, src), xy_min=(565000.0, 5930000.0), xy_res=100.0, crs="epsg:32632"
+    )
+    target_gm = GridMapping.regular(
+        size=(out, out), xy_min=(4320500, 3379500), xy_res=100, crs="epsg:3035"
+    )
+    data = (
+        np.arange(src * src, dtype=np.float32).reshape(src, src) / src
+    )
+    return source_gm, target_gm, data
+
+
+@pytest.mark.parametrize("interp", ["bilinear", "nearest"])
+def test_srw_matches_gather_kernel(interp):
+    source_gm, target_gm, data = _case()
+    srw = make_srw_reproject_fn(source_gm, target_gm, interp, np.nan,
+                                col_tile=32, row_tile=32)
+    assert srw is not None, "plan unexpectedly rejected"
+    gat = make_fused_reproject_fn(source_gm, target_gm, interp, np.nan)
+
+    a = np.asarray(srw(jnp.asarray(data)))
+    b = np.asarray(gat(jnp.asarray(data)))
+
+    both = ~np.isnan(a) & ~np.isnan(b)
+    assert both.mean() > 0.5
+    if interp == "bilinear":
+        # identical coordinate approximation; only fp association differs
+        np.testing.assert_allclose(a[both], b[both], atol=1e-4)
+    else:
+        # two-pass nearest may flip to the equally-distant neighbour on
+        # rounding boundaries (cf. the reference's own tie comment,
+        # rectify.py:549-551) — allow a small fraction of one-cell flips
+        assert (np.abs(a[both] - b[both]) > 1e-6).mean() < 0.01
+    assert (np.isnan(a) != np.isnan(b)).mean() < 0.02
+
+
+def test_srw_batched():
+    source_gm, target_gm, data = _case()
+    srw = make_srw_reproject_fn(source_gm, target_gm, "bilinear", np.nan,
+                                col_tile=32, row_tile=32)
+    batch = jnp.stack([jnp.asarray(data), 2 * jnp.asarray(data)])
+    out = np.asarray(srw(batch))
+    assert out.shape[0] == 2
+    valid = ~np.isnan(out[0])
+    np.testing.assert_allclose(out[1][valid], 2 * out[0][valid], rtol=1e-5)
+
+
+def test_srw_plan_reports_taps():
+    source_gm, target_gm, _ = _case()
+    plan = plan_srw(source_gm, target_gm, col_tile=32, row_tile=32)
+    assert plan is not None
+    assert 2 <= plan.d_v <= 48
+    assert 2 <= plan.d_h <= 48
+
+
+def test_srw_rejects_triangular():
+    source_gm, target_gm, _ = _case()
+    assert make_srw_reproject_fn(source_gm, target_gm, "triangular") is None
