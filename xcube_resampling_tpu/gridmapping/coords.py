@@ -340,14 +340,17 @@ def new_grid_mapping_from_coords(
     )
 
 
+_ZERO_ATOL = 1.0e-8  # |x| <= atol is np.isclose(x, 0)'s default criterion
+
+
 def _abs_no_zero(array) -> np.ndarray:
     array = np.fabs(np.asarray(array, dtype=np.float64))
-    return np.where(np.isclose(array, 0), np.nan, array)
+    return np.where(array <= _ZERO_ATOL, np.nan, array)
 
 
 def _abs_no_nan(array) -> np.ndarray:
     array = np.fabs(np.asarray(array, dtype=np.float64))
-    return np.where(np.logical_or(np.isnan(array), np.isclose(array, 0)), 0, array)
+    return np.where(np.logical_or(np.isnan(array), array <= _ZERO_ATOL), 0, array)
 
 
 def grid_mapping_to_coords(

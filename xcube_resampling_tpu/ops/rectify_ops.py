@@ -139,19 +139,25 @@ def inverse_ij_map(
     inf_rank = np.iinfo(np.int64).max
     claim = np.full(dst_h * dst_w, inf_rank, dtype=np.int64)
 
-    # pass 1: scatter-min the rank of each accepting candidate per pixel
+    # pass 1: scatter-min the rank of each accepting candidate per pixel.
+    # Candidates are compressed to the in-rect subset before the triangle
+    # solves — the solves dominate the runtime.
     accept_cache = []
     for dj in range(r_j):
         for di in range(r_i):
             pixel_j = j_lo_q + dj
             pixel_i = i_lo_q + di
             in_rect = (pixel_j <= j_hi_q) & (pixel_i <= i_hi_q)
+            sel = np.nonzero(in_rect)[0]
+            if sel.size == 0:
+                continue
+            q_sel = {k: v[sel] for k, v in q.items()}
             accept, src_if, src_jf = _accept_quad(
-                q,
-                qi,
-                qj,
-                pixel_i,
-                pixel_j,
+                q_sel,
+                qi[sel],
+                qj[sel],
+                pixel_i[sel],
+                pixel_j[sel],
                 dst_x_offset,
                 dst_y_offset,
                 dst_x_scale,
@@ -160,20 +166,18 @@ def inverse_ij_map(
                 v_min,
                 uv_max,
             )
-            accept &= in_rect
-            accept_cache.append((accept, pixel_j, pixel_i, src_if, src_jf))
-            if accept.any():
-                flat = pixel_j[accept] * dst_w + pixel_i[accept]
-                np.minimum.at(claim, flat, rank[accept])
+            if not accept.any():
+                continue
+            acc_sel = sel[accept]
+            flat = pixel_j[acc_sel] * dst_w + pixel_i[acc_sel]
+            accept_cache.append((acc_sel, flat, src_if[accept], src_jf[accept]))
+            np.minimum.at(claim, flat, rank[acc_sel])
 
     # pass 2: write the winning candidates' fractional source coordinates
     out_i = out[0].reshape(-1)
     out_j = out[1].reshape(-1)
-    for accept, pixel_j, pixel_i, src_if, src_jf in accept_cache:
-        if not accept.any():
-            continue
-        flat = np.where(accept, pixel_j * dst_w + pixel_i, 0)
-        win = accept & (claim[flat] == rank)
+    for acc_sel, flat, src_if, src_jf in accept_cache:
+        win = claim[flat] == rank[acc_sel]
         if win.any():
             out_i[flat[win]] = src_i_min + src_if[win]
             out_j[flat[win]] = src_j_min + src_jf[win]
@@ -209,6 +213,8 @@ def _accept_quad(
     p2x, p2y = q["p2x"], q["p2y"]
     p3x, p3y = q["p3x"], q["p3y"]
 
+    clamp = lambda x: xp.clip(x, 0.0, 1.0)  # noqa: E731
+
     safe_a = xp.where(det_a == 0.0, 1.0, det_a)
     ua = _fu(dst_x, dst_y, p0x, p0y, p2x, p2y) / safe_a
     va = _fv(dst_x, dst_y, p0x, p0y, p1x, p1y) / safe_a
@@ -218,6 +224,25 @@ def _accept_quad(
         & (va >= v_min)
         & (ua + va <= uv_max)
     )
+
+    if xp is np:
+        # numpy host path: evaluate the second triangle only where the
+        # first rejected (the reference's short-circuit, rectify.py:566)
+        src_if = qi + clamp(ua)
+        src_jf = qj + clamp(va)
+        accept = ok_a.copy()
+        nb = np.nonzero(~ok_a & (det_b != 0.0))[0]
+        if nb.size:
+            dxb = dst_x[nb]
+            dyb = dst_y[nb]
+            ub = _fu(dxb, dyb, p3x[nb], p3y[nb], p1x[nb], p1y[nb]) / det_b[nb]
+            vb = _fv(dxb, dyb, p3x[nb], p3y[nb], p2x[nb], p2y[nb]) / det_b[nb]
+            ok_b = (ub >= u_min) & (vb >= v_min) & (ub + vb <= uv_max)
+            hit = nb[ok_b]
+            accept[hit] = True
+            src_if[hit] = (qi[hit] + 1) - clamp(ub[ok_b])
+            src_jf[hit] = (qj[hit] + 1) - clamp(vb[ok_b])
+        return accept, src_if, src_jf
 
     safe_b = xp.where(det_b == 0.0, 1.0, det_b)
     ub = _fu(dst_x, dst_y, p3x, p3y, p1x, p1y) / safe_b
@@ -229,7 +254,6 @@ def _accept_quad(
         & (ub + vb <= uv_max)
     )
 
-    clamp = lambda x: xp.clip(x, 0.0, 1.0)  # noqa: E731
     src_i_a = qi + clamp(ua)
     src_j_a = qj + clamp(va)
     src_i_b = (qi + 1) - clamp(ub)
