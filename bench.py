@@ -167,24 +167,60 @@ def bench_coarsen(log):
 
 
 def bench_rectify(log):
-    """Config #4: rectify a synthetic OLCI-like swath to a regular grid."""
+    """Config #4: rectify a synthetic OLCI-like swath to a regular grid.
+
+    Phase A (inverse pixel lookup) runs once per geometry on the host;
+    the per-band Phase B gather streams on the device — OLCI products have
+    ~17 bands sharing one geometry, so per-band throughput is the metric
+    that matters (reference workflow: rectify_sentinel3 notebook)."""
     sys.path.insert(0, ".")
+    import jax.numpy as jnp
+
     from tests.sampledata import create_olci_like_swath
 
-    from xcube_resampling_tpu.rectify import rectify_dataset
+    from xcube_resampling_tpu.constants import UV_DELTA
+    from xcube_resampling_tpu.gridmapping import GridMapping
+    from xcube_resampling_tpu.ops import rectify_ops
+    from xcube_resampling_tpu.rectify import (
+        _compute_target_source_ij,
+        rectify_dataset,
+    )
 
     ds = create_olci_like_swath(width=1189, height=1890, tile_size=512)
+
+    # end-to-end single-band host path
     t0 = time.perf_counter()
     out = rectify_dataset(ds, interp_methods=0)
     _ = out.rad.values
     dt = time.perf_counter() - t0
     npix = out.rad.shape[-2] * out.rad.shape[-1]
-    mpix_s = npix / dt / 1e6
     log(
-        f"rectify OLCI-like swath -> {out.rad.shape}: "
-        f"{mpix_s:.1f} Mpix/s ({dt:.2f} s)"
+        f"rectify host single-band -> {out.rad.shape}: "
+        f"{npix / dt / 1e6:.1f} Mpix/s ({dt:.2f} s)"
     )
-    return mpix_s
+
+    # Phase A once + device Phase B over a 16-band batch
+    source_gm = GridMapping.from_dataset(ds)
+    target_gm = source_gm.to_regular(tile_size=512)
+    t0 = time.perf_counter()
+    ij_map = _compute_target_source_ij(source_gm, target_gm, UV_DELTA)
+    dt_a = time.perf_counter() - t0
+    bands = jnp.asarray(
+        np.broadcast_to(
+            ds.rad.values[np.newaxis], (16,) + ds.rad.values.shape
+        ).copy()
+    )
+    fn = rectify_ops.make_device_var_image_fn(
+        ij_map, ds.rad.values.shape, np.nan, "nearest"
+    )
+    dt_b = _time_fn(fn, bands)
+    total_pix = 16 * npix
+    log(
+        f"rectify phase A (host, once): {dt_a:.2f} s; "
+        f"device phase B 16 bands: {total_pix / dt_b / 1e6:.1f} Mpix/s; "
+        f"amortized: {total_pix / (dt_a + dt_b) / 1e6:.1f} Mpix/s"
+    )
+    return total_pix / (dt_a + dt_b) / 1e6
 
 
 def main():

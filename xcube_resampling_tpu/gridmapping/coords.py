@@ -235,10 +235,15 @@ def new_grid_mapping_from_coords(
         )
 
         if not is_regular and xy_res is None:
-            x_x_diff = _abs_no_nan(np.diff(x, axis=1))
-            x_y_diff = _abs_no_nan(np.diff(x, axis=0))
-            y_x_diff = _abs_no_nan(np.diff(y, axis=1))
-            y_y_diff = _abs_no_nan(np.diff(y, axis=0))
+            # The area-based estimate is rounded to 1 significant digit, so
+            # float32 is ample here and halves the memory traffic of this
+            # full-image scan.
+            x32 = x.astype(np.float32)
+            y32 = y.astype(np.float32)
+            x_x_diff = _abs_no_nan(np.diff(x32, axis=1))
+            x_y_diff = _abs_no_nan(np.diff(x32, axis=0))
+            y_x_diff = _abs_no_nan(np.diff(y32, axis=1))
+            y_y_diff = _abs_no_nan(np.diff(y32, axis=0))
 
             # Give diff arrays the original shape by doubling last rows/cols
             x_x_diff_c = np.concatenate([x_x_diff, x_x_diff[:, -1:]], axis=1)
@@ -344,12 +349,12 @@ _ZERO_ATOL = 1.0e-8  # |x| <= atol is np.isclose(x, 0)'s default criterion
 
 
 def _abs_no_zero(array) -> np.ndarray:
-    array = np.fabs(np.asarray(array, dtype=np.float64))
+    array = np.fabs(np.asarray(array))
     return np.where(array <= _ZERO_ATOL, np.nan, array)
 
 
 def _abs_no_nan(array) -> np.ndarray:
-    array = np.fabs(np.asarray(array, dtype=np.float64))
+    array = np.fabs(np.asarray(array))
     return np.where(np.logical_or(np.isnan(array), array <= _ZERO_ATOL), 0, array)
 
 

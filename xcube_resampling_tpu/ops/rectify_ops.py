@@ -74,21 +74,30 @@ def inverse_ij_map(
     p2y = src_y[1:, :-1]
     p3y = src_y[1:, 1:]
 
-    # destination pixel rect per quad (floor of corner pixel coordinates)
+    # destination pixel rect per quad: floor((corner - offset)/scale) over
+    # the 4 corners; elementwise min/max avoids materializing corner stacks
     with np.errstate(invalid="ignore"):
-        pi = np.floor(
-            (np.stack([p0x, p1x, p2x, p3x]) - dst_x_offset) / dst_x_scale
-        )
-        pj = np.floor(
-            (np.stack([p0y, p1y, p2y, p3y]) - dst_y_offset) / dst_y_scale
-        )
-        nan_rect = np.isnan(pi).any(axis=0) | np.isnan(pj).any(axis=0)
-        pi = np.nan_to_num(pi, nan=-(10**9))
-        pj = np.nan_to_num(pj, nan=-(10**9))
-        i_lo = pi.min(axis=0)
-        i_hi = pi.max(axis=0)
-        j_lo = pj.min(axis=0)
-        j_hi = pj.max(axis=0)
+        cx_min = np.minimum(np.minimum(p0x, p1x), np.minimum(p2x, p3x))
+        cx_max = np.maximum(np.maximum(p0x, p1x), np.maximum(p2x, p3x))
+        cy_min = np.minimum(np.minimum(p0y, p1y), np.minimum(p2y, p3y))
+        cy_max = np.maximum(np.maximum(p0y, p1y), np.maximum(p2y, p3y))
+        if dst_x_scale >= 0:
+            i_lo = np.floor((cx_min - dst_x_offset) / dst_x_scale)
+            i_hi = np.floor((cx_max - dst_x_offset) / dst_x_scale)
+        else:
+            i_lo = np.floor((cx_max - dst_x_offset) / dst_x_scale)
+            i_hi = np.floor((cx_min - dst_x_offset) / dst_x_scale)
+        if dst_y_scale >= 0:
+            j_lo = np.floor((cy_min - dst_y_offset) / dst_y_scale)
+            j_hi = np.floor((cy_max - dst_y_offset) / dst_y_scale)
+        else:
+            j_lo = np.floor((cy_max - dst_y_offset) / dst_y_scale)
+            j_hi = np.floor((cy_min - dst_y_offset) / dst_y_scale)
+        nan_rect = np.isnan(i_lo) | np.isnan(j_lo)
+        i_lo = np.nan_to_num(i_lo, nan=-(10.0**9))
+        i_hi = np.nan_to_num(i_hi, nan=-(10.0**9))
+        j_lo = np.nan_to_num(j_lo, nan=-(10.0**9))
+        j_hi = np.nan_to_num(j_hi, nan=-(10.0**9))
 
     alive = (
         ~nan_rect
@@ -109,53 +118,58 @@ def inverse_ij_map(
     if not alive.any():
         return out
 
-    qj, qi = np.nonzero(alive)
-    i_lo_q = np.clip(i_lo[qj, qi], 0, dst_w - 1).astype(np.int64)
-    i_hi_q = np.clip(i_hi[qj, qi], 0, dst_w - 1).astype(np.int64)
-    j_lo_q = np.clip(j_lo[qj, qi], 0, dst_h - 1).astype(np.int64)
-    j_hi_q = np.clip(j_hi[qj, qi], 0, dst_h - 1).astype(np.int64)
+    # flat dense per-quad arrays (no up-front compression: the dominant
+    # cost is the triangle solves, which run on per-offset subsets below)
+    nqj, nqi = src_h - 1, src_w - 1
+    alive_f = alive.reshape(-1)
+    corners = {
+        "p0x": p0x.reshape(-1),
+        "p0y": p0y.reshape(-1),
+        "p1x": p1x.reshape(-1),
+        "p1y": p1y.reshape(-1),
+        "p2x": p2x.reshape(-1),
+        "p2y": p2y.reshape(-1),
+        "p3x": p3x.reshape(-1),
+        "p3y": p3y.reshape(-1),
+        "det_a": det_a.reshape(-1),
+        "det_b": det_b.reshape(-1),
+    }
+    qi_f = np.tile(np.arange(nqi, dtype=np.int64), nqj)
+    qj_f = np.repeat(np.arange(nqj, dtype=np.int64), nqi)
 
-    r_i = int((i_hi_q - i_lo_q).max()) + 1
-    r_j = int((j_hi_q - j_lo_q).max()) + 1
+    i_lo_q = np.clip(i_lo.reshape(-1), 0, dst_w - 1).astype(np.int64)
+    i_hi_q = np.clip(i_hi.reshape(-1), 0, dst_w - 1).astype(np.int64)
+    j_lo_q = np.clip(j_lo.reshape(-1), 0, dst_h - 1).astype(np.int64)
+    j_hi_q = np.clip(j_hi.reshape(-1), 0, dst_h - 1).astype(np.int64)
+
+    r_i = int((i_hi_q[alive_f] - i_lo_q[alive_f]).max()) + 1
+    r_j = int((j_hi_q[alive_f] - j_lo_q[alive_f]).max()) + 1
 
     u_min = v_min = -uv_delta
     uv_max = 1.0 + 2 * uv_delta
 
-    q = dict(
-        p0x=p0x[qj, qi],
-        p0y=p0y[qj, qi],
-        p1x=p1x[qj, qi],
-        p1y=p1y[qj, qi],
-        p2x=p2x[qj, qi],
-        p2y=p2y[qj, qi],
-        p3x=p3x[qj, qi],
-        p3y=p3y[qj, qi],
-        det_a=det_a[qj, qi],
-        det_b=det_b[qj, qi],
-    )
-
     # winner-rank map: quad row-major rank == the reference's write order
-    rank = (qj * (src_w - 1) + qi).astype(np.int64)
+    rank = qj_f * nqi + qi_f
     inf_rank = np.iinfo(np.int64).max
     claim = np.full(dst_h * dst_w, inf_rank, dtype=np.int64)
 
     # pass 1: scatter-min the rank of each accepting candidate per pixel.
     # Candidates are compressed to the in-rect subset before the triangle
-    # solves — the solves dominate the runtime.
+    # solves.
     accept_cache = []
     for dj in range(r_j):
         for di in range(r_i):
             pixel_j = j_lo_q + dj
             pixel_i = i_lo_q + di
-            in_rect = (pixel_j <= j_hi_q) & (pixel_i <= i_hi_q)
-            sel = np.nonzero(in_rect)[0]
+            mask = alive_f & (pixel_j <= j_hi_q) & (pixel_i <= i_hi_q)
+            sel = np.nonzero(mask)[0]
             if sel.size == 0:
                 continue
-            q_sel = {k: v[sel] for k, v in q.items()}
+            q_sel = {k: v[sel] for k, v in corners.items()}
             accept, src_if, src_jf = _accept_quad(
                 q_sel,
-                qi[sel],
-                qj[sel],
+                qi_f[sel],
+                qj_f[sel],
                 pixel_i[sel],
                 pixel_j[sel],
                 dst_x_offset,
@@ -380,6 +394,39 @@ def inverse_ij_map_jax(
     return jnp.stack(
         [out_i[:size].reshape(dst_h, dst_w), out_j[:size].reshape(dst_h, dst_w)]
     )
+
+
+def make_device_var_image_fn(
+    ij_map: np.ndarray,
+    src_shape: tuple[int, int],
+    fill_value,
+    interp_method: str,
+):
+    """Compile a device Phase-B kernel: gather a batch of source bands
+    through a fixed fractional (i, j) map (the map is built once per
+    geometry by Phase A; every band/time-step then streams through this
+    jitted gather on the TPU — the multi-band fast path of rectify)."""
+    import jax
+    import jax.numpy as jnp
+
+    src_h, src_w = src_shape
+    ix = jnp.asarray(np.nan_to_num(ij_map[0], nan=0.0), dtype=jnp.float32)
+    iy = jnp.asarray(np.nan_to_num(ij_map[1], nan=0.0), dtype=jnp.float32)
+    valid = jnp.asarray(~np.isnan(ij_map[0]) & ~np.isnan(ij_map[1]))
+
+    @jax.jit
+    def kernel(src, ixd, iyd, validd):
+        from .reproject_ops import gather_interp
+
+        vals = gather_interp(
+            src, ixd, iyd, interp_method, fill_value, jnp, valid=validd
+        )
+        return vals
+
+    def fn(src):
+        return kernel(src, ix, iy, valid)
+
+    return fn
 
 
 def var_image_from_ij_map(
