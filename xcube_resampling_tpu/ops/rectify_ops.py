@@ -58,6 +58,24 @@ def inverse_ij_map(
     (rectify.py:424-576) under its sequential write order.
     """
     dst_h, dst_w = dst_shape
+
+    from ..native import inverse_ij_map_native
+
+    native = inverse_ij_map_native(
+        src_x,
+        src_y,
+        src_i_min,
+        src_j_min,
+        dst_shape,
+        dst_x_offset,
+        dst_y_offset,
+        dst_x_scale,
+        dst_y_scale,
+        uv_delta,
+    )
+    if native is not None:
+        return native
+
     out = np.full((2, dst_h, dst_w), np.nan, dtype=np.float64)
 
     src_h, src_w = src_x.shape
