@@ -63,12 +63,16 @@ def plan_srw(
     source_gm: GridMapping,
     target_gm: GridMapping,
     step: int = 16,
-    col_tile: int = 512,
-    row_tile: int = 512,
+    col_tile: int | None = None,
+    row_tile: int | None = None,
     max_taps: int = 48,
+    tap_budget: int = 12,
 ) -> SRWPlan | None:
     """Build the SRW plan, or return None when the mapping is unsuitable
-    (non-monotone rows, excessive rotation/shear for the tile size)."""
+    (non-monotone rows, excessive rotation/shear for any usable tile size).
+
+    When *col_tile*/*row_tile* are None they are auto-sized from the
+    coordinate field's slopes so each pass needs about *tap_budget* taps."""
     transformer = Transformer.from_crs(target_gm.crs, source_gm.crs)
 
     out_h, out_w = target_gm.height, target_gm.width
@@ -125,6 +129,17 @@ def plan_srw(
             slope = (fp_row[-1] - fp_row[-2]) / (xp_row[-1] - xp_row[-2])
             vals[right] = fp_row[-1] + (cs[right] - xp_row[-1]) * slope
         iystar[r] = vals
+
+    # auto tile sizing from the field slopes: within-tile position span
+    # ~ slope * tile, so tile ~ tap_budget / slope
+    if col_tile is None:
+        slope_v = float(
+            np.nanmax(np.abs(np.diff(iystar, axis=1))) / step
+        )
+        col_tile = _pick_tile(slope_v, tap_budget)
+    if row_tile is None:
+        slope_h = float(np.nanmax(np.abs(np.diff(ix64, axis=0))) / step)
+        row_tile = _pick_tile(slope_h, tap_budget)
 
     # per-(full out row, col tile) integer base + static tap count
     n_col_tiles = -(-src_w // col_tile)
@@ -194,6 +209,18 @@ def plan_srw(
         out_h=out_h,
         out_w=out_w,
     )
+
+
+def _pick_tile(slope: float, tap_budget: int) -> int:
+    """Largest power-of-two tile in [64, 1024] whose in-tile span stays
+    around *tap_budget* positions."""
+    if not np.isfinite(slope) or slope <= 0:
+        return 1024
+    tile = tap_budget / slope
+    for cand in (1024, 512, 256, 128, 64):
+        if tile >= cand:
+            return cand
+    return 64
 
 
 def make_srw_fn(plan: SRWPlan, interp_method: str = "bilinear", fill_value=np.nan):
