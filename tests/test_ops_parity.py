@@ -101,3 +101,38 @@ def test_inverse_ij_map_jax_parity_2x2():
         )
     )
     np.testing.assert_allclose(dev, ref, rtol=1e-12, equal_nan=True)
+
+
+def test_bbox_ops_parity():
+    from xcube_resampling_tpu.gridmapping.bboxes import compute_ij_bboxes
+    from xcube_resampling_tpu.ops import bbox_ops
+
+    lon = np.broadcast_to(np.linspace(10.0, 20.0, 11)[None, :], (11, 11)).copy()
+    lat = np.broadcast_to(np.linspace(50.0, 60.0, 11)[:, None], (11, 11)).copy()
+    boxes = np.array(
+        [
+            [10.0, 50.0, 20.0, 60.0],
+            [12.4, 51.6, 12.6, 51.7],
+            [30.0, 70.0, 31.0, 71.0],
+        ]
+    )
+    for border, ijb in [(0.0, 0), (0.5, 0), (2.0, 2)]:
+        ref = np.full((3, 4), -1, dtype=np.int64)
+        compute_ij_bboxes(lon, lat, boxes, border, ijb, ref)
+        dev = np.asarray(
+            bbox_ops.compute_ij_bboxes_jax(
+                jnp.asarray(lon), jnp.asarray(lat), boxes, border, ijb
+            )
+        )
+        np.testing.assert_array_equal(dev, ref)
+
+
+def test_xy_bbox_parity():
+    from xcube_resampling_tpu.gridmapping.bboxes import compute_xy_bbox
+    from xcube_resampling_tpu.ops import bbox_ops
+
+    xy = np.random.default_rng(0).random((2, 10, 12))
+    xy[0, 3, 4] = np.nan
+    ref = compute_xy_bbox(xy)
+    dev = tuple(float(v) for v in bbox_ops.compute_xy_bbox_jax(jnp.asarray(xy)))
+    np.testing.assert_allclose(dev, ref)

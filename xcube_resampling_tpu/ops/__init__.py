@@ -7,6 +7,13 @@ test — and jax.numpy for the jit-compiled XLA path used in production).
 Parity between the two paths is asserted by tests/test_ops_parity.py.
 """
 
-from . import coarsen_ops, gather, rectify_ops
+from . import bbox_ops, coarsen_ops, gather, rectify_ops, reproject_ops, srw
 
-__all__ = ["coarsen_ops", "gather", "rectify_ops"]
+__all__ = [
+    "bbox_ops",
+    "coarsen_ops",
+    "gather",
+    "rectify_ops",
+    "reproject_ops",
+    "srw",
+]
