@@ -118,6 +118,18 @@ def bench_reproject_utm(log):
             f"reproject 4326->UTM32N {interp} [{kind}]: "
             f"{mpix_s:.1f} Mpix/s ({dt*1e3:.2f} ms)"
         )
+
+    # multi-band batch amortizes the per-dispatch tunnel latency
+    fn = make_srw_reproject_fn(source_gm, target_gm, "bilinear", np.nan)
+    if fn is not None:
+        batch = jnp.stack([src, src * 2, src * 3, src * 4])
+        dt = _time_fn(fn, batch)
+        mpix_s = 4 * out_w * out_h / dt / 1e6
+        results["bilinear_batch4"] = mpix_s
+        log(
+            f"reproject 4326->UTM32N bilinear [srw, 4-band]: "
+            f"{mpix_s:.1f} Mpix/s ({dt*1e3:.2f} ms)"
+        )
     return results
 
 
@@ -168,8 +180,10 @@ def bench_affine(log):
 
     from xcube_resampling_tpu.ops import coarsen_ops, gather
 
+    # 16-band batch: a single 1 Mpix image is dominated by the remote
+    # dispatch latency (~50 ms); the batch amortizes it
     src = jnp.asarray(
-        np.random.default_rng(0).random((1024, 1024), dtype=np.float32)
+        np.random.default_rng(0).random((16, 1024, 1024), dtype=np.float32)
     )
 
     def downscale(a):
@@ -180,8 +194,8 @@ def bench_affine(log):
 
     fn = jax.jit(downscale)
     dt = _time_fn(fn, src)
-    mpix_s = 1024 * 1024 / dt / 1e6
-    log(f"affine 2x downscale 1024^2: {mpix_s:.1f} Mpix/s ({dt*1e3:.3f} ms)")
+    mpix_s = 16 * 1024 * 1024 / dt / 1e6
+    log(f"affine 2x downscale 16x1024^2: {mpix_s:.1f} Mpix/s ({dt*1e3:.3f} ms)")
     return mpix_s
 
 

@@ -64,7 +64,12 @@ def coarse_coord_field(
 
 def _interp_field(field, rows, cols, step, xp):
     """Bilinear interpolation of a coarse (ncj, nci) field at fractional
-    cell coordinates given by target pixel rows/cols (broadcastable)."""
+    cell coordinates given by target pixel rows/cols (broadcastable).
+
+    When rows is (H, 1) and cols is (1, W) — the common case — the gather
+    factorizes into a row-take followed by a lane-shared column-take, which
+    stream at memory bandwidth on TPU (a fused 2D gather would serialize).
+    """
     inv = 1.0 / step
     cj = rows * inv
     ci = cols * inv
@@ -74,10 +79,27 @@ def _interp_field(field, rows, cols, step, xp):
     fi = ci - i0
     j0 = xp.clip(j0, 0, field.shape[0] - 2)
     i0 = xp.clip(i0, 0, field.shape[1] - 2)
-    f00 = field[j0, i0]
-    f01 = field[j0, i0 + 1]
-    f10 = field[j0 + 1, i0]
-    f11 = field[j0 + 1, i0 + 1]
+
+    separable = (
+        getattr(rows, "ndim", 0) == 2
+        and getattr(cols, "ndim", 0) == 2
+        and rows.shape[1] == 1
+        and cols.shape[0] == 1
+    )
+    if separable and xp is not np:
+        jr = j0[:, 0]
+        ic = i0[0, :]
+        r0 = xp.take(field, jr, axis=0)
+        r1 = xp.take(field, jr + 1, axis=0)
+        f00 = xp.take(r0, ic, axis=1)
+        f01 = xp.take(r0, ic + 1, axis=1)
+        f10 = xp.take(r1, ic, axis=1)
+        f11 = xp.take(r1, ic + 1, axis=1)
+    else:
+        f00 = field[j0, i0]
+        f01 = field[j0, i0 + 1]
+        f10 = field[j0 + 1, i0]
+        f11 = field[j0 + 1, i0 + 1]
     f0 = f00 + fi * (f01 - f00)
     f1 = f10 + fi * (f11 - f10)
     return f0 + fj * (f1 - f0)
