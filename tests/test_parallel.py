@@ -106,3 +106,58 @@ def test_sharded_reproject_batched():
     assert out.shape[0] == 2
     valid = ~np.isnan(out[0])
     np.testing.assert_allclose(out[1][valid], 2 * out[0][valid], rtol=1e-6)
+
+
+def test_engine_device_path():
+    """reproject_dataset routes JAX-backed variables through the device
+    kernels (results match the host engine within the coordinate-field
+    approximation)."""
+    source_gm, data, target_gm = _source_case()
+    coords = dict(
+        x=np.asarray(source_gm.x_coords.data),
+        y=np.asarray(source_gm.y_coords.data),
+        spatial_ref=DataArray(np.array(0), dims=(), attrs=source_gm.crs.to_cf()),
+    )
+    batch = np.stack([data, data * 2])
+
+    ds_host = Dataset(
+        dict(band=DataArray(batch, dims=("band", "y", "x"))), coords=coords
+    )
+    ds_host.data_vars["band"].attrs["grid_mapping"] = "spatial_ref"
+    ref = reproject_dataset(ds_host, target_gm, interp_methods="bilinear")
+
+    ds_dev = Dataset(
+        dict(band=DataArray(jnp.asarray(batch), dims=("band", "y", "x"))),
+        coords=coords,
+    )
+    ds_dev.data_vars["band"].attrs["grid_mapping"] = "spatial_ref"
+    out = reproject_dataset(ds_dev, target_gm, interp_methods="bilinear")
+
+    a = out.band.values
+    b = ref.band.values
+    both = ~np.isnan(a) & ~np.isnan(b)
+    assert both.mean() > 0.5
+    np.testing.assert_allclose(a[both], b[both], atol=0.05)
+
+
+def test_rectify_engine_device_path():
+    """rectify_dataset gathers JAX-backed variables on device through the
+    Phase-A index map; values match the host gather."""
+    from tests.sampledata import create_2x2x2_dataset_with_irregular_coords
+    from xcube_resampling_tpu.rectify import rectify_dataset
+    from xcube_resampling_tpu.gridmapping import CRS_WGS84, GridMapping
+
+    source_ds = create_2x2x2_dataset_with_irregular_coords()
+    target_gm = GridMapping.regular(
+        size=(4, 4), xy_min=(-1, 49), xy_res=2, crs=CRS_WGS84
+    )
+    ref = rectify_dataset(source_ds, target_gm=target_gm, interp_methods=0)
+
+    dev_ds = source_ds.copy()
+    dev_ds["rad"] = DataArray(
+        jnp.asarray(source_ds.rad.values), dims=source_ds.rad.dims
+    )
+    out = rectify_dataset(dev_ds, target_gm=target_gm, interp_methods=0)
+    np.testing.assert_allclose(
+        out.rad.values, ref.rad.values, equal_nan=True
+    )

@@ -315,10 +315,27 @@ def _rectify_data_array(
     fill_value = _get_fill_value(fill_values, var_name, data_array)
     interp_method = _get_interp_method_str(interp_methods, var_name, data_array)
 
-    array_rectified = _compute_var_image(
-        np.asarray(data_array.data), target_source_ij, fill_value, interp_method,
-        target_gm,
-    )
+    if type(data_array.data).__module__.startswith("jax"):
+        # device fast path: JAX-backed variables gather through the
+        # fractional index map on device (Phase A stays a host planning
+        # step; its map is reused for every variable)
+        from .ops import rectify_ops
+
+        fn = rectify_ops.make_device_var_image_fn(
+            target_source_ij,
+            (data_array.shape[-2], data_array.shape[-1]),
+            fill_value,
+            interp_method,
+        )
+        array_rectified = fn(data_array.data)
+    else:
+        array_rectified = _compute_var_image(
+            np.asarray(data_array.data),
+            target_source_ij,
+            fill_value,
+            interp_method,
+            target_gm,
+        )
 
     tile_h, tile_w = target_gm.tile_height, target_gm.tile_width
     if data_array_expanded:

@@ -130,6 +130,10 @@ def reproject_dataset(
     return target_ds
 
 
+def _is_jax_array(data) -> bool:
+    return type(data).__module__.startswith("jax")
+
+
 def _reproject_data_array(
     data_array: DataArray,
     var_name: Hashable,
@@ -151,6 +155,18 @@ def _reproject_data_array(
 
     fill_value = _get_fill_value(fill_values, var_name, data_array)
     interp_method = _get_interp_method_str(interp_methods, var_name, data_array)
+
+    if _is_jax_array(data_array.data):
+        # device fast path: variables backed by JAX arrays stay on device
+        # and run through the fused kernels (SRW when the mapping allows,
+        # XLA gather otherwise); results use the approximate coordinate
+        # field (sub-1e-2 px), see ops/reproject_ops
+        out = _reproject_on_device(
+            data_array.data, source_gm, target_gm, interp_method, fill_value
+        )
+        return _finish_reprojected(
+            data_array, out, target_gm, data_array_expanded
+        )
 
     array = np.asarray(data_array.data)
     data_in = np.pad(array, pad_width, mode="constant", constant_values=fill_value)
@@ -174,6 +190,25 @@ def _reproject_data_array(
                 window, ix, iy, interp_method, array.dtype
             )
 
+    return _finish_reprojected(data_array, out, target_gm, data_array_expanded)
+
+
+def _reproject_on_device(data, source_gm, target_gm, interp_method, fill_value):
+    from .ops.reproject_ops import make_fused_reproject_fn
+    from .ops.srw import make_srw_reproject_fn
+
+    fn = make_srw_reproject_fn(
+        source_gm, target_gm, interp_method, fill_value
+    )
+    if fn is None:
+        fn = make_fused_reproject_fn(
+            source_gm, target_gm, interp_method, fill_value
+        )
+    return fn(data)
+
+
+def _finish_reprojected(data_array, out, target_gm, data_array_expanded):
+    tile_h, tile_w = target_gm.tile_height, target_gm.tile_width
     chunks = None
     if data_array.chunks is not None:
         chunks = tuple(c[0] for c in data_array.chunks[:-2]) + (tile_h, tile_w)
