@@ -71,3 +71,56 @@ def test_srw_plan_reports_taps():
 def test_srw_rejects_triangular():
     source_gm, target_gm, _ = _case()
     assert make_srw_reproject_fn(source_gm, target_gm, "triangular") is None
+
+
+def test_srw_aligned_matches_gather_kernel():
+    """Severe-warp case (continental 4326->3035): the aligned strategy must
+    agree with the gather kernel."""
+    from xcube_resampling_tpu.ops.srw import (
+        _coarse_geometry,
+        make_srw_aligned_fn,
+        plan_srw_aligned,
+    )
+
+    source_gm = GridMapping.regular(
+        size=(720, 360), xy_min=(-180.0, -90.0), xy_res=0.5, crs="epsg:4326"
+    )
+    target_gm = GridMapping.regular(
+        size=(256, 256),
+        xy_min=(3200000.0, 2000000.0),
+        xy_res=8000.0,
+        crs="epsg:3035",
+    )
+    fields = _coarse_geometry(source_gm, target_gm, 16)
+    plan = plan_srw_aligned(source_gm, target_gm, fields=fields, max_taps=24)
+    assert plan is not None, "aligned plan unexpectedly rejected"
+    assert plan.d_v <= 24 and plan.d_h <= 24
+
+    # smooth field: two-pass and tensor-product bilinear agree to O(h^2)
+    jj, ii = np.meshgrid(np.arange(360), np.arange(720), indexing="ij")
+    data = (jj / 360.0 + np.sin(ii / 40.0)).astype(np.float32)
+    srw = make_srw_aligned_fn(plan, "bilinear", np.nan)
+    gat = make_fused_reproject_fn(source_gm, target_gm, "bilinear", np.nan)
+    a = np.asarray(srw(jnp.asarray(data)))
+    b = np.asarray(gat(jnp.asarray(data)))
+    both = ~np.isnan(a) & ~np.isnan(b)
+    assert both.mean() > 0.5
+    np.testing.assert_allclose(a[both], b[both], atol=5e-3)
+    assert (np.isnan(a) != np.isnan(b)).mean() < 0.02
+
+
+def test_srw_chooser_handles_severe_warp():
+    source_gm = GridMapping.regular(
+        size=(720, 360), xy_min=(-180.0, -90.0), xy_res=0.5, crs="epsg:4326"
+    )
+    target_gm = GridMapping.regular(
+        size=(128, 128),
+        xy_min=(2500000.0, 1400000.0),
+        xy_res=30000.0,
+        crs="epsg:3035",
+    )
+    fn = make_srw_reproject_fn(source_gm, target_gm, "bilinear", np.nan)
+    assert fn is not None
+    data = np.random.default_rng(1).random((360, 720)).astype(np.float32)
+    out = np.asarray(fn(jnp.asarray(data)))
+    assert np.isfinite(out).mean() > 0.5

@@ -3,25 +3,30 @@
 XLA lowers general 2D gathers on TPU to near-serial loads (~20 Mpix/s
 measured on v5e) while contiguous row-takes, lane-shared column-takes,
 rolls, selects and FMAs all stream at memory bandwidth.  SRW reformulates
-smooth-warp resampling (reprojection, affine) to use only those primitives:
+smooth-warp resampling (reprojection, affine) to use only those primitives.
 
-* **Two-pass decomposition** (Catmull & Smith 1980 style): vertical pass
-  ``v[j, c] = src(iy*(j, c), c)`` onto the (output-row, source-column)
-  grid, then horizontal pass ``out[j, i] = v(j, ix(j, i))``.  The
-  reparametrized row field ``iy*(j, c) = iy(j, ix^{-1}(j, ·)(c))`` is
-  computed on the host from the float64 coarse coordinate field (the
-  inverse exists wherever ``ix`` is monotone along rows — true for regular
-  CRS pairs away from projection folds; the planner verifies this and
-  callers fall back to the XLA-gather kernel otherwise).
-* **Tile-banded taps**: within a column tile, ``iy*`` varies by only a few
-  pixels around a per-output-row integer base, so the vertical resample is
-  a short sum of hat-weighted whole-row takes; symmetrically the
-  horizontal resample is a short sum of lane-shared column takes.  Tap
-  counts are static, computed by the host planner from the actual field.
+**Two-pass decomposition** (Catmull & Smith 1980 style): vertical pass
+``v[j, c] = src(iy*(j, c), c)`` onto the (output-row, source-column) grid,
+then horizontal pass ``out[j, i] = v(j, ix(j, i))``.  The reparametrized
+row field ``iy*(j, c) = iy(j, ix^{-1}(j, .)(c))`` is computed on the host
+from the float64 coarse coordinate field (the inverse exists wherever
+``ix`` is monotone along rows — true for regular CRS pairs away from
+projection folds; the planner verifies this, callers fall back to the
+XLA-gather kernel otherwise).
 
-Cost: ~(D_v + D_h) full-array streams — tens of ms for a 4k x 4k target on
-v5e, ~50x faster than the XLA gather formulation.  Supports "bilinear" and
-"nearest" (triangular falls back to the gather kernel).
+Two execution strategies, chosen by the planner from the measured field:
+
+* **Tiled** (mild warp): within a column tile, ``iy*`` varies by only a
+  few pixels around a per-output-row integer base, so each pass is a short
+  sum of hat-weighted whole-row (resp. lane-shared column) takes.
+* **Aligned** (severe warp/rotation): a smooth per-column integer shift
+  vector is applied first via log2(range) roll+select passes, which
+  collapses the residual variation to ~1 pixel regardless of rotation;
+  the taps then use a per-row base with ~4 taps and no tiles.  This keeps
+  the global 4326 -> 3035 configuration on the fast path.
+
+Supports "bilinear" and "nearest" ("triangular" is inherently
+non-separable; callers fall back to the gather kernel).
 """
 
 from __future__ import annotations
@@ -34,45 +39,28 @@ from ..crs import Transformer
 from ..gridmapping import GridMapping
 
 
-@dataclass
-class SRWPlan:
-    """Host-side plan: coarse fields, integer bases and tap counts."""
+# ---------------------------------------------------------------------------
+# shared host-side geometry
+# ---------------------------------------------------------------------------
 
-    # vertical pass
-    iystar_c: np.ndarray  # coarse (nrj, ncc) float32: row position per (out row, src col)
-    step_vr: int
-    step_vc: int
-    base_v: np.ndarray  # (out_h, n_col_tiles) int32
-    d_v: int
-    col_tile: int
-    # horizontal pass
-    ix_c: np.ndarray  # coarse (nrj, nci) float32: col position per (out row, out col)
-    iy_c: np.ndarray  # coarse (nrj, nci) float32 (for the validity mask)
+
+@dataclass
+class _Fields:
+    """Float64 coarse coordinate fields shared by both planners."""
+
+    ix64: np.ndarray  # (ncj, nci): source col per (out row, out col)
+    iy64: np.ndarray  # (ncj, nci): source row per (out row, out col)
+    iystar64: np.ndarray  # (ncj, ncc): source row per (out row, src col)
     step: int
-    base_h: np.ndarray  # (n_row_tiles, out_w) int32
-    d_h: int
-    row_tile: int
-    # geometry
     src_h: int
     src_w: int
     out_h: int
     out_w: int
 
 
-def plan_srw(
-    source_gm: GridMapping,
-    target_gm: GridMapping,
-    step: int = 16,
-    col_tile: int | None = None,
-    row_tile: int | None = None,
-    max_taps: int = 48,
-    tap_budget: int = 12,
-) -> SRWPlan | None:
-    """Build the SRW plan, or return None when the mapping is unsuitable
-    (non-monotone rows, excessive rotation/shear for any usable tile size).
-
-    When *col_tile*/*row_tile* are None they are auto-sized from the
-    coordinate field's slopes so each pass needs about *tap_budget* taps."""
+def _coarse_geometry(
+    source_gm: GridMapping, target_gm: GridMapping, step: int
+) -> _Fields | None:
     transformer = Transformer.from_crs(target_gm.crs, source_gm.crs)
 
     out_h, out_w = target_gm.height, target_gm.width
@@ -100,7 +88,7 @@ def plan_srw(
     if not np.isfinite(ix64).all() or not np.isfinite(iy64).all():
         return None
 
-    # monotonicity of ix along output rows (required for reparametrization)
+    # monotone ix along output rows is required for the reparametrization
     dx_row = np.diff(ix64, axis=1)
     if np.all(dx_row > 0):
         ascending = True
@@ -109,17 +97,15 @@ def plan_srw(
     else:
         return None
 
-    # --- vertical pass field: iy*(out_row, src_col) via per-row inversion
-    step_vc = max(1, (src_w - 1) // max(1, (src_w - 1) // step))
     ncc = (src_w - 1) // step + 2
-    cs = (np.arange(ncc, dtype=np.float64) * step).clip(max=src_w - 1 + step)
+    cs = np.arange(ncc, dtype=np.float64) * step
     iystar = np.empty((ncj, ncc), dtype=np.float64)
     for r in range(ncj):
         xp_row = ix64[r] if ascending else ix64[r, ::-1]
         fp_row = iy64[r] if ascending else iy64[r, ::-1]
         vals = np.interp(cs, xp_row, fp_row)
-        # np.interp clamps flat outside [xp_row[0], xp_row[-1]]; linearly
-        # extrapolate instead so edge taps see consistent positions
+        # np.interp clamps flat outside the row's ix range; extrapolate
+        # linearly so edge taps see consistent positions
         left = cs < xp_row[0]
         if left.any():
             slope = (fp_row[1] - fp_row[0]) / (xp_row[1] - xp_row[0])
@@ -130,26 +116,96 @@ def plan_srw(
             vals[right] = fp_row[-1] + (cs[right] - xp_row[-1]) * slope
         iystar[r] = vals
 
-    # auto tile sizing from the field slopes: within-tile position span
-    # ~ slope * tile, so tile ~ tap_budget / slope
+    return _Fields(ix64, iy64, iystar, step, src_h, src_w, out_h, out_w)
+
+
+def _interp_rows(field: np.ndarray, n_rows: int, step: int) -> np.ndarray:
+    """Linearly interpolate a coarse field to every output row (matching
+    the device's row interpolation)."""
+    rows_full = np.arange(n_rows, dtype=np.float64) / step
+    jr0 = np.clip(rows_full.astype(np.int64), 0, field.shape[0] - 2)
+    frr = rows_full - jr0
+    return field[jr0, :] * (1 - frr[:, None]) + field[jr0 + 1, :] * frr[:, None]
+
+
+def _interp_cols(field: np.ndarray, n_cols: int, step: int) -> np.ndarray:
+    cols_full = np.arange(n_cols, dtype=np.float64) / step
+    ic0 = np.clip(cols_full.astype(np.int64), 0, field.shape[1] - 2)
+    fcc = cols_full - ic0
+    return field[:, ic0] * (1 - fcc[None, :]) + field[:, ic0 + 1] * fcc[None, :]
+
+
+# ---------------------------------------------------------------------------
+# tiled plan (mild warp)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SRWPlan:
+    """Tiled-strategy plan: coarse fields, per-tile bases, tap counts."""
+
+    iystar_c: np.ndarray
+    step_vr: int
+    step_vc: int
+    base_v: np.ndarray  # (out_h, n_col_tiles) int32
+    d_v: int
+    col_tile: int
+    ix_c: np.ndarray
+    iy_c: np.ndarray
+    step: int
+    base_h: np.ndarray  # (n_row_tiles, out_w) int32
+    d_h: int
+    row_tile: int
+    src_h: int
+    src_w: int
+    out_h: int
+    out_w: int
+
+
+def _pick_tile(slope: float, tap_budget: int) -> int:
+    """Largest power-of-two tile in [64, 1024] whose in-tile span stays
+    around *tap_budget* positions."""
+    if not np.isfinite(slope) or slope <= 0:
+        return 1024
+    tile = tap_budget / slope
+    for cand in (1024, 512, 256, 128, 64):
+        if tile >= cand:
+            return cand
+    return 64
+
+
+def plan_srw(
+    source_gm: GridMapping,
+    target_gm: GridMapping,
+    step: int = 16,
+    col_tile: int | None = None,
+    row_tile: int | None = None,
+    max_taps: int = 48,
+    tap_budget: int = 12,
+    fields: _Fields | None = None,
+) -> SRWPlan | None:
+    """Build the tiled plan, or None when the mapping is unsuitable."""
+    if fields is None:
+        fields = _coarse_geometry(source_gm, target_gm, step)
+    if fields is None:
+        return None
+    ix64, iy64, iystar = fields.ix64, fields.iy64, fields.iystar64
+    src_h, src_w = fields.src_h, fields.src_w
+    out_h, out_w = fields.out_h, fields.out_w
+    step = fields.step
+    ncj = ix64.shape[0]
+
     if col_tile is None:
-        slope_v = float(
-            np.nanmax(np.abs(np.diff(iystar, axis=1))) / step
-        )
+        slope_v = float(np.nanmax(np.abs(np.diff(iystar, axis=1))) / step)
         col_tile = _pick_tile(slope_v, tap_budget)
     if row_tile is None:
         slope_h = float(np.nanmax(np.abs(np.diff(ix64, axis=0))) / step)
         row_tile = _pick_tile(slope_h, tap_budget)
 
-    # per-(full out row, col tile) integer base + static tap count
+    # vertical: per-(out row, col tile) base
+    ncc = iystar.shape[1]
     n_col_tiles = -(-src_w // col_tile)
-    rows_full = np.arange(out_h, dtype=np.float64) / step
-    jr0 = np.clip(rows_full.astype(np.int64), 0, ncj - 2)
-    frr = rows_full - jr0
-    # interpolate iystar to every output row (linear in rows, like device)
-    iystar_rows = (
-        iystar[jr0, :] * (1 - frr[:, None]) + iystar[jr0 + 1, :] * frr[:, None]
-    )  # (out_h, ncc)
+    iystar_rows = _interp_rows(iystar, out_h, step)
     base_v = np.zeros((out_h, n_col_tiles), dtype=np.int32)
     span_max = 0.0
     for t in range(n_col_tiles):
@@ -159,21 +215,15 @@ def plan_srw(
         k1 = min(ncc, -(-c1 // step) + 1)
         seg = iystar_rows[:, k0:k1]
         m = seg.min(axis=1)
-        mx = seg.max(axis=1)
         base_v[:, t] = np.floor(m).astype(np.int32) - 1
-        span_max = max(span_max, float((mx - m).max()))
+        span_max = max(span_max, float((seg.max(axis=1) - m).max()))
     d_v = int(np.ceil(span_max)) + 4
     if d_v > max_taps:
         return None
 
-    # --- horizontal pass: per-(row tile, out col) integer base
+    # horizontal: per-(row tile, out col) base
     n_row_tiles = -(-out_h // row_tile)
-    cols_full = np.arange(out_w, dtype=np.float64) / step
-    ic0 = np.clip(cols_full.astype(np.int64), 0, nci - 2)
-    fcc = cols_full - ic0
-    ix_cols = (
-        ix64[:, ic0] * (1 - fcc[None, :]) + ix64[:, ic0 + 1] * fcc[None, :]
-    )  # (ncj, out_w)
+    ix_cols = _interp_cols(ix64, out_w, step)
     base_h = np.zeros((n_row_tiles, out_w), dtype=np.int32)
     span_max_h = 0.0
     sample_rows = np.arange(ncj) * step
@@ -184,9 +234,8 @@ def plan_srw(
         k1 = min(ncj, int(np.searchsorted(sample_rows, r1)) + 2)
         seg = ix_cols[k0:k1, :]
         m = seg.min(axis=0)
-        mx = seg.max(axis=0)
         base_h[t, :] = np.floor(m).astype(np.int32) - 1
-        span_max_h = max(span_max_h, float((mx - m).max()))
+        span_max_h = max(span_max_h, float((seg.max(axis=0) - m).max()))
     d_h = int(np.ceil(span_max_h)) + 4
     if d_h > max_taps:
         return None
@@ -211,20 +260,8 @@ def plan_srw(
     )
 
 
-def _pick_tile(slope: float, tap_budget: int) -> int:
-    """Largest power-of-two tile in [64, 1024] whose in-tile span stays
-    around *tap_budget* positions."""
-    if not np.isfinite(slope) or slope <= 0:
-        return 1024
-    tile = tap_budget / slope
-    for cand in (1024, 512, 256, 128, 64):
-        if tile >= cand:
-            return cand
-    return 64
-
-
 def make_srw_fn(plan: SRWPlan, interp_method: str = "bilinear", fill_value=np.nan):
-    """Compile the SRW kernel: fn(src[..., src_h, src_w]) -> (..., out_h, out_w)."""
+    """Compile the tiled SRW kernel."""
     import jax
     import jax.numpy as jnp
 
@@ -250,7 +287,7 @@ def make_srw_fn(plan: SRWPlan, interp_method: str = "bilinear", fill_value=np.na
 
     @jax.jit
     def kernel(src, iystar_f, ix_f, iy_f, bv, bh):
-        # ---------- vertical pass: (out_h, src_w) ----------
+        # vertical pass: (out_h, src_w)
         rows = jnp.arange(p.out_h, dtype=jnp.float32)[:, None]
         v_tiles = []
         for t in range(n_col_tiles):
@@ -260,17 +297,15 @@ def make_srw_fn(plan: SRWPlan, interp_method: str = "bilinear", fill_value=np.na
             pos = _interp_field(iystar_f, rows, cols_src, p.step, jnp)
             base_t = bv[:, t]
             tile_src = src[..., c0:c1]
-            acc = jnp.zeros(
-                src.shape[:-2] + (p.out_h, c1 - c0), dtype=jnp.float32
-            )
+            acc = jnp.zeros(src.shape[:-2] + (p.out_h, c1 - c0), dtype=jnp.float32)
             for d in range(p.d_v):
                 idx = jnp.clip(base_t + d, 0, p.src_h - 1)
                 w = weight(pos, (base_t + d)[:, None].astype(jnp.float32))
                 acc = acc + w * jnp.take(tile_src, idx, axis=-2)
             v_tiles.append(acc)
-        v = jnp.concatenate(v_tiles, axis=-1)  # (..., out_h, src_w)
+        v = jnp.concatenate(v_tiles, axis=-1)
 
-        # ---------- horizontal pass: (out_h, out_w) ----------
+        # horizontal pass: (out_h, out_w)
         cols = jnp.arange(p.out_w, dtype=jnp.float32)[None, :]
         out_tiles = []
         for t in range(n_row_tiles):
@@ -280,9 +315,7 @@ def make_srw_fn(plan: SRWPlan, interp_method: str = "bilinear", fill_value=np.na
             pos = _interp_field(ix_f, rows_t, cols, p.step, jnp)
             base_t = bh[t]
             tile_v = v[..., r0:r1, :]
-            acc = jnp.zeros(
-                src.shape[:-2] + (r1 - r0, p.out_w), dtype=jnp.float32
-            )
+            acc = jnp.zeros(src.shape[:-2] + (r1 - r0, p.out_w), dtype=jnp.float32)
             for d in range(p.d_h):
                 idx = jnp.clip(base_t + d, 0, p.src_w - 1)
                 w = weight(pos, (base_t + d)[None, :].astype(jnp.float32))
@@ -290,18 +323,7 @@ def make_srw_fn(plan: SRWPlan, interp_method: str = "bilinear", fill_value=np.na
             out_tiles.append(acc)
         out = jnp.concatenate(out_tiles, axis=-2)
 
-        # ---------- validity mask + fill ----------
-        rows_all = jnp.arange(p.out_h, dtype=jnp.float32)[:, None]
-        ix_full = _interp_field(ix_f, rows_all, cols, p.step, jnp)
-        iy_full = _interp_field(iy_f, rows_all, cols, p.step, jnp)
-        valid = (
-            (ix_full > -0.5)
-            & (ix_full < p.src_w - 0.5)
-            & (iy_full > -0.5)
-            & (iy_full < p.src_h - 0.5)
-        )
-        fill = jnp.asarray(fill_value, dtype=out.dtype)
-        return jnp.where(valid, out, fill)
+        return _mask_fill(out, ix_f, iy_f, p, fill_value, jnp)
 
     def fn(src):
         return kernel(src, iystar_c, ix_c, iy_c, base_v, base_h)
@@ -309,17 +331,249 @@ def make_srw_fn(plan: SRWPlan, interp_method: str = "bilinear", fill_value=np.na
     return fn
 
 
+def _mask_fill(out, ix_f, iy_f, p, fill_value, jnp):
+    from .reproject_ops import _interp_field
+
+    rows_all = jnp.arange(p.out_h, dtype=jnp.float32)[:, None]
+    cols = jnp.arange(p.out_w, dtype=jnp.float32)[None, :]
+    ix_full = _interp_field(ix_f, rows_all, cols, p.step, jnp)
+    iy_full = _interp_field(iy_f, rows_all, cols, p.step, jnp)
+    valid = (
+        (ix_full > -0.5)
+        & (ix_full < p.src_w - 0.5)
+        & (iy_full > -0.5)
+        & (iy_full < p.src_h - 0.5)
+    )
+    fill = jnp.asarray(fill_value, dtype=out.dtype)
+    return jnp.where(valid, out, fill)
+
+
+# ---------------------------------------------------------------------------
+# aligned plan (severe warp)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SRWAlignedPlan:
+    """Aligned-strategy plan: integer shift vectors + per-row/col bases."""
+
+    iystar_c: np.ndarray
+    ix_c: np.ndarray
+    iy_c: np.ndarray
+    step: int
+    s_v: np.ndarray  # (src_w,) int32 per-source-column upward shift, >= 0
+    bits_v: int
+    base_v: np.ndarray  # (out_h,) int32 in shifted row space
+    d_v: int
+    s_h: np.ndarray  # (out_h,) int32 per-output-row left shift, >= 0
+    bits_h: int
+    base_h: np.ndarray  # (out_w,) int32 in shifted column space
+    d_h: int
+    src_h: int
+    src_w: int
+    out_h: int
+    out_w: int
+
+
+def plan_srw_aligned(
+    source_gm: GridMapping,
+    target_gm: GridMapping,
+    step: int = 16,
+    max_taps: int = 16,
+    fields: _Fields | None = None,
+) -> SRWAlignedPlan | None:
+    if fields is None:
+        fields = _coarse_geometry(source_gm, target_gm, step)
+    if fields is None:
+        return None
+    ix64, iy64, iystar = fields.ix64, fields.iy64, fields.iystar64
+    src_h, src_w = fields.src_h, fields.src_w
+    out_h, out_w = fields.out_h, fields.out_w
+    step = fields.step
+
+    # vertical alignment: shift each source column by the mid-row value of
+    # iy*; the residual then varies along columns only through curvature
+    mid = iystar.shape[0] // 2
+    cs = np.arange(iystar.shape[1], dtype=np.float64) * step
+    s_v_f = np.interp(np.arange(src_w, dtype=np.float64), cs, iystar[mid])
+    s_v0 = np.round(s_v_f).astype(np.int64)
+    s_v = s_v0 - s_v0.min()
+    bits_v = max(1, int(s_v.max()).bit_length())
+
+    # residual position field in shifted space, per output row
+    s_v0_coarse = s_v0[np.clip(cs.astype(np.int64), 0, src_w - 1)]
+    res_v = iystar - s_v0_coarse[None, :] + s_v0.min()  # == iystar - s_v(c)
+    res_rows = _interp_rows(res_v, out_h, step)
+    m = np.nanmin(res_rows, axis=1)
+    base_v = np.floor(m).astype(np.int32) - 1
+    d_v = int(np.ceil(np.nanmax(np.nanmax(res_rows, axis=1) - m))) + 4
+    if d_v > max_taps:
+        return None
+
+    # horizontal alignment: shift each output row by the mid-column ix
+    midc = ix64.shape[1] // 2
+    rows_grid = np.arange(ix64.shape[0], dtype=np.float64) * step
+    s_h_f = np.interp(np.arange(out_h, dtype=np.float64), rows_grid, ix64[:, midc])
+    s_h0 = np.round(s_h_f).astype(np.int64)
+    s_h = s_h0 - s_h0.min()
+    bits_h = max(1, int(s_h.max()).bit_length())
+
+    s_h0_coarse = s_h0[
+        np.clip((rows_grid).astype(np.int64), 0, out_h - 1)
+    ]
+    res_h = ix64 - s_h0_coarse[:, None] + s_h0.min()
+    res_cols = _interp_cols(res_h, out_w, step)
+    mh = np.nanmin(res_cols, axis=0)
+    base_h = np.floor(mh).astype(np.int32) - 1
+    d_h = int(np.ceil(np.nanmax(np.nanmax(res_cols, axis=0) - mh))) + 4
+    if d_h > max_taps:
+        return None
+
+    return SRWAlignedPlan(
+        iystar_c=iystar.astype(np.float32),
+        ix_c=ix64.astype(np.float32),
+        iy_c=iy64.astype(np.float32),
+        step=step,
+        s_v=s_v.astype(np.int32),
+        bits_v=bits_v,
+        base_v=base_v,
+        d_v=d_v,
+        s_h=s_h.astype(np.int32),
+        bits_h=bits_h,
+        base_h=base_h,
+        d_h=d_h,
+        src_h=src_h,
+        src_w=src_w,
+        out_h=out_h,
+        out_w=out_w,
+    )
+
+
+def make_srw_aligned_fn(
+    plan: SRWAlignedPlan, interp_method: str = "bilinear", fill_value=np.nan
+):
+    """Compile the aligned SRW kernel (shift passes + per-row-base taps)."""
+    import jax
+    import jax.numpy as jnp
+
+    if interp_method not in ("bilinear", "nearest"):
+        raise ValueError("SRW supports 'bilinear' and 'nearest' only")
+
+    p = plan
+    iystar_c = jnp.asarray(p.iystar_c)
+    ix_c = jnp.asarray(p.ix_c)
+    iy_c = jnp.asarray(p.iy_c)
+    s_v = jnp.asarray(p.s_v)
+    s_h = jnp.asarray(p.s_h)
+    base_v = jnp.asarray(p.base_v)
+    base_h = jnp.asarray(p.base_h)
+    # the offset removed from s_v/s_h at plan time (min) is already folded
+    # into the residual bases
+
+    from .reproject_ops import _interp_field
+
+    def weight(pos, k):
+        if interp_method == "bilinear":
+            return jnp.maximum(0.0, 1.0 - jnp.abs(pos - k))
+        return (jnp.round(pos) == k).astype(jnp.float32)
+
+    @jax.jit
+    def kernel(src, iystar_f, ix_f, iy_f, sv, sh, bv, bh):
+        # --- vertical: align columns upward by s_v via log2 shift passes
+        src2 = src.astype(jnp.float32)
+        for b in range(p.bits_v):
+            k = 1 << b
+            rolled = jnp.concatenate(
+                [
+                    src2[..., k:, :],
+                    jnp.repeat(src2[..., -1:, :], k, axis=-2),
+                ],
+                axis=-2,
+            )
+            mask = ((sv >> b) & 1).astype(bool)[None, :]
+            src2 = jnp.where(mask, rolled, src2)
+
+        rows = jnp.arange(p.out_h, dtype=jnp.float32)[:, None]
+        cols_src = jnp.arange(p.src_w, dtype=jnp.float32)[None, :]
+        pos = (
+            _interp_field(iystar_f, rows, cols_src, p.step, jnp)
+            - sv[None, :].astype(jnp.float32)
+        )
+        acc = jnp.zeros(src.shape[:-2] + (p.out_h, p.src_w), dtype=jnp.float32)
+        for d in range(p.d_v):
+            idx = jnp.clip(bv + d, 0, p.src_h - 1)
+            w = weight(pos, (bv + d)[:, None].astype(jnp.float32))
+            acc = acc + w * jnp.take(src2, idx, axis=-2)
+        v = acc
+
+        # --- horizontal: align rows leftward by s_h
+        v2 = v
+        for b in range(p.bits_h):
+            k = 1 << b
+            rolled = jnp.concatenate(
+                [
+                    v2[..., :, k:],
+                    jnp.repeat(v2[..., :, -1:], k, axis=-1),
+                ],
+                axis=-1,
+            )
+            mask = ((sh >> b) & 1).astype(bool)[:, None]
+            v2 = jnp.where(mask, rolled, v2)
+
+        cols = jnp.arange(p.out_w, dtype=jnp.float32)[None, :]
+        posh = (
+            _interp_field(ix_f, rows, cols, p.step, jnp)
+            - sh[:, None].astype(jnp.float32)
+        )
+        out = jnp.zeros(src.shape[:-2] + (p.out_h, p.out_w), dtype=jnp.float32)
+        for d in range(p.d_h):
+            idx = jnp.clip(bh + d, 0, p.src_w - 1)
+            w = weight(posh, (bh + d)[None, :].astype(jnp.float32))
+            out = out + w * jnp.take(v2, idx, axis=-1)
+
+        return _mask_fill(out, ix_f, iy_f, p, fill_value, jnp)
+
+    def fn(src):
+        return kernel(src, iystar_c, ix_c, iy_c, s_v, s_h, base_v, base_h)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# strategy chooser
+# ---------------------------------------------------------------------------
+
+
 def make_srw_reproject_fn(
     source_gm: GridMapping,
     target_gm: GridMapping,
     interp_method: str = "bilinear",
     fill_value=np.nan,
+    step: int = 16,
     **plan_kwargs,
 ):
-    """Plan + compile, or None when the mapping is unsuitable for SRW."""
+    """Plan + compile the best SRW strategy, or None when unsuitable
+    (callers then use the XLA-gather kernel)."""
     if interp_method not in ("bilinear", "nearest"):
         return None
-    plan = plan_srw(source_gm, target_gm, **plan_kwargs)
-    if plan is None:
+    fields = _coarse_geometry(source_gm, target_gm, step)
+    if fields is None:
         return None
-    return make_srw_fn(plan, interp_method, fill_value)
+    tiled = plan_srw(source_gm, target_gm, step=step, fields=fields, **plan_kwargs)
+    aligned = plan_srw_aligned(
+        source_gm, target_gm, step=step, fields=fields, max_taps=24
+    )
+    # cost model: one full-array stream per tap / per shift pass
+    cost_tiled = (tiled.d_v + tiled.d_h) if tiled is not None else None
+    cost_aligned = (
+        aligned.bits_v + aligned.bits_h + aligned.d_v + aligned.d_h
+        if aligned is not None
+        else None
+    )
+    if cost_tiled is not None and (
+        cost_aligned is None or cost_tiled <= cost_aligned
+    ):
+        return make_srw_fn(tiled, interp_method, fill_value)
+    if aligned is not None:
+        return make_srw_aligned_fn(aligned, interp_method, fill_value)
+    return None
