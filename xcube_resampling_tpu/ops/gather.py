@@ -88,6 +88,17 @@ def grid_gather_separable(array, yy, xx, order: int, fill_value, xp=None):
         )
         iy = xp.clip(xp.floor(yy + 0.5).astype(xp.int32), 0, src_h - 1)
         ix = xp.clip(xp.floor(xx + 0.5).astype(xp.int32), 0, src_w - 1)
+        if (
+            getattr(yy, "ndim", 0) == 2
+            and getattr(xx, "ndim", 0) == 2
+            and yy.shape[1] == 1
+            and xx.shape[0] == 1
+            and xp is not np
+        ):
+            vals = xp.take(
+                xp.take(array, iy[:, 0], axis=-2), ix[0, :], axis=-1
+            )
+            return _where_fill(xp, valid, vals, fill_value, array.dtype)
         iy_b, ix_b, valid_b = xp.broadcast_arrays(iy, ix, valid)
         vals = array[..., iy_b, ix_b]
         return _where_fill(xp, valid_b, vals, fill_value, array.dtype)
@@ -104,6 +115,24 @@ def grid_gather_separable(array, yy, xx, order: int, fill_value, xp=None):
     x1 = xp.clip(x0 + 1, 0, src_w - 1)
 
     out_dtype = _float_dtype(array.dtype)
+
+    separable = (
+        getattr(yy, "ndim", 0) == 2
+        and getattr(xx, "ndim", 0) == 2
+        and yy.shape[1] == 1
+        and xx.shape[0] == 1
+    )
+    if separable and xp is not np:
+        # axis-aligned sampling (affine upscale): factorize the four-tap
+        # gather into row-takes + lane-shared column-takes, which stream at
+        # memory bandwidth on TPU (a 2D gather would serialize)
+        r0 = xp.take(array, y0[:, 0], axis=-2).astype(out_dtype)
+        r1 = xp.take(array, y1[:, 0], axis=-2).astype(out_dtype)
+        ry0 = r0 * (1 - fy) + r1 * fy
+        c0 = xp.take(ry0, x0[0, :], axis=-1)
+        c1 = xp.take(ry0, x1[0, :], axis=-1)
+        result = c0 * (1 - fx) + c1 * fx
+        return _where_fill(xp, valid, result, fill_value, out_dtype)
 
     y0b, y1b, x0b, x1b, fyb, fxb, validb = xp.broadcast_arrays(
         y0, y1, x0, x1, fy, fx, valid
