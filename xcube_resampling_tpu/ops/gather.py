@@ -18,12 +18,6 @@ import functools
 import numpy as np
 
 
-def _is_jax(array) -> bool:
-    return type(array).__module__.startswith("jax") or "Array" in type(
-        array
-    ).__name__ and not isinstance(array, np.ndarray)
-
-
 def _get_xp(array):
     if isinstance(array, np.ndarray):
         return np

@@ -222,20 +222,6 @@ def _get_agg_method(
     return AGG_METHODS[agg_method]
 
 
-def _get_agg_method_name(
-    agg_methods: AggMethods | None,
-    key: Hashable,
-    var: DataArray,
-) -> str:
-    """Resolve the aggregation method *name* (used by the device-kernel
-    path, which dispatches on names rather than host callables)."""
-    fn = _get_agg_method(agg_methods, key, var)
-    for name, candidate in AGG_METHODS.items():
-        if candidate is fn:
-            return name
-    return "mean"
-
-
 def _get_recover_nan(
     recover_nans: RecoverNans | None,
     key: Hashable,

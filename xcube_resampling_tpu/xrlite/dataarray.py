@@ -410,10 +410,7 @@ def _broadcast_pair(a: DataArray, b: DataArray):
 
     def expand(da: DataArray):
         arr = np.asarray(da.data)
-        # insert missing dims
         idx = [dims.index(d) for d in da.dims]
-        full = np.empty(0)
-        # move existing axes into place via reshape+broadcast
         reshape = [1] * len(dims)
         for ax, d in enumerate(da.dims):
             reshape[dims.index(d)] = da.shape[ax]

@@ -63,11 +63,6 @@ def _as_store(store) -> MutableMapping:
     raise TypeError(f"unsupported store type {type(store)}")
 
 
-_DTYPE_TO_ZARR = {
-    "<f8": "<f8",
-}
-
-
 def _dtype_to_str(dtype: np.dtype) -> str:
     dtype = np.dtype(dtype)
     if dtype.kind == "M":  # datetime64 stored as int64
