@@ -1,0 +1,155 @@
+"""Pallas TPU kernels for the hottest resampling inner loops.
+
+The XLA formulation of the SRW vertical pass (:mod:`.srw`) re-reads the
+source array once per tap (d_v full HBM streams).  The kernel below
+DMAs each output-row-block's source window into VMEM once and performs all
+taps from on-chip memory: per output row, the needed source rows are a
+*contiguous* window (``base[j] .. base[j]+D``), so the tap reduction is a
+scalar-started dynamic slice (``pl.ds``) of the VMEM scratch — no hardware
+gather involved, and the HBM traffic drops from d_v streams to ~1.
+
+Pattern per the TPU Pallas playbook: scalar-prefetched per-block window
+offsets, ``pltpu.ANY``-space source with an explicit
+``pltpu.make_async_copy`` windowed DMA, VMEM scratch + DMA semaphore.
+Validated in interpreter mode on CPU against the numpy twin; callers fall
+back to the XLA formulation when Pallas is unavailable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def srw_vertical_pallas(
+    src,
+    pos,
+    base,
+    d_taps: int,
+    row_block: int = 256,
+    interpret: bool = False,
+):
+    """Vertical multi-tap resample:
+    ``out[j, c] = sum_d hat(pos[j, c] - (base[j] + d)) * src[base[j] + d, c]``
+    with clamp-to-edge source reads.
+
+    Args:
+        src: (src_h, W) float32 source.
+        pos: (out_h, W) float32 row-coordinate positions.
+        base: (out_h,) int32 per-output-row first tap (may be out of range;
+            reads clamp to the source edge, weights keep true positions).
+        d_taps: static tap count.
+        row_block: output rows per grid step.
+        interpret: run in interpreter mode (CPU testing).
+
+    Returns:
+        (out_h, W) float32.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    src = jnp.asarray(src, jnp.float32)
+    pos = jnp.asarray(pos, jnp.float32)
+    base = jnp.asarray(base, jnp.int32)
+    src_h, w = src.shape
+    out_h = pos.shape[0]
+    n_blocks = -(-out_h // row_block)
+    pad_rows = n_blocks * row_block - out_h
+    if pad_rows:
+        pos = jnp.pad(pos, ((0, pad_rows), (0, 0)))
+        base = jnp.pad(base, (0, pad_rows))
+
+    # edge-pad the source so base+d always reads a real row (clamp-to-edge
+    # values, true-position weights — identical to the XLA path)
+    m_top = int(max(0, -int(jnp.min(base))))
+    m_bot = int(max(0, int(jnp.max(base)) + d_taps - src_h))
+    src_pad = jnp.concatenate(
+        [
+            jnp.repeat(src[:1], m_top, axis=0),
+            src,
+            jnp.repeat(src[-1:], m_bot, axis=0),
+        ],
+        axis=0,
+    )
+    base_sh = base + m_top  # >= 0, base_sh + d_taps <= padded height
+
+    base_blocks = base_sh.reshape(n_blocks, row_block)
+    win_start = jnp.min(base_blocks, axis=1)
+    span = int(jnp.max(jnp.max(base_blocks, axis=1) - win_start))
+    win_h = -(-(span + d_taps) // 8) * 8 + 8
+    # bottom padding so every window [win_start, win_start+win_h) is in range
+    extra = int(
+        max(0, int(jnp.max(win_start)) + win_h - src_pad.shape[0])
+    )
+    if extra:
+        src_pad = jnp.concatenate(
+            [src_pad, jnp.repeat(src_pad[-1:], extra, axis=0)], axis=0
+        )
+
+    def kernel(win_start_ref, base_ref, src_ref, pos_ref, out_ref, win, sem):
+        blk = pl.program_id(0)
+        w0 = win_start_ref[blk]
+        dma = pltpu.make_async_copy(
+            src_ref.at[pl.ds(w0, win_h), :], win, sem
+        )
+        dma.start()
+        dma.wait()
+
+        def row_body(r, _):
+            b = base_ref[blk * row_block + r]
+            start = b - w0
+            window = win[pl.ds(start, d_taps), :]  # (d_taps, W) in VMEM
+            p = pos_ref[r, :]
+            k0 = (b - m_top).astype(jnp.float32)
+            acc = jnp.zeros((w,), jnp.float32)
+            for d in range(d_taps):
+                wgt = jnp.maximum(0.0, 1.0 - jnp.abs(p - (k0 + d)))
+                acc = acc + wgt * window[d, :]
+            out_ref[r, :] = acc
+            return 0
+
+        jax.lax.fori_loop(0, row_block, row_body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # win_start, base
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # src stays off-chip
+            pl.BlockSpec(
+                (row_block, w), lambda blk, ws, ba: (blk, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (row_block, w), lambda blk, ws, ba: (blk, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((win_h, w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * row_block, w), jnp.float32),
+        interpret=interpret,
+    )(win_start, base_sh, src_pad, pos)
+    return out[:out_h]
+
+
+def srw_vertical_reference(src, pos, base, d_taps: int):
+    """Numpy semantics twin of :func:`srw_vertical_pallas`."""
+    src = np.asarray(src)
+    pos = np.asarray(pos)
+    base = np.asarray(base)
+    src_h, w = src.shape
+    out = np.zeros((pos.shape[0], w), np.float32)
+    for d in range(d_taps):
+        idx = np.clip(base + d, 0, src_h - 1)
+        k = (base + d).astype(np.float32)
+        wgt = np.maximum(0.0, 1.0 - np.abs(pos - k[:, None]))
+        out += wgt * src[idx, :]
+    return out
