@@ -26,7 +26,7 @@ def test_srw_vertical_pallas_matches_reference(d_taps):
     got = np.asarray(
         srw_vertical_pallas(src, pos, base, d_taps, row_block=32, interpret=True)
     )
-    np.testing.assert_allclose(got, ref, rtol=1e-6)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
 def test_srw_vertical_pallas_ragged_rows():
@@ -39,4 +39,4 @@ def test_srw_vertical_pallas_ragged_rows():
     got = np.asarray(
         srw_vertical_pallas(src, pos, base, 3, row_block=16, interpret=True)
     )
-    np.testing.assert_allclose(got, ref, rtol=1e-6)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
