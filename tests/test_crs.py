@@ -1,0 +1,338 @@
+"""Dedicated CRS-engine tests: independent analytic / numerical checks of the
+native projection math (no pyproj available in this environment).
+
+These complement the golden-array suites: each projection family is verified
+against closed forms (Mercator), independent numerical integration (meridian
+arc for transverse Mercator), and differential-geometry invariants (Jacobian
+determinant for the equal-area families, conformality for the conformal
+ones) — properties no shared implementation bug can satisfy by accident.
+
+Reference parity surface: xcube-resampling uses pyproj.CRS /
+pyproj.Transformer (reference gridmapping/base.py, utils.py); the registry
+and CF round-trips below pin the same observable behavior.
+"""
+
+import numpy as np
+import pytest
+from scipy.integrate import quad
+
+from xcube_resampling_tpu.crs import CRS, Transformer
+from xcube_resampling_tpu.crs.core import CRSError
+from xcube_resampling_tpu.crs.datum import WGS84, GRS80
+
+rng = np.random.default_rng(42)
+
+
+def _scatter(lon_lim, lat_lim, n=200):
+    lon = rng.uniform(*lon_lim, n)
+    lat = rng.uniform(*lat_lim, n)
+    return lon, lat
+
+
+def _meridian_arc(lat_deg, ell):
+    """Meridian arc length from the equator by direct numerical integration
+    of a(1-e^2)(1-e^2 sin^2 phi)^(-3/2) — fully independent of the Krüger
+    series used by the projection code."""
+    e2 = ell.e2
+
+    def integrand(p):
+        return (1 - e2 * np.sin(p) ** 2) ** -1.5
+
+    val, err = quad(integrand, 0.0, np.radians(lat_deg), epsabs=1e-13)
+    assert err < 1e-6
+    return ell.a * (1 - e2) * val
+
+
+def _jacobian(fwd, lon, lat, h=1e-6):
+    """Numerical Jacobian d(x,y)/d(lon_rad,lat_rad) at degree inputs."""
+    hd = np.degrees(h)
+    x_e, y_e = fwd(lon + hd, lat, np)
+    x_w, y_w = fwd(lon - hd, lat, np)
+    x_n, y_n = fwd(lon, lat + hd, np)
+    x_s, y_s = fwd(lon, lat - hd, np)
+    dxdl = (x_e - x_w) / (2 * h)
+    dydl = (y_e - y_w) / (2 * h)
+    dxdp = (x_n - x_s) / (2 * h)
+    dydp = (y_n - y_s) / (2 * h)
+    return dxdl, dydl, dxdp, dydp
+
+
+# ---------------------------------------------------------------- registry
+
+
+def test_epsg_registry_basics():
+    wgs84 = CRS.from_epsg(4326)
+    assert wgs84.is_geographic and not wgs84.is_projected
+    assert wgs84.to_epsg() == 4326
+    assert str(wgs84) == "EPSG:4326"
+    assert "latitude" in wgs84.axis_info[0].name.lower()
+
+    utm = CRS.from_epsg(32632)
+    assert utm.is_projected
+    assert utm.proj_name == "transverse_mercator"
+    assert utm.ellipsoid.a == pytest.approx(6378137.0)
+
+    with pytest.raises(CRSError):
+        CRS.from_epsg(999999)
+
+
+def test_from_string_forms():
+    assert CRS.from_string("EPSG:3035").to_epsg() == 3035
+    assert CRS.from_string("epsg:4326") == CRS.from_epsg(4326)
+    assert CRS.from_user_input(32632).to_epsg() == 32632
+    assert CRS.from_user_input(CRS.from_epsg(3857)).to_epsg() == 3857
+
+
+@pytest.mark.parametrize(
+    "code", [4326, 4258, 3035, 3857, 3395, 3031, 3413, 2154, 32632, 32750]
+)
+def test_wkt_and_cf_round_trip(code):
+    crs = CRS.from_epsg(code)
+    assert CRS.from_wkt(crs.to_wkt()) == crs
+    assert CRS.from_cf(crs.to_cf()).to_epsg() == code
+
+
+# ----------------------------------------------------- exact origin points
+
+
+@pytest.mark.parametrize(
+    "code,lonlat,xy",
+    [
+        (32632, (9.0, 0.0), (500000.0, 0.0)),  # UTM natural origin
+        (3035, (10.0, 52.0), (4321000.0, 3210000.0)),  # LAEA false origin
+        (3857, (0.0, 0.0), (0.0, 0.0)),
+        (3395, (0.0, 0.0), (0.0, 0.0)),
+        (2154, (3.0, 46.5), (700000.0, 6600000.0)),  # Lambert-93 origin
+        (3031, (0.0, -90.0), (0.0, 0.0)),  # south pole
+        (3413, (-45.0, 90.0), (0.0, 0.0)),  # north pole
+    ],
+)
+def test_projection_origins_exact(code, lonlat, xy):
+    fwd, _ = CRS.from_epsg(code).projection()
+    x, y = fwd(np.float64(lonlat[0]), np.float64(lonlat[1]), np)
+    np.testing.assert_allclose([x, y], xy, atol=1e-6)
+
+
+# -------------------------------------------------- closed-form references
+
+
+def test_mercator_spherical_closed_form():
+    """EPSG:3857 uses the WGS84 semi-major axis as a sphere radius."""
+    fwd, _ = CRS.from_epsg(3857).projection()
+    lon, lat = _scatter((-179, 179), (-84, 84))
+    x, y = fwd(lon, lat, np)
+    a = 6378137.0
+    np.testing.assert_allclose(x, a * np.radians(lon), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(
+        y, a * np.log(np.tan(np.pi / 4 + np.radians(lat) / 2)), rtol=1e-14
+    )
+
+
+def test_mercator_ellipsoidal_closed_form():
+    """EPSG:3395 y(lat) closed form with the conformal-latitude factor."""
+    fwd, _ = CRS.from_epsg(3395).projection()
+    lon, lat = _scatter((-179, 179), (-80, 80))
+    x, y = fwd(lon, lat, np)
+    a, e = WGS84.a, np.sqrt(WGS84.e2)
+    phi = np.radians(lat)
+    expect = a * np.log(
+        np.tan(np.pi / 4 + phi / 2)
+        * ((1 - e * np.sin(phi)) / (1 + e * np.sin(phi))) ** (e / 2)
+    )
+    np.testing.assert_allclose(x, a * np.radians(lon), atol=1e-6)
+    np.testing.assert_allclose(y, expect, rtol=1e-13, atol=1e-7)
+
+
+@pytest.mark.parametrize("lat", [-80.0, -33.3, 0.0, 12.5, 45.0, 63.0, 84.0])
+def test_transverse_mercator_meridian_arc(lat):
+    """On the central meridian, UTM northing is k0 * (meridian arc length):
+    checks the Krüger series against direct numerical integration."""
+    fwd, _ = CRS.from_epsg(32632).projection()
+    x, y = fwd(np.float64(9.0), np.float64(lat), np)
+    assert abs(float(x) - 500000.0) < 1e-6
+    expect = 0.9996 * _meridian_arc(lat, WGS84)
+    assert abs(float(y) - expect) < 1e-5  # 10 micrometres
+
+
+def test_transverse_mercator_scale_at_central_meridian():
+    fwd, _ = CRS.from_epsg(32632).projection()
+    for lat in (0.0, 30.0, 60.0):
+        dxdl, dydl, dxdp, dydp = _jacobian(fwd, 9.0, lat)
+        phi = np.radians(lat)
+        # meridional scale = |dy/dphi| / M(phi)
+        m_rad = (
+            WGS84.a * (1 - WGS84.e2) / (1 - WGS84.e2 * np.sin(phi) ** 2) ** 1.5
+        )
+        k = abs(dydp) / m_rad
+        assert abs(k - 0.9996) < 1e-7
+
+
+# ------------------------------------------- differential-geometry checks
+
+
+@pytest.mark.parametrize("code", [3035])
+def test_equal_area_jacobian_laea(code):
+    """|det J| must equal a^2 (1-e^2) cos(phi) / (1 - e^2 sin^2 phi)^2
+    everywhere for an ellipsoidal equal-area projection."""
+    crs = CRS.from_epsg(code)
+    fwd, _ = crs.projection()
+    ell = crs.ellipsoid
+    lon, lat = _scatter((-10, 40), (30, 70), n=50)
+    for lo, la in zip(lon, lat):
+        dxdl, dydl, dxdp, dydp = _jacobian(fwd, lo, la)
+        det = abs(dxdl * dydp - dydl * dxdp)
+        phi = np.radians(la)
+        expect = (
+            ell.a**2
+            * (1 - ell.e2)
+            * np.cos(phi)
+            / (1 - ell.e2 * np.sin(phi) ** 2) ** 2
+        )
+        assert abs(det / expect - 1) < 1e-6
+
+
+@pytest.mark.parametrize("code", [3857, 3395, 2154, 3031, 32632])
+def test_conformal_projections_are_conformal(code):
+    """Conformal maps: the Jacobian columns (scaled to isometric coords) are
+    orthogonal and equal length — angle preservation to ~1e-6."""
+    crs = CRS.from_epsg(code)
+    fwd, _ = crs.projection()
+    ell = crs.ellipsoid
+    a, e2 = ell.a, (0.0 if code == 3857 else ell.e2)
+    if code == 3031:
+        domain = ((-179, 179), (-85, -62))
+    elif code == 2154:
+        domain = ((-4, 9), (42, 50))
+    else:
+        domain = ((3, 15), (-70, 70))
+    lon, lat = _scatter(*domain, n=40)
+    for lo, la in zip(lon, lat):
+        dxdl, dydl, dxdp, dydp = _jacobian(fwd, lo, la)
+        phi = np.radians(la)
+        w = 1 - e2 * np.sin(phi) ** 2
+        n_rad = a / np.sqrt(w)  # prime-vertical radius
+        m_rad = a * (1 - e2) / w**1.5  # meridional radius
+        # per-radian scales along parallel / meridian
+        u = np.array([dxdl, dydl]) / (n_rad * np.cos(phi))
+        v = np.array([dxdp, dydp]) / m_rad
+        assert abs(np.dot(u, v)) / (
+            np.linalg.norm(u) * np.linalg.norm(v)
+        ) < 1e-5
+        assert abs(np.linalg.norm(u) / np.linalg.norm(v) - 1) < 1e-5
+
+
+# ----------------------------------------------------------- round trips
+
+
+@pytest.mark.parametrize(
+    "code,domain",
+    [
+        (32632, ((3, 15), (-79, 84))),
+        (32750, ((111, 123), (-79, 5))),
+        (3035, ((-15, 45), (25, 75))),
+        (3857, ((-179, 179), (-85, 85))),
+        (3395, ((-179, 179), (-80, 80))),
+        (3031, ((-179, 179), (-88, -60))),
+        (3413, ((-179, 179), (58, 88))),
+        (2154, ((-5, 10), (41, 51))),
+        (5243, ((5, 15), (47, 55))),
+    ],
+)
+def test_forward_inverse_round_trip(code, domain):
+    fwd, inv = CRS.from_epsg(code).projection()
+    lon, lat = _scatter(*domain)
+    x, y = fwd(lon, lat, np)
+    lon2, lat2 = inv(x, y, np)
+    # longitude compares modulo 360 (polar CRSs with offset central
+    # meridians legitimately re-wrap into (-180, 180])
+    dlon = (np.asarray(lon2) - lon + 180.0) % 360.0 - 180.0
+    np.testing.assert_allclose(dlon, 0.0, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_rotated_pole_round_trip():
+    crs = CRS.from_cf(
+        dict(
+            grid_mapping_name="rotated_latitude_longitude",
+            grid_north_pole_longitude=-162.0,
+            grid_north_pole_latitude=39.25,
+            semi_major_axis=WGS84.a,
+            inverse_flattening=WGS84.inverse_flattening,
+        )
+    )
+    assert crs.is_geographic
+    fwd, inv = crs.projection()
+    lon, lat = _scatter((-40, 60), (20, 75))
+    rlon, rlat = fwd(lon, lat, np)
+    lon2, lat2 = inv(rlon, rlat, np)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+# ----------------------------------------------------------- transformer
+
+
+def test_transformer_identity():
+    t = Transformer.from_crs(CRS.from_epsg(4326), CRS.from_epsg(4326))
+    assert t.is_identity
+    x, y = t.transform(np.array([1.0, 2.0]), np.array([3.0, 4.0]))
+    np.testing.assert_array_equal(x, [1.0, 2.0])
+    np.testing.assert_array_equal(y, [3.0, 4.0])
+
+
+def test_transformer_composition_consistency():
+    """4326 -> 32632 -> 3035 must agree with the direct 4326 -> 3035."""
+    lon, lat = _scatter((4, 14), (45, 60))
+    a = Transformer.from_crs("EPSG:4326", "EPSG:32632")
+    b = Transformer.from_crs("EPSG:32632", "EPSG:3035")
+    c = Transformer.from_crs("EPSG:4326", "EPSG:3035")
+    x1, y1 = b.transform(*a.transform(lon, lat))
+    x2, y2 = c.transform(lon, lat)
+    np.testing.assert_allclose(x1, x2, atol=1e-5)
+    np.testing.assert_allclose(y1, y2, atol=1e-5)
+
+
+def test_transformer_datum_etrs89_wgs84_equivalence():
+    """ETRS89 (GRS80) <-> WGS84 geographic is treated as a null datum shift
+    (reference behavior: pyproj's ballpark transform without a shift grid)."""
+    t = Transformer.from_crs("EPSG:4258", "EPSG:4326")
+    lon, lat = _scatter((-10, 30), (35, 70))
+    lon2, lat2 = t.transform(lon, lat)
+    np.testing.assert_allclose(lon2, lon, atol=1e-12)
+    np.testing.assert_allclose(lat2, lat, atol=1e-12)
+
+
+def test_transform_bounds_contains_interior():
+    t = Transformer.from_crs("EPSG:4326", "EPSG:3035")
+    bounds = t.transform_bounds(-10.0, 35.0, 30.0, 70.0)
+    lon, lat = _scatter((-10, 30), (35, 70))
+    x, y = t.transform(lon, lat)
+    assert bounds[0] <= x.min() and x.max() <= bounds[2]
+    assert bounds[1] <= y.min() and y.max() <= bounds[3]
+
+
+def test_transform_fn_jax_traceable():
+    import jax
+    import jax.numpy as jnp
+
+    t = Transformer.from_crs("EPSG:4326", "EPSG:32632")
+    fn = t.transform_fn()
+
+    @jax.jit
+    def run(lon, lat):
+        return fn(lon, lat, jnp)
+
+    lon = jnp.linspace(4.0, 14.0, 64)
+    lat = jnp.linspace(45.0, 60.0, 64)
+    x, y = run(lon, lat)
+    xe, ye = t.transform(np.asarray(lon, np.float64), np.asarray(lat, np.float64))
+    np.testing.assert_allclose(np.asarray(x), xe, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(y), ye, rtol=1e-9)
+
+
+def test_grs80_wgs84_ellipsoid_constants():
+    assert WGS84.a == 6378137.0
+    assert WGS84.inverse_flattening == pytest.approx(298.257223563)
+    assert GRS80.inverse_flattening == pytest.approx(298.257222101)
+    assert abs(WGS84.b - 6356752.3142) < 1e-4
+    assert abs(GRS80.b - 6356752.3141) < 1e-4
