@@ -161,3 +161,54 @@ def test_rectify_engine_device_path():
     np.testing.assert_allclose(
         out.rad.values, ref.rad.values, equal_nan=True
     )
+
+
+def test_sharded_srw_matches_single_chip_srw():
+    """The sharded SRW kernel must reproduce the single-chip tiled SRW
+    kernel essentially bit-for-bit: same tap indices, weights, and
+    summation order per pixel, only evaluated band-locally."""
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs multiple devices")
+    from xcube_resampling_tpu.ops.srw import make_srw_fn, plan_srw
+    from xcube_resampling_tpu.parallel import make_sharded_srw_step
+
+    source_gm, data, target_gm = _source_case()
+    plan = plan_srw(source_gm, target_gm)
+    assert plan is not None, "case should admit a tiled SRW plan"
+    single = np.asarray(make_srw_fn(plan, "bilinear", np.nan)(jnp.asarray(data)))
+
+    mesh = make_mesh(("bands",))
+    built = make_sharded_srw_step(mesh, source_gm, target_gm)
+    assert built is not None
+    step_fn, (src_pad_h, out_h) = built
+    src = jnp.asarray(data)
+    if src_pad_h:
+        src = jnp.pad(src, ((0, src_pad_h), (0, 0)), constant_values=np.nan)
+    sharded = np.asarray(step_fn(src))[:out_h]
+
+    assert sharded.shape == single.shape
+    np.testing.assert_array_equal(np.isnan(sharded), np.isnan(single))
+    valid = ~np.isnan(single)
+    np.testing.assert_allclose(sharded[valid], single[valid], atol=1e-6)
+
+
+def test_sharded_srw_nearest_and_batched():
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs multiple devices")
+    source_gm, data, target_gm = _source_case()
+    mesh = make_mesh(("bands",))
+    batch = jnp.stack([jnp.asarray(data), jnp.asarray(data) * 3])
+    out = np.asarray(
+        sharded_reproject(
+            batch, source_gm, target_gm, mesh, interp_method="nearest"
+        )
+    )
+    assert out.shape[0] == 2
+    valid = ~np.isnan(out[0])
+    assert valid.mean() > 0.5
+    np.testing.assert_allclose(out[1][valid], 3 * out[0][valid], rtol=1e-6)
+    # nearest must only produce source values
+    src_vals = np.unique(data)
+    assert np.isin(out[0][valid], src_vals).all()

@@ -10,13 +10,18 @@ redundant enlarged-window gathering (reproject.py:405-423).
 
 from .mesh import make_mesh
 from .tiling import TileBatch, batch_tiles, untile
-from .halo import make_sharded_regrid_step, sharded_reproject
+from .halo import (
+    make_sharded_regrid_step,
+    make_sharded_srw_step,
+    sharded_reproject,
+)
 
 __all__ = [
     "TileBatch",
     "batch_tiles",
     "make_mesh",
     "make_sharded_regrid_step",
+    "make_sharded_srw_step",
     "sharded_reproject",
     "untile",
 ]

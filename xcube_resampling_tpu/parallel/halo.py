@@ -28,6 +28,7 @@ import numpy as np
 
 from ..gridmapping import GridMapping
 from ..ops.reproject_ops import _interp_field, coarse_coord_field, gather_interp
+from ..ops.srw import _coarse_geometry, _interp_cols, _interp_rows, _pick_tile
 
 
 def _shard_map():
@@ -180,6 +181,235 @@ def make_sharded_regrid_step(
     return step_fn, (src_pad_h, out_h)
 
 
+def make_sharded_srw_step(
+    mesh,
+    source_gm: GridMapping,
+    target_gm: GridMapping,
+    axis_name: str = "bands",
+    interp_method: str = "bilinear",
+    fill_value: float = np.nan,
+    src_batch_dims: int = 0,
+    step: int = 16,
+    max_taps: int = 48,
+    tap_budget: int = 12,
+):
+    """Sharded tiled-SRW regrid: halo exchange + gather-free tap kernel.
+
+    The tiled SRW decomposition (:mod:`..ops.srw`) shards naturally over
+    target rows: the vertical pass reads a contiguous source-row window per
+    band (supplied by the ``ppermute`` halo exchange) and the horizontal
+    pass is row-local, needing no communication at all.  Per-band plan data
+    (``base_v`` per target row, ``base_h`` per band row tile) ship as
+    sharded arguments; coarse coordinate fields are replicated.  Planning
+    happens here (not via :func:`..ops.srw.plan_srw`) because the
+    horizontal row tiles must align with the output bands — the last tile
+    of each band overlaps its predecessor instead of padding the band,
+    which would break the proportional band<->band correspondence that
+    keeps the halo small.
+
+    Returns ``(step_fn, (src_pad_h, out_h))`` or ``None`` when the mapping
+    is unsuitable (callers then use :func:`make_sharded_regrid_step`'s
+    gather formulation).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    if interp_method not in ("bilinear", "nearest"):
+        return None
+    n = mesh.shape[axis_name]
+    fields = _coarse_geometry(source_gm, target_gm, step)
+    if fields is None:
+        return None
+    ix64, iystar = fields.ix64, fields.iystar64
+    iy64 = fields.iy64
+    src_h, src_w = fields.src_h, fields.src_w
+    out_h, out_w = fields.out_h, fields.out_w
+
+    band_h = -(-src_h // n)
+    src_pad_h = band_h * n - src_h
+    out_band_h = -(-out_h // n)  # exact: bands stay proportionally aligned
+    out_h_pad = out_band_h * n
+
+    # ---- vertical plan: per-(output row, column tile) integer base
+    slope_v = float(np.nanmax(np.abs(np.diff(iystar, axis=1))) / step)
+    col_tile = _pick_tile(slope_v, tap_budget)
+    ncc = iystar.shape[1]
+    n_col_tiles = -(-src_w // col_tile)
+    iystar_rows = _interp_rows(iystar, out_h, step)
+    if out_h_pad > out_h:  # padded rows replicate the last real row
+        iystar_rows = np.concatenate(
+            [iystar_rows, np.repeat(iystar_rows[-1:], out_h_pad - out_h, 0)]
+        )
+    base_v = np.zeros((out_h_pad, n_col_tiles), dtype=np.int32)
+    span_max = 0.0
+    for t in range(n_col_tiles):
+        c0 = t * col_tile
+        c1 = min((t + 1) * col_tile, src_w)
+        k0 = max(0, c0 // step - 1)
+        k1 = min(ncc, -(-c1 // step) + 1)
+        seg = iystar_rows[:, k0:k1]
+        m = seg.min(axis=1)
+        base_v[:, t] = np.floor(m).astype(np.int32) - 1
+        span_max = max(span_max, float((seg.max(axis=1) - m).max()))
+    d_v = int(np.ceil(span_max)) + 4
+    if d_v > max_taps:
+        return None
+
+    # ---- horizontal plan: per-(band, row tile) base with an overlapping
+    # last tile (tiles never straddle band boundaries)
+    slope_h = float(np.nanmax(np.abs(np.diff(ix64, axis=0))) / step)
+    row_tile = min(_pick_tile(slope_h, tap_budget), out_band_h)
+    tiles_per_band = -(-out_band_h // row_tile)
+    tile_starts = [t * row_tile for t in range(tiles_per_band - 1)]
+    tile_starts.append(out_band_h - row_tile)
+    ix_cols = _interp_cols(ix64, out_w, step)
+    ncj = ix64.shape[0]
+    sample_rows = np.arange(ncj) * step
+    base_h = np.zeros((n * tiles_per_band, out_w), dtype=np.int32)
+    span_max_h = 0.0
+    for k in range(n):
+        for t, s0 in enumerate(tile_starts):
+            r0 = min(k * out_band_h + s0, out_h - 1)
+            r1 = min(r0 + row_tile, out_h)
+            k0 = max(0, int(np.searchsorted(sample_rows, r0)) - 1)
+            k1 = min(ncj, int(np.searchsorted(sample_rows, r1)) + 2)
+            seg = ix_cols[k0:k1, :]
+            m = seg.min(axis=0)
+            base_h[k * tiles_per_band + t, :] = (
+                np.floor(m).astype(np.int32) - 1
+            )
+            span_max_h = max(span_max_h, float((seg.max(axis=0) - m).max()))
+    d_h = int(np.ceil(span_max_h)) + 4
+    if d_h > max_taps:
+        return None
+
+    # ---- halo: worst-case deviation of any band's (globally clamped)
+    # vertical taps from its proportional source band
+    lo_tap = np.clip(base_v.min(axis=1), 0, src_h - 1)
+    hi_tap = np.clip(base_v.max(axis=1) + d_v - 1, 0, src_h - 1)
+    halo = 0
+    for k in range(n):
+        r0, r1 = k * out_band_h, (k + 1) * out_band_h
+        off = k * band_h
+        halo = max(
+            halo,
+            int(off - lo_tap[r0:r1].min()),
+            int(hi_tap[r0:r1].max() - (off + band_h - 1)),
+        )
+    halo = max(halo, 0)
+    if halo > band_h:
+        return None  # needs beyond-neighbour rows; gather path handles it
+
+    iystar_c = jnp.asarray(iystar.astype(np.float32))
+    ix_c = jnp.asarray(ix64.astype(np.float32))
+    iy_c = jnp.asarray(iy64.astype(np.float32))
+    bv_j = jnp.asarray(base_v)
+    bh_j = jnp.asarray(base_h)
+
+    up_perm = [(i, i + 1) for i in range(n - 1)]
+    down_perm = [(i + 1, i) for i in range(n - 1)]
+    use_halo = n > 1 and halo > 0
+
+    def weight(pos, k):
+        if interp_method == "bilinear":
+            return jnp.maximum(0.0, 1.0 - jnp.abs(pos - k))
+        return (jnp.round(pos) == k).astype(jnp.float32)
+
+    def band_step(src_band, iystar_f, ix_f, iy_f, bv_band, bh_band):
+        idx = lax.axis_index(axis_name)
+        if use_halo:
+            above = lax.ppermute(src_band[..., -halo:, :], axis_name, up_perm)
+            below = lax.ppermute(src_band[..., :halo, :], axis_name, down_perm)
+            ext = jnp.concatenate([above, src_band, below], axis=-2)
+        else:
+            ext = src_band
+        # global row index of ext row 0 (negative on device 0: those halo
+        # rows are zero-filled by ppermute and never tapped)
+        off = idx * band_h - (halo if use_halo else 0)
+
+        rows_g = (idx * out_band_h).astype(jnp.float32) + jnp.arange(
+            out_band_h, dtype=jnp.float32
+        )
+        rows_col = rows_g[:, None]
+
+        # vertical pass: (out_band_h, src_w), per column tile
+        v_tiles = []
+        for t in range(n_col_tiles):
+            c0 = t * col_tile
+            c1 = min((t + 1) * col_tile, src_w)
+            cols_src = jnp.arange(c0, c1, dtype=jnp.float32)[None, :]
+            pos = _interp_field(iystar_f, rows_col, cols_src, step, jnp)
+            base_t = bv_band[:, t]
+            tile_src = ext[..., c0:c1]
+            acc = jnp.zeros(
+                src_band.shape[:-2] + (out_band_h, c1 - c0), dtype=jnp.float32
+            )
+            for d in range(d_v):
+                idx_g = jnp.clip(base_t + d, 0, src_h - 1)
+                w = weight(pos, (base_t + d)[:, None].astype(jnp.float32))
+                acc = acc + w * jnp.take(tile_src, idx_g - off, axis=-2)
+            v_tiles.append(acc)
+        v = jnp.concatenate(v_tiles, axis=-1)
+
+        # horizontal pass: row-local, per in-band row tile; the final
+        # (overlapping) tile contributes only its uncovered tail rows
+        cols = jnp.arange(out_w, dtype=jnp.float32)[None, :]
+        out_tiles = []
+        for t, s0 in enumerate(tile_starts):
+            pos = _interp_field(
+                ix_f, rows_col[s0 : s0 + row_tile], cols, step, jnp
+            )
+            base_t = bh_band[t]
+            tile_v = v[..., s0 : s0 + row_tile, :]
+            acc = jnp.zeros(
+                src_band.shape[:-2] + (row_tile, out_w), dtype=jnp.float32
+            )
+            for d in range(d_h):
+                idx2 = jnp.clip(base_t + d, 0, src_w - 1)
+                w = weight(pos, (base_t + d)[None, :].astype(jnp.float32))
+                acc = acc + w * jnp.take(tile_v, idx2, axis=-1)
+            if t == tiles_per_band - 1 and tiles_per_band > 1:
+                keep = out_band_h - (tiles_per_band - 1) * row_tile
+                acc = acc[..., row_tile - keep :, :]
+            out_tiles.append(acc)
+        out = jnp.concatenate(out_tiles, axis=-2)
+
+        # validity mask on this band's rows (same bounds as single-chip)
+        ix_full = _interp_field(ix_f, rows_col, cols, step, jnp)
+        iy_full = _interp_field(iy_f, rows_col, cols, step, jnp)
+        valid = (
+            (ix_full > -0.5)
+            & (ix_full < src_w - 0.5)
+            & (iy_full > -0.5)
+            & (iy_full < src_h - 0.5)
+        )
+        return jnp.where(valid, out, jnp.asarray(fill_value, out.dtype))
+
+    batch_spec = [None] * src_batch_dims
+    shard_map = _shard_map()
+    mapped = shard_map(
+        band_step,
+        mesh=mesh,
+        in_specs=(
+            P(*batch_spec, axis_name, None),
+            P(None, None),
+            P(None, None),
+            P(None, None),
+            P(axis_name, None),
+            P(axis_name, None),
+        ),
+        out_specs=P(*batch_spec, axis_name, None),
+    )
+    jitted = jax.jit(mapped)
+
+    def step_fn(src):
+        return jitted(src, iystar_c, ix_c, iy_c, bv_j, bh_j)
+
+    return step_fn, (src_pad_h, out_h)
+
+
 def sharded_reproject(
     src,
     source_gm: GridMapping,
@@ -189,23 +419,40 @@ def sharded_reproject(
     halo: int | None = None,
     interp_method: str = "bilinear",
     fill_value: float = np.nan,
+    use_srw: bool = True,
 ):
     """Reproject *src* with its rows sharded over ``mesh[axis_name]``;
-    returns the full target raster (rows sharded the same way)."""
+    returns the full target raster (rows sharded the same way).
+
+    Uses the gather-free sharded SRW kernel when the mapping admits a
+    tiled plan; falls back to the halo-exchange gather formulation."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    step_fn, (src_pad_h, out_h) = make_sharded_regrid_step(
-        mesh,
-        source_gm,
-        target_gm,
-        axis_name=axis_name,
-        halo=halo,
-        interp_method=interp_method,
-        fill_value=fill_value,
-        src_batch_dims=src.ndim - 2,
-    )
+    built = None
+    if use_srw:
+        built = make_sharded_srw_step(
+            mesh,
+            source_gm,
+            target_gm,
+            axis_name=axis_name,
+            interp_method=interp_method,
+            fill_value=fill_value,
+            src_batch_dims=src.ndim - 2,
+        )
+    if built is None:
+        built = make_sharded_regrid_step(
+            mesh,
+            source_gm,
+            target_gm,
+            axis_name=axis_name,
+            halo=halo,
+            interp_method=interp_method,
+            fill_value=fill_value,
+            src_batch_dims=src.ndim - 2,
+        )
+    step_fn, (src_pad_h, out_h) = built
     if src_pad_h:
         pad = [(0, 0)] * (src.ndim - 2) + [(0, src_pad_h), (0, 0)]
         src = jnp.pad(src, pad, constant_values=fill_value)
