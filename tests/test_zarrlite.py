@@ -101,3 +101,75 @@ def test_consolidate_metadata():
 
     meta = json.loads(store[".zmetadata"].decode())
     assert "a/.zarray" in meta["metadata"]
+
+
+class _CountingStore(zarrlite.MemoryStore):
+    """MemoryStore that counts per-key reads (chunk-laziness probe)."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.read_keys = []
+
+    def get(self, key, default=None):
+        if key in self:
+            self.read_keys.append(key)
+        return super().get(key, default)
+
+
+def test_read_window_partial_chunks():
+    store = zarrlite.MemoryStore()
+    g = zarrlite.group(store)
+    data = np.arange(100 * 120, dtype=np.float32).reshape(100, 120)
+    arr = g.create_array("v", data.shape, data.dtype, chunks=(32, 48))
+    arr.write(data)
+    for sl in (
+        (slice(0, 10), slice(0, 10)),
+        (slice(30, 70), slice(40, 100)),
+        (slice(95, 100), slice(110, 120)),
+        (slice(0, 100), slice(0, 120)),
+        (slice(50, 50), slice(0, 5)),
+    ):
+        np.testing.assert_array_equal(arr.read_window(sl), data[sl])
+
+
+def test_lazy_array_indexing_and_chunk_reads():
+    store = _CountingStore()
+    g = zarrlite.group(store)
+    data = np.arange(128 * 128, dtype=np.float32).reshape(128, 128)
+    arr = g.create_array("v", data.shape, data.dtype, chunks=(32, 32))
+    arr.write(data)
+    lazy = zarrlite.LazyArray(g["v"])
+    assert lazy.shape == (128, 128) and lazy.dtype == np.float32
+
+    store.read_keys.clear()
+    np.testing.assert_array_equal(lazy[10:20, 5:40], data[10:20, 5:40])
+    chunk_reads = [k for k in store.read_keys if k.startswith("v/") and ".z" not in k]
+    assert len(chunk_reads) == 2  # one chunk row, two chunk cols
+
+    np.testing.assert_array_equal(lazy[5], data[5])
+    np.testing.assert_array_equal(lazy[..., 3], data[..., 3])
+    np.testing.assert_array_equal(lazy[-1, -1], data[-1, -1])
+    np.testing.assert_array_equal(np.asarray(lazy), data)
+    # fancy indexing falls back to materialization but stays correct
+    np.testing.assert_array_equal(lazy[[3, 7], :], data[[3, 7], :])
+
+
+def test_open_dataset_lazy_roundtrip():
+    from xcube_resampling_tpu.xrlite import DataArray, Dataset
+
+    store = zarrlite.MemoryStore()
+    data = np.random.default_rng(0).random((64, 64)).astype(np.float32)
+    ds = Dataset(
+        dict(band=DataArray(data, dims=("y", "x"), chunks=(16, 16))),
+        coords=dict(
+            x=np.arange(64, dtype=np.float64),
+            y=np.arange(64, dtype=np.float64),
+        ),
+    )
+    zarrlite.write_dataset(ds, store)
+    lazy_ds = zarrlite.open_dataset(store, lazy=True)
+    assert isinstance(lazy_ds.band.data, zarrlite.LazyArray)
+    np.testing.assert_array_equal(lazy_ds.band.values, data)
+    sub = lazy_ds.isel(y=slice(4, 12), x=slice(0, 8))
+    assert isinstance(sub.band.data, np.ndarray)
+    np.testing.assert_array_equal(sub.band.values, data[4:12, 0:8])

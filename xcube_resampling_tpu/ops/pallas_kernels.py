@@ -77,7 +77,12 @@ def srw_vertical_pallas(
     base_blocks = base_sh.reshape(n_blocks, row_block)
     win_start = jnp.min(base_blocks, axis=1)
     span = int(jnp.max(jnp.max(base_blocks, axis=1) - win_start))
-    win_h = -(-(span + d_taps) // 8) * 8 + 8
+    # per-row VMEM slices must start at a multiple of 8 sublanes (Mosaic
+    # can't prove alignment of arbitrary dynamic offsets): the kernel
+    # rounds each row's offset down to 8 and reads a padded tap window,
+    # so the scratch needs room for the alignment slack
+    d_pad = -(-(d_taps + 7) // 8) * 8
+    win_h = -(-(span + d_taps) // 8) * 8 + d_pad + 8
     # bottom padding so every window [win_start, win_start+win_h) is in range
     extra = int(
         max(0, int(jnp.max(win_start)) + win_h - src_pad.shape[0])
@@ -98,12 +103,15 @@ def srw_vertical_pallas(
 
         def row_body(r, _):
             b = base_ref[blk * row_block + r]
-            start = b - w0
-            window = win[pl.ds(start, d_taps), :]  # (d_taps, W) in VMEM
+            # 8-aligned window start (provably a sublane multiple); rows
+            # between s8 and the true start get zero hat weight, so the
+            # padded reduction is exact
+            s8 = ((b - w0) // 8) * 8
+            window = win[pl.ds(s8, d_pad), :]  # (d_pad, W) in VMEM
             p = pos_ref[r, :]
-            k0 = (b - m_top).astype(jnp.float32)
+            k0 = (w0 + s8 - m_top).astype(jnp.float32)
             acc = jnp.zeros((w,), jnp.float32)
-            for d in range(d_taps):
+            for d in range(d_pad):
                 wgt = jnp.maximum(0.0, 1.0 - jnp.abs(p - (k0 + d)))
                 acc = acc + wgt * window[d, :]
             out_ref[r, :] = acc

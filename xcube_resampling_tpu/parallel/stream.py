@@ -14,9 +14,45 @@ from __future__ import annotations
 import numpy as np
 
 from .. import zarrlite
+from ..crs import Transformer
 from ..gridmapping import GridMapping
 from ..spatial import resample_in_space
 from ..xrlite import Dataset
+
+
+def _subset_source(source_ds, source_gm, tile_gm, margin: int):
+    """Slice *source_ds* down to the window a target tile actually needs
+    (stencil + aggregation margin included).  With chunk-lazy variables
+    (:class:`..zarrlite.LazyArray`) this is what keeps the streaming loop
+    out-of-core: only the window's chunks are read from the store.
+
+    Returns the subset dataset, or None when a safe window can't be
+    determined (caller then uses the full source)."""
+    try:
+        t = Transformer.from_crs(tile_gm.crs, source_gm.crs)
+        x0, y0, x1, y1 = t.transform_bounds(
+            tile_gm.x_min, tile_gm.y_min, tile_gm.x_max, tile_gm.y_max
+        )
+    except Exception:  # noqa: BLE001 - fall back to the full source
+        return None
+    if not np.all(np.isfinite([x0, y0, x1, y1])):
+        return None
+    xs = np.asarray(source_gm.x_coords.data, dtype=np.float64)
+    ys = np.asarray(source_gm.y_coords.data, dtype=np.float64)
+    if xs.ndim != 1 or ys.ndim != 1 or xs.size < 2 or ys.size < 2:
+        return None
+    dx = xs[1] - xs[0]
+    dy = ys[1] - ys[0]
+    fi = sorted(((x0 - xs[0]) / dx, (x1 - xs[0]) / dx))
+    fj = sorted(((y0 - ys[0]) / dy, (y1 - ys[0]) / dy))
+    i0 = max(0, int(np.floor(fi[0])) - margin)
+    i1 = min(xs.size, int(np.ceil(fi[1])) + margin + 1)
+    j0 = max(0, int(np.floor(fj[0])) - margin)
+    j1 = min(ys.size, int(np.ceil(fj[1])) + margin + 1)
+    if i1 - i0 < 2 or j1 - j0 < 2:
+        return None
+    x_dim, y_dim = source_gm.xy_dim_names
+    return source_ds.isel({x_dim: slice(i0, i1), y_dim: slice(j0, j1)})
 
 
 def resample_to_store(
@@ -30,12 +66,27 @@ def resample_to_store(
     fill_values=None,
     compressor: str | None = None,
     progress=None,
+    window_sources: bool = True,
 ) -> int:
     """Resample *source_ds* to *target_gm* tile by tile into a zarr store.
 
-    Returns the number of tiles computed in this call (0 when the store was
-    already complete — the resume case)."""
+    With ``window_sources`` (default), each tile slices the source down to
+    the window it needs before resampling, so chunk-lazy sources
+    (``zarrlite.open_dataset(..., lazy=True)``) never materialize fully —
+    the out-of-core read path.  Returns the number of tiles computed in
+    this call (0 when the store was already complete — the resume case)."""
     g = zarrlite.group(store)
+
+    source_gm = None
+    if window_sources:
+        try:
+            source_gm = GridMapping.from_dataset(source_ds)
+        except Exception:  # noqa: BLE001 - irregular/unknown: use full source
+            source_gm = None
+        if source_gm is not None and (
+            np.asarray(source_gm.x_coords.data).ndim != 1
+        ):
+            source_gm = None
 
     tile_w, tile_h = target_gm.tile_width, target_gm.tile_height
     out_w, out_h = target_gm.width, target_gm.height
@@ -124,8 +175,13 @@ def resample_to_store(
                 crs=target_gm.crs,
                 is_j_axis_up=bool(target_gm.is_j_axis_up),
             )
+            tile_source = source_ds
+            if source_gm is not None:
+                sub = _subset_source(source_ds, source_gm, tile_gm, margin=16)
+                if sub is not None:
+                    tile_source = sub
             tile_ds = resample_in_space(
-                source_ds,
+                tile_source,
                 target_gm=tile_gm,
                 variables=var_names,
                 interp_methods=interp_methods,

@@ -22,12 +22,14 @@ from .core import (
     open_dataset,
     write_dataset,
 )
+from .lazy import LazyArray
 from .spatial import add_spatial_ref
 
 __all__ = [
     "Array",
     "DirectoryStore",
     "Group",
+    "LazyArray",
     "MemoryStore",
     "add_spatial_ref",
     "consolidate_metadata",

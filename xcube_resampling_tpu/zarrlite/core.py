@@ -196,6 +196,46 @@ class Array:
             out[slices] = chunk[trims]
         return out
 
+    def read_window(self, slices: tuple) -> np.ndarray:
+        """Materialize only the chunks overlapping *slices* (one
+        ``slice`` with step 1 per dimension) — the unit of lazy reading."""
+        if not self.shape:
+            return self.read()
+        bounds = []
+        for sl, s in zip(slices, self.shape):
+            start, stop, stride = sl.indices(s)
+            if stride != 1:
+                raise IndexError("read_window requires unit-stride slices")
+            bounds.append((start, max(stop, start)))
+        out = np.full(
+            tuple(b1 - b0 for b0, b1 in bounds),
+            self.fill_value if self.fill_value is not None else 0,
+            dtype=self.dtype,
+        )
+        ranges = [
+            range(b0 // c, -(-b1 // c) if b1 > b0 else b0 // c)
+            for (b0, b1), c in zip(bounds, self.chunks)
+        ]
+        import itertools
+
+        for index in itertools.product(*ranges):
+            raw = self._store.get(self._chunk_key(index))
+            if raw is None:
+                continue
+            chunk = np.frombuffer(self._decode(raw), dtype=self.dtype).reshape(
+                self.chunks
+            )
+            sel_chunk, sel_out = [], []
+            for i, c, (b0, b1), s in zip(
+                index, self.chunks, bounds, self.shape
+            ):
+                c0, c1 = i * c, min((i + 1) * c, s)
+                lo, hi = max(c0, b0), min(c1, b1)
+                sel_chunk.append(slice(lo - c0, hi - c0))
+                sel_out.append(slice(lo - b0, hi - b0))
+            out[tuple(sel_out)] = chunk[tuple(sel_chunk)]
+        return out
+
     def write(self, data: np.ndarray):
         """Write the full array chunk by chunk."""
         data = np.ascontiguousarray(np.asarray(data, dtype=self.dtype))
@@ -374,9 +414,16 @@ def write_dataset(ds: Dataset, store, compressor: str | None = None) -> None:
     consolidate_metadata(g.store)
 
 
-def open_dataset(store) -> Dataset:
+def open_dataset(store, lazy: bool = False) -> Dataset:
     """Load a zarr v2 group written by :func:`write_dataset` (or xarray)
-    into an xrlite Dataset."""
+    into an xrlite Dataset.
+
+    With ``lazy=True``, multi-dimensional data variables are backed by
+    :class:`.lazy.LazyArray` — their chunks stay on disk until sliced
+    (coordinates and scalars load eagerly; they are small and indexed
+    constantly)."""
+    from .lazy import LazyArray
+
     g = open(store)
     ds = Dataset(attrs=g.attrs.asdict())
     coord_names = set()
@@ -387,8 +434,9 @@ def open_dataset(store) -> Dataset:
         dims = tuple(attrs.pop("_ARRAY_DIMENSIONS", ())) or tuple(
             f"dim_{i}" for i in range(arr.ndim)
         )
+        data = LazyArray(arr) if lazy and arr.ndim >= 2 else arr.read()
         arrays[name] = DataArray(
-            arr.read(),
+            data,
             dims=dims,
             attrs=attrs,
             name=name,
