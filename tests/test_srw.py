@@ -124,3 +124,100 @@ def test_srw_chooser_handles_severe_warp():
     data = np.random.default_rng(1).random((360, 720)).astype(np.float32)
     out = np.asarray(fn(jnp.asarray(data)))
     assert np.isfinite(out).mean() > 0.5
+
+
+def _extreme_case():
+    """Scaled-down full-plane 4326 -> 3035: domain-scale rotation that
+    defeats both the tiled and the aligned strategies."""
+    src_gm = GridMapping.regular(
+        size=(720, 360), xy_min=(-180, -90), xy_res=0.5, crs="EPSG:4326"
+    )
+    tgt_gm = GridMapping.regular(
+        size=(512, 512), xy_min=(900000.0, 900000.0), xy_res=10000.0,
+        crs="EPSG:3035",
+    )
+    return src_gm, tgt_gm
+
+
+def test_hybrid_plans_where_others_fail():
+    from xcube_resampling_tpu.ops.srw import (
+        plan_srw_aligned,
+        plan_srw_hybrid,
+    )
+
+    src_gm, tgt_gm = _extreme_case()
+    assert plan_srw(src_gm, tgt_gm) is None
+    assert plan_srw_aligned(src_gm, tgt_gm) is None
+    plan = plan_srw_hybrid(src_gm, tgt_gm)
+    assert plan is not None
+    assert plan.d_v <= 32 and plan.d_h <= 32
+
+
+def test_hybrid_exact_on_linear_field():
+    """The two-pass decomposition reproduces direct bilinear exactly on
+    locally-linear data (both are exact there)."""
+    from xcube_resampling_tpu.ops.srw import (
+        make_srw_hybrid_fn,
+        plan_srw_hybrid,
+    )
+
+    src_gm, tgt_gm = _extreme_case()
+    plan = plan_srw_hybrid(src_gm, tgt_gm)
+    yy, xx = np.mgrid[0:360, 0:720].astype(np.float64)
+    data = ((xx + 2 * yy) / 1000).astype(np.float32)
+    got = np.asarray(make_srw_hybrid_fn(plan, "bilinear", np.nan)(jnp.asarray(data)))
+    ref = np.asarray(
+        make_fused_reproject_fn(src_gm, tgt_gm, "bilinear", np.nan)(
+            jnp.asarray(data)
+        )
+    )
+    both = ~np.isnan(got) & ~np.isnan(ref)
+    assert both.mean() > 0.9
+    np.testing.assert_allclose(got[both], ref[both], atol=1e-3)
+    assert (np.isnan(got) != np.isnan(ref)).mean() < 0.01
+
+
+def test_hybrid_close_on_smooth_field():
+    from xcube_resampling_tpu.ops.srw import (
+        make_srw_hybrid_fn,
+        plan_srw_hybrid,
+    )
+
+    src_gm, tgt_gm = _extreme_case()
+    plan = plan_srw_hybrid(src_gm, tgt_gm)
+    yy, xx = np.mgrid[0:360, 0:720].astype(np.float64)
+    data = (np.sin(xx / 40) * np.cos(yy / 30)).astype(np.float32)
+    got = np.asarray(make_srw_hybrid_fn(plan, "bilinear", np.nan)(jnp.asarray(data)))
+    ref = np.asarray(
+        make_fused_reproject_fn(src_gm, tgt_gm, "bilinear", np.nan)(
+            jnp.asarray(data)
+        )
+    )
+    both = ~np.isnan(got) & ~np.isnan(ref)
+    d = np.abs(got[both] - ref[both])
+    assert d.max() < 0.02 and d.mean() < 5e-3
+
+
+def test_hybrid_is_opt_in():
+    src_gm, tgt_gm = _extreme_case()
+    # default: extreme warp -> no SRW function (gather fallback preserves
+    # direct-bilinear semantics)
+    assert make_srw_reproject_fn(src_gm, tgt_gm, "bilinear") is None
+    fn = make_srw_reproject_fn(src_gm, tgt_gm, "bilinear", allow_hybrid=True)
+    assert fn is not None
+
+
+def test_hybrid_nearest_produces_source_values():
+    from xcube_resampling_tpu.ops.srw import (
+        make_srw_hybrid_fn,
+        plan_srw_hybrid,
+    )
+
+    src_gm, tgt_gm = _extreme_case()
+    plan = plan_srw_hybrid(src_gm, tgt_gm)
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 50, size=(360, 720)).astype(np.float32)
+    got = np.asarray(make_srw_hybrid_fn(plan, "nearest", np.nan)(jnp.asarray(data)))
+    valid = ~np.isnan(got)
+    assert valid.mean() > 0.9
+    assert np.isin(got[valid], np.arange(50, dtype=np.float32)).all()

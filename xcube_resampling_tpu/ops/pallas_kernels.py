@@ -75,7 +75,9 @@ def srw_vertical_pallas(
     base_sh = base + m_top  # >= 0, base_sh + d_taps <= padded height
 
     base_blocks = base_sh.reshape(n_blocks, row_block)
-    win_start = jnp.min(base_blocks, axis=1)
+    # 8-aligned window origins: Mosaic requires provable sublane alignment
+    # on both the HBM->VMEM DMA offset and the per-row VMEM slices
+    win_start = (jnp.min(base_blocks, axis=1) // 8) * 8
     span = int(jnp.max(jnp.max(base_blocks, axis=1) - win_start))
     # per-row VMEM slices must start at a multiple of 8 sublanes (Mosaic
     # can't prove alignment of arbitrary dynamic offsets): the kernel
@@ -94,7 +96,7 @@ def srw_vertical_pallas(
 
     def kernel(win_start_ref, base_ref, src_ref, pos_ref, out_ref, win, sem):
         blk = pl.program_id(0)
-        w0 = win_start_ref[blk]
+        w0 = pl.multiple_of(win_start_ref[blk], 8)
         dma = pltpu.make_async_copy(
             src_ref.at[pl.ds(w0, win_h), :], win, sem
         )
@@ -106,7 +108,7 @@ def srw_vertical_pallas(
             # 8-aligned window start (provably a sublane multiple); rows
             # between s8 and the true start get zero hat weight, so the
             # padded reduction is exact
-            s8 = ((b - w0) // 8) * 8
+            s8 = pl.multiple_of(((b - w0) // 8) * 8, 8)
             window = win[pl.ds(s8, d_pad), :]  # (d_pad, W) in VMEM
             p = pos_ref[r, :]
             k0 = (w0 + s8 - m_top).astype(jnp.float32)

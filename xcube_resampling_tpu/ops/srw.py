@@ -540,6 +540,331 @@ def make_srw_aligned_fn(
 
 
 # ---------------------------------------------------------------------------
+# hybrid plan (severe, spatially varying warp)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SRWHybridPlan:
+    """Hybrid strategy: align shifts (as in the aligned plan) collapse the
+    bulk rotation, *tiled* residual bases absorb the row/column dependence
+    that sinks the pure aligned plan on domain-scale warps (where the local
+    rotation/scale varies by tens of degrees, e.g. full-plane 4326->3035).
+
+    Residual structure: with ``s_v(c)`` the per-column shift, the vertical
+    tap base may depend on (output row, column tile), so the only quantity
+    that must stay small is the *in-tile column spread at fixed row* of
+    ``iy*(j,c) - s_v(c)`` — a mixed-derivative term, orders of magnitude
+    smaller than the raw rotation slope that bounds the tiled plan.
+    """
+
+    iystar_c: np.ndarray
+    ix_c: np.ndarray
+    iy_c: np.ndarray
+    step: int
+    s_v: np.ndarray  # (src_w,) int32 >= 0 upward shift per source column
+    bits_v: int
+    base_v: np.ndarray  # (out_h, n_col_tiles) int32, residual space
+    d_v: int
+    col_tile: int
+    s_h: np.ndarray  # (out_h,) int32 >= 0 left shift per output row
+    bits_h: int
+    base_h: np.ndarray  # (n_row_tiles, out_w) int32, residual space
+    d_h: int
+    row_tile: int
+    src_h: int
+    src_w: int
+    out_h: int
+    out_w: int
+
+
+def plan_srw_hybrid(
+    source_gm: GridMapping,
+    target_gm: GridMapping,
+    step: int = 16,
+    max_taps: int = 32,
+    tap_budget: int = 12,
+    fields: _Fields | None = None,
+) -> SRWHybridPlan | None:
+    if fields is None:
+        fields = _coarse_geometry(source_gm, target_gm, step)
+    if fields is None:
+        return None
+    ix64, iy64, iystar = fields.ix64, fields.iy64, fields.iystar64
+    src_h, src_w = fields.src_h, fields.src_w
+    out_h, out_w = fields.out_h, fields.out_w
+    step = fields.step
+
+    # ---- vertical: derivative-midrange shift — s_v'(c) is the midrange
+    # over output rows of d iy*/dc, which minimizes the worst-case in-tile
+    # residual slope at any row (the base absorbs all row dependence)
+    cs = np.arange(iystar.shape[1], dtype=np.float64) * step
+    dv = np.diff(iystar, axis=1)
+    mid_slope_v = 0.5 * (dv.max(axis=0) + dv.min(axis=0))
+    s_v_coarse = np.concatenate([[0.0], np.cumsum(mid_slope_v)])
+    s_v_coarse = np.round(s_v_coarse)
+    s_v0 = np.round(
+        np.interp(np.arange(src_w, dtype=np.float64), cs, s_v_coarse)
+    ).astype(np.int64)
+    s_v = s_v0 - s_v0.min()
+    bits_v = max(1, int(s_v.max()).bit_length())
+
+    # residual at the coarse grid, using the exact per-pixel shift values
+    s_v0_at_cs = s_v0[np.clip(cs.astype(np.int64), 0, src_w - 1)]
+    res_v = iystar - (s_v0_at_cs - s_v0.min())[None, :]
+    res_rows = _interp_rows(res_v, out_h, step)  # (out_h, ncc)
+    ncc = res_v.shape[1]
+
+    def _v_layout(col_tile):
+        n_col_tiles = -(-src_w // col_tile)
+        base = np.zeros((out_h, n_col_tiles), dtype=np.int32)
+        span_max = 0.0
+        for t in range(n_col_tiles):
+            c0 = t * col_tile
+            c1 = min((t + 1) * col_tile, src_w)
+            k0 = max(0, c0 // step - 1)
+            k1 = min(ncc, -(-c1 // step) + 1)
+            seg = res_rows[:, k0:k1]
+            m = seg.min(axis=1)
+            base[:, t] = np.floor(m).astype(np.int32) - 1
+            span_max = max(span_max, float((seg.max(axis=1) - m).max()))
+        return base, int(np.ceil(span_max)) + 4
+
+    # the vertical take's lane dimension is col_tile: tiles below 128
+    # waste lanes, so weight the tap count by the wasted fraction
+    best_v = None
+    for cand in (512, 256, 128, 64, 32):
+        base, d = _v_layout(cand)
+        eff = d * max(1.0, 128.0 / cand)
+        if d <= max_taps and (best_v is None or eff < best_v[0]):
+            best_v = (eff, cand, base, d)
+    if best_v is None:
+        return None
+    _, col_tile, base_v, d_v = best_v
+
+    # ---- horizontal: derivative-midrange shift over rows; residual
+    # i-dependence is absorbed by the per-column base within each row tile
+    rows_grid = np.arange(ix64.shape[0], dtype=np.float64) * step
+    dh = np.diff(ix64, axis=0)
+    mid_slope_h = 0.5 * (dh.max(axis=1) + dh.min(axis=1))
+    s_h_coarse = np.concatenate([[0.0], np.cumsum(mid_slope_h)])
+    s_h_coarse = np.round(s_h_coarse)
+    s_h0 = np.round(
+        np.interp(np.arange(out_h, dtype=np.float64), rows_grid, s_h_coarse)
+    ).astype(np.int64)
+    s_h = s_h0 - s_h0.min()
+    bits_h = max(1, int(s_h.max()).bit_length())
+
+    s_h0_at_rows = s_h0[
+        np.clip(rows_grid.astype(np.int64), 0, out_h - 1)
+    ]
+    res_h = ix64 - (s_h0_at_rows - s_h0.min())[:, None]
+    res_cols = _interp_cols(res_h, out_w, step)  # (ncj, out_w)
+    ncj = ix64.shape[0]
+    sample_rows = np.arange(ncj) * step
+
+    def _h_layout(row_tile):
+        n_row_tiles = -(-out_h // row_tile)
+        base = np.zeros((n_row_tiles, out_w), dtype=np.int32)
+        span_max_h = 0.0
+        for t in range(n_row_tiles):
+            r0 = t * row_tile
+            r1 = min((t + 1) * row_tile, out_h)
+            k0 = max(0, int(np.searchsorted(sample_rows, r0)) - 1)
+            k1 = min(ncj, int(np.searchsorted(sample_rows, r1)) + 2)
+            seg = res_cols[k0:k1, :]
+            m = seg.min(axis=0)
+            base[t, :] = np.floor(m).astype(np.int32) - 1
+            span_max_h = max(span_max_h, float((seg.max(axis=0) - m).max()))
+        return base, int(np.ceil(span_max_h)) + 4
+
+    # the horizontal take's lane dimension is out_w (full rows); row_tile
+    # only sets the sublane batch, so small tiles carry no lane penalty
+    best_h = None
+    for cand in (512, 256, 128, 64, 32, 16):
+        base, d = _h_layout(cand)
+        if d <= max_taps and (best_h is None or d < best_h[0]):
+            best_h = (d, cand, base)
+    if best_h is None:
+        return None
+    d_h, row_tile, base_h = best_h
+
+    return SRWHybridPlan(
+        iystar_c=iystar.astype(np.float32),
+        ix_c=ix64.astype(np.float32),
+        iy_c=iy64.astype(np.float32),
+        step=step,
+        s_v=s_v.astype(np.int32),
+        bits_v=bits_v,
+        base_v=base_v,
+        d_v=d_v,
+        col_tile=col_tile,
+        s_h=s_h.astype(np.int32),
+        bits_h=bits_h,
+        base_h=base_h,
+        d_h=d_h,
+        row_tile=row_tile,
+        src_h=src_h,
+        src_w=src_w,
+        out_h=out_h,
+        out_w=out_w,
+    )
+
+
+def make_srw_hybrid_fn(
+    plan: SRWHybridPlan, interp_method: str = "bilinear", fill_value=np.nan
+):
+    """Compile the hybrid kernel: shift passes + tiled residual taps.
+
+    The tile loops use *batched* takes (``take_along_axis`` over a tile
+    axis) so the op count stays at d_v + d_h regardless of tile count —
+    XLA lowers the per-tile row gather to streaming loads.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if interp_method not in ("bilinear", "nearest"):
+        raise ValueError("SRW supports 'bilinear' and 'nearest' only")
+
+    p = plan
+    iystar_c = jnp.asarray(p.iystar_c)
+    ix_c = jnp.asarray(p.ix_c)
+    iy_c = jnp.asarray(p.iy_c)
+    s_v = jnp.asarray(p.s_v)
+    s_h = jnp.asarray(p.s_h)
+    base_v = jnp.asarray(p.base_v)
+    base_h = jnp.asarray(p.base_h)
+
+    from .reproject_ops import _interp_field
+
+    n_col_tiles = p.base_v.shape[1]
+    n_row_tiles = p.base_h.shape[0]
+    # padded tiled widths (tiles uniformized to full size; edge tiles pad)
+    src_w_pad = n_col_tiles * p.col_tile
+    out_h_pad = n_row_tiles * p.row_tile
+
+    def weight(pos, k):
+        if interp_method == "bilinear":
+            return jnp.maximum(0.0, 1.0 - jnp.abs(pos - k))
+        return (jnp.round(pos) == k).astype(jnp.float32)
+
+    @jax.jit
+    def kernel(src, iystar_f, ix_f, iy_f, sv, sh, bv, bh):
+        batch = src.shape[:-2]
+
+        # --- vertical: align columns upward by s_v via log2 shift passes
+        src2 = src.astype(jnp.float32)
+        for b in range(p.bits_v):
+            k = 1 << b
+            rolled = jnp.concatenate(
+                [
+                    src2[..., k:, :],
+                    jnp.repeat(src2[..., -1:, :], k, axis=-2),
+                ],
+                axis=-2,
+            )
+            mask = ((sv >> b) & 1).astype(bool)[None, :]
+            src2 = jnp.where(mask, rolled, src2)
+
+        # residual tap positions on the (out row, src col) grid
+        rows = jnp.arange(p.out_h, dtype=jnp.float32)[:, None]
+        cols_src = jnp.arange(p.src_w, dtype=jnp.float32)[None, :]
+        pos_v = (
+            _interp_field(iystar_f, rows, cols_src, p.step, jnp)
+            - sv[None, :].astype(jnp.float32)
+        )
+        if src_w_pad > p.src_w:
+            pad = src_w_pad - p.src_w
+            src2 = jnp.pad(src2, [(0, 0)] * (src2.ndim - 1) + [(0, pad)])
+            pos_v = jnp.pad(pos_v, ((0, 0), (0, pad)))
+        # tile axis up front: (T, ..., src_h, col_tile)
+        src_t = jnp.moveaxis(
+            src2.reshape(batch + (p.src_h, n_col_tiles, p.col_tile)), -2, 0
+        )
+        pos_t = jnp.moveaxis(
+            pos_v.reshape(p.out_h, n_col_tiles, p.col_tile), -2, 0
+        )
+        acc = jnp.zeros(
+            (n_col_tiles,) + batch + (p.out_h, p.col_tile), jnp.float32
+        )
+        bvt = jnp.moveaxis(bv, -1, 0)  # (T, out_h)
+        for d in range(p.d_v):
+            idx = jnp.clip(bvt + d, 0, p.src_h - 1)  # (T, out_h)
+            w = weight(pos_t, (bvt + d)[..., None].astype(jnp.float32))
+            idx_b = idx.reshape(
+                (n_col_tiles,) + (1,) * len(batch) + (p.out_h, 1)
+            )
+            taken = jnp.take_along_axis(
+                src_t, jnp.broadcast_to(idx_b, acc.shape), axis=-2
+            )
+            acc = acc + w.reshape(
+                (n_col_tiles,) + (1,) * len(batch) + (p.out_h, p.col_tile)
+            ) * taken
+        v = jnp.moveaxis(acc, 0, -2).reshape(
+            batch + (p.out_h, src_w_pad)
+        )[..., : p.src_w]
+
+        # --- horizontal: align rows leftward by s_h
+        v2 = v
+        for b in range(p.bits_h):
+            k = 1 << b
+            rolled = jnp.concatenate(
+                [
+                    v2[..., :, k:],
+                    jnp.repeat(v2[..., :, -1:], k, axis=-1),
+                ],
+                axis=-1,
+            )
+            mask = ((sh >> b) & 1).astype(bool)[:, None]
+            v2 = jnp.where(mask, rolled, v2)
+
+        cols = jnp.arange(p.out_w, dtype=jnp.float32)[None, :]
+        pos_h = (
+            _interp_field(ix_f, rows, cols, p.step, jnp)
+            - sh[:, None].astype(jnp.float32)
+        )
+        if out_h_pad > p.out_h:
+            pad = out_h_pad - p.out_h
+            v2 = jnp.pad(
+                v2, [(0, 0)] * (v2.ndim - 2) + [(0, pad), (0, 0)]
+            )
+            pos_h = jnp.pad(pos_h, ((0, pad), (0, 0)))
+        v_t = jnp.moveaxis(
+            v2.reshape(batch + (n_row_tiles, p.row_tile, p.src_w)), -3, 0
+        )  # (T, ..., row_tile, src_w)
+        pos_ht = jnp.moveaxis(
+            pos_h.reshape(n_row_tiles, p.row_tile, p.out_w), 0, 0
+        )
+        out_acc = jnp.zeros(
+            (n_row_tiles,) + batch + (p.row_tile, p.out_w), jnp.float32
+        )
+        for d in range(p.d_h):
+            idx = jnp.clip(bh + d, 0, p.src_w - 1)  # (T, out_w)
+            w = weight(
+                pos_ht, (bh + d)[:, None, :].astype(jnp.float32)
+            )  # (T, row_tile, out_w)
+            idx_b = idx.reshape(
+                (n_row_tiles,) + (1,) * len(batch) + (1, p.out_w)
+            )
+            taken = jnp.take_along_axis(
+                v_t, jnp.broadcast_to(idx_b, out_acc.shape), axis=-1
+            )
+            out_acc = out_acc + w.reshape(
+                (n_row_tiles,) + (1,) * len(batch) + (p.row_tile, p.out_w)
+            ) * taken
+        out = jnp.moveaxis(out_acc, 0, -3).reshape(
+            batch + (out_h_pad, p.out_w)
+        )[..., : p.out_h, :]
+
+        return _mask_fill(out, ix_f, iy_f, p, fill_value, jnp)
+
+    def fn(src):
+        return kernel(src, iystar_c, ix_c, iy_c, s_v, s_h, base_v, base_h)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
 # strategy chooser
 # ---------------------------------------------------------------------------
 
@@ -550,12 +875,28 @@ def make_srw_reproject_fn(
     interp_method: str = "bilinear",
     fill_value=np.nan,
     step: int = 16,
+    allow_hybrid: bool = False,
     **plan_kwargs,
 ):
     """Plan + compile the best SRW strategy, or None when unsuitable
-    (callers then use the XLA-gather kernel)."""
+    (callers then use the XLA-gather kernel).
+
+    ``allow_hybrid`` admits the hybrid strategy for extreme warps.  It is
+    opt-in because the two-pass decomposition is a *different
+    discretization* of the continuous warp than direct bilinear: exact on
+    locally-linear fields, ~0.3% on smooth rasters, but visibly different
+    near the Nyquist limit when the local rotation is large.  The tiled
+    and aligned strategies only engage where the warp is mild enough that
+    this difference is within the device path's documented ~1e-2 px
+    tolerance; hybrid extends coverage to domain-scale rotations at the
+    cost of that guarantee.  (Also via env ``XRTPU_FAST_EXTREME_WARP=1``.)
+    """
+    import os
+
     if interp_method not in ("bilinear", "nearest"):
         return None
+    if os.environ.get("XRTPU_FAST_EXTREME_WARP", "") == "1":
+        allow_hybrid = True
     fields = _coarse_geometry(source_gm, target_gm, step)
     if fields is None:
         return None
@@ -563,17 +904,37 @@ def make_srw_reproject_fn(
     aligned = plan_srw_aligned(
         source_gm, target_gm, step=step, fields=fields, max_taps=24
     )
-    # cost model: one full-array stream per tap / per shift pass
-    cost_tiled = (tiled.d_v + tiled.d_h) if tiled is not None else None
-    cost_aligned = (
-        aligned.bits_v + aligned.bits_h + aligned.d_v + aligned.d_h
-        if aligned is not None
+    hybrid = (
+        plan_srw_hybrid(source_gm, target_gm, step=step, fields=fields)
+        if allow_hybrid
         else None
     )
-    if cost_tiled is not None and (
-        cost_aligned is None or cost_tiled <= cost_aligned
-    ):
-        return make_srw_fn(tiled, interp_method, fill_value)
+    # cost model: one full-array stream per tap / per shift pass (hybrid
+    # pays a couple of extra reshuffle streams for its tile batching)
+    candidates = []
+    if tiled is not None:
+        candidates.append((tiled.d_v + tiled.d_h, "tiled", tiled))
     if aligned is not None:
-        return make_srw_aligned_fn(aligned, interp_method, fill_value)
-    return None
+        candidates.append(
+            (
+                aligned.bits_v + aligned.bits_h + aligned.d_v + aligned.d_h,
+                "aligned",
+                aligned,
+            )
+        )
+    if hybrid is not None:
+        candidates.append(
+            (
+                hybrid.bits_v + hybrid.bits_h + hybrid.d_v + hybrid.d_h + 4,
+                "hybrid",
+                hybrid,
+            )
+        )
+    if not candidates:
+        return None
+    _, kind, best = min(candidates, key=lambda c: c[0])
+    if kind == "tiled":
+        return make_srw_fn(best, interp_method, fill_value)
+    if kind == "aligned":
+        return make_srw_aligned_fn(best, interp_method, fill_value)
+    return make_srw_hybrid_fn(best, interp_method, fill_value)
