@@ -170,6 +170,21 @@ def bench_reproject_global(log):
             f"reproject 4326->3035 {interp} [{kind}]: "
             f"{mpix_s:.1f} Mpix/s ({dt*1e3:.2f} ms)"
         )
+    # opt-in fast extreme-warp mode (two-pass filter semantics)
+    try:
+        fn = make_srw_reproject_fn(
+            source_gm, target_gm, "bilinear", np.nan, allow_hybrid=True
+        )
+        if fn is not None:
+            dt = _time_fn(fn, src)
+            mpix_s = out_w * out_h / dt / 1e6
+            results["bilinear_hybrid"] = mpix_s
+            log(
+                f"reproject 4326->3035 bilinear [srw-hybrid, opt-in]: "
+                f"{mpix_s:.1f} Mpix/s ({dt*1e3:.2f} ms)"
+            )
+    except Exception as e:  # noqa: BLE001
+        log(f"hybrid bench skipped: {e!r}")
     return results
 
 
