@@ -172,9 +172,24 @@ class Dataset:
     # -- manipulation ---------------------------------------------------------
 
     def copy(self) -> "Dataset":
+        """Shallow copy (xarray parity): data is shared, but every variable
+        gets an independent wrapper and attrs container, so mutating the
+        copy's metadata never leaks into the original."""
         out = Dataset(attrs=dict(self._attrs))
-        out._data_vars = dict(self._data_vars)
-        out._coords = dict(self._coords)
+        out._data_vars = {
+            k: DataArray(
+                v.data, dims=v.dims, attrs=dict(v.attrs), name=v.name,
+                chunks=v.chunks,
+            )
+            for k, v in self._data_vars.items()
+        }
+        out._coords = {
+            k: DataArray(
+                v.data, dims=v.dims, attrs=dict(v.attrs), name=v.name,
+                chunks=v.chunks,
+            )
+            for k, v in self._coords.items()
+        }
         return out
 
     def drop_vars(self, names: str | Iterable[str], errors: str = "raise") -> "Dataset":
