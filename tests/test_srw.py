@@ -128,7 +128,9 @@ def test_srw_chooser_handles_severe_warp():
 
 def _extreme_case():
     """Scaled-down full-plane 4326 -> 3035: domain-scale rotation that
-    defeats both the tiled and the aligned strategies."""
+    defeats both the tiled and the aligned strategies (and, near the
+    projection singularity, the whole-domain hybrid via its curvature
+    gate)."""
     src_gm = GridMapping.regular(
         size=(720, 360), xy_min=(-180, -90), xy_res=0.5, crs="EPSG:4326"
     )
@@ -137,6 +139,45 @@ def _extreme_case():
         crs="EPSG:3035",
     )
     return src_gm, tgt_gm
+
+
+def _moderate_hybrid_case():
+    """Southern 3035 window: strong rotation but away from the singular
+    corners — the whole-domain hybrid plan applies."""
+    src_gm = GridMapping.regular(
+        size=(720, 360), xy_min=(-180, -90), xy_res=0.5, crs="EPSG:4326"
+    )
+    tgt_gm = GridMapping.regular(
+        size=(512, 256), xy_min=(900000.0, 900000.0), xy_res=7000.0,
+        crs="EPSG:3035",
+    )
+    return src_gm, tgt_gm
+
+
+def _exact_truth(src_gm, tgt_gm, data64):
+    """Float64 per-pixel inverse transform + direct bilinear (ground
+    truth, no coarse fields)."""
+    from xcube_resampling_tpu.crs import Transformer
+
+    t = Transformer.from_crs(tgt_gm.crs, src_gm.crs)
+    tx = np.asarray(tgt_gm.x_coords.data, np.float64)
+    ty = np.asarray(tgt_gm.y_coords.data, np.float64)
+    xx_t, yy_t = np.meshgrid(tx, ty)
+    sx, sy = t.transform(xx_t, yy_t)
+    sxs = np.asarray(src_gm.x_coords.data, np.float64)
+    sys_ = np.asarray(src_gm.y_coords.data, np.float64)
+    ix = (sx - sxs[0]) / (sxs[1] - sxs[0])
+    iy = (sy - sys_[0]) / (sys_[1] - sys_[0])
+    h, w = data64.shape
+    valid = (ix > -0.5) & (ix < w - 0.5) & (iy > -0.5) & (iy < h - 0.5)
+    i0 = np.clip(np.floor(np.clip(ix, 0, w - 1)).astype(int), 0, w - 2)
+    j0 = np.clip(np.floor(np.clip(iy, 0, h - 1)).astype(int), 0, h - 2)
+    fi = np.clip(ix, 0, w - 1) - i0
+    fj = np.clip(iy, 0, h - 1) - j0
+    tr = (1 - fj) * ((1 - fi) * data64[j0, i0] + fi * data64[j0, i0 + 1]) + (
+        fj
+    ) * ((1 - fi) * data64[j0 + 1, i0] + fi * data64[j0 + 1, i0 + 1])
+    return np.where(valid, tr, np.nan)
 
 
 def test_hybrid_plans_where_others_fail():
@@ -154,27 +195,27 @@ def test_hybrid_plans_where_others_fail():
 
 
 def test_hybrid_exact_on_linear_field():
-    """The two-pass decomposition reproduces direct bilinear exactly on
-    locally-linear data (both are exact there)."""
+    """With the curvature gate, hybrid output matches exact direct
+    bilinear on linear data to field-interp accuracy."""
     from xcube_resampling_tpu.ops.srw import (
         make_srw_hybrid_fn,
         plan_srw_hybrid,
     )
 
-    src_gm, tgt_gm = _extreme_case()
+    src_gm, tgt_gm = _moderate_hybrid_case()
     plan = plan_srw_hybrid(src_gm, tgt_gm)
     yy, xx = np.mgrid[0:360, 0:720].astype(np.float64)
-    data = ((xx + 2 * yy) / 1000).astype(np.float32)
-    got = np.asarray(make_srw_hybrid_fn(plan, "bilinear", np.nan)(jnp.asarray(data)))
-    ref = np.asarray(
-        make_fused_reproject_fn(src_gm, tgt_gm, "bilinear", np.nan)(
-            jnp.asarray(data)
+    data64 = (xx + 2 * yy) / 1000
+    got = np.asarray(
+        make_srw_hybrid_fn(plan, "bilinear", np.nan)(
+            jnp.asarray(data64.astype(np.float32))
         )
     )
-    both = ~np.isnan(got) & ~np.isnan(ref)
-    assert both.mean() > 0.9
-    np.testing.assert_allclose(got[both], ref[both], atol=1e-3)
-    assert (np.isnan(got) != np.isnan(ref)).mean() < 0.01
+    truth = _exact_truth(src_gm, tgt_gm, data64)
+    both = ~np.isnan(got) & ~np.isnan(truth)
+    assert both.mean() > 0.5
+    np.testing.assert_allclose(got[both], truth[both], atol=5e-3)
+    assert (np.isnan(got) != np.isnan(truth)).mean() < 0.01
 
 
 def test_hybrid_close_on_smooth_field():
@@ -183,24 +224,24 @@ def test_hybrid_close_on_smooth_field():
         plan_srw_hybrid,
     )
 
-    src_gm, tgt_gm = _extreme_case()
+    src_gm, tgt_gm = _moderate_hybrid_case()
     plan = plan_srw_hybrid(src_gm, tgt_gm)
     yy, xx = np.mgrid[0:360, 0:720].astype(np.float64)
-    data = (np.sin(xx / 40) * np.cos(yy / 30)).astype(np.float32)
-    got = np.asarray(make_srw_hybrid_fn(plan, "bilinear", np.nan)(jnp.asarray(data)))
-    ref = np.asarray(
-        make_fused_reproject_fn(src_gm, tgt_gm, "bilinear", np.nan)(
-            jnp.asarray(data)
+    data64 = np.sin(xx / 40) * np.cos(yy / 30)
+    got = np.asarray(
+        make_srw_hybrid_fn(plan, "bilinear", np.nan)(
+            jnp.asarray(data64.astype(np.float32))
         )
     )
-    both = ~np.isnan(got) & ~np.isnan(ref)
-    d = np.abs(got[both] - ref[both])
+    truth = _exact_truth(src_gm, tgt_gm, data64)
+    both = ~np.isnan(got) & ~np.isnan(truth)
+    d = np.abs(got[both] - truth[both])
     assert d.max() < 0.02 and d.mean() < 5e-3
 
 
 def test_hybrid_is_opt_in():
     src_gm, tgt_gm = _extreme_case()
-    # default: extreme warp -> no SRW function (gather fallback preserves
+    # default: severe warp -> no SRW function (gather fallback preserves
     # direct-bilinear semantics)
     assert make_srw_reproject_fn(src_gm, tgt_gm, "bilinear") is None
     fn = make_srw_reproject_fn(src_gm, tgt_gm, "bilinear", allow_hybrid=True)
@@ -213,11 +254,36 @@ def test_hybrid_nearest_produces_source_values():
         plan_srw_hybrid,
     )
 
-    src_gm, tgt_gm = _extreme_case()
+    src_gm, tgt_gm = _moderate_hybrid_case()
     plan = plan_srw_hybrid(src_gm, tgt_gm)
     rng = np.random.default_rng(1)
     data = rng.integers(0, 50, size=(360, 720)).astype(np.float32)
     got = np.asarray(make_srw_hybrid_fn(plan, "nearest", np.nan)(jnp.asarray(data)))
     valid = ~np.isnan(got)
-    assert valid.mean() > 0.9
+    assert valid.mean() > 0.5
     assert np.isin(got[valid], np.arange(50, dtype=np.float32)).all()
+
+
+def test_region_reproject_extreme_case_vs_exact():
+    """Region decomposition covers the full extreme case at direct-bilinear
+    accuracy: high-curvature regions are routed to the gather kernel by the
+    curvature gate, the rest run gather-free."""
+    from xcube_resampling_tpu.ops.srw import make_region_reproject_fn
+
+    src_gm, tgt_gm = _extreme_case()
+    fn = make_region_reproject_fn(
+        src_gm, tgt_gm, "bilinear", np.nan, base_split=2, max_depth=1
+    )
+    assert fn is not None
+    yy, xx = np.mgrid[0:360, 0:720].astype(np.float64)
+    for data64, atol in (
+        ((xx + 2 * yy) / 1000, 5e-3),
+        (np.sin(xx / 40) * np.cos(yy / 30), 3e-2),
+    ):
+        got = np.asarray(fn(jnp.asarray(data64.astype(np.float32))))
+        truth = _exact_truth(src_gm, tgt_gm, data64)
+        both = ~np.isnan(got) & ~np.isnan(truth)
+        assert both.mean() > 0.9
+        d = np.abs(got[both] - truth[both])
+        assert d.max() < atol, f"max err {d.max():.2e} vs atol {atol}"
+        assert (np.isnan(got) != np.isnan(truth)).mean() < 0.01

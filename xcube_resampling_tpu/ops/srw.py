@@ -135,6 +135,32 @@ def _interp_cols(field: np.ndarray, n_cols: int, step: int) -> np.ndarray:
     return field[:, ic0] * (1 - fcc[None, :]) + field[:, ic0 + 1] * fcc[None, :]
 
 
+def _fields_interp_err(fields: _Fields) -> float:
+    """Estimated worst-case position error (pixels) of linearly
+    interpolating the coarse fields: |second difference| / 8.  iy* is
+    evaluated only on the columns reachable by the horizontal taps; its
+    extrapolated tail (outside every row's ix range) never reaches an
+    output pixel."""
+
+    def second_diff_err(f):
+        e = 0.0
+        if f.shape[1] >= 3:
+            e = max(e, float(np.nanmax(np.abs(np.diff(f, 2, axis=1)))) / 8)
+        if f.shape[0] >= 3:
+            e = max(e, float(np.nanmax(np.abs(np.diff(f, 2, axis=0)))) / 8)
+        return e
+
+    ix64, iystar, step = fields.ix64, fields.iystar64, fields.step
+    k0 = max(0, int(np.floor(np.nanmin(ix64) / step)) - 1)
+    k1 = min(iystar.shape[1], int(np.ceil(np.nanmax(ix64) / step)) + 2)
+    used = iystar[:, k0:k1] if k1 - k0 >= 3 else iystar
+    return max(
+        second_diff_err(used),
+        second_diff_err(ix64),
+        second_diff_err(fields.iy64),
+    )
+
+
 # ---------------------------------------------------------------------------
 # tiled plan (mild warp)
 # ---------------------------------------------------------------------------
@@ -477,10 +503,24 @@ def make_srw_aligned_fn(
             return jnp.maximum(0.0, 1.0 - jnp.abs(pos - k))
         return (jnp.round(pos) == k).astype(jnp.float32)
 
+    # shifted-space taps outside [0, src_h)/[0, src_w) must resolve to the
+    # *global* edge, not the shifted array's edge (see make_srw_hybrid_fn)
+    r_lo = min(0, int(plan.base_v.min()))
+    r_hi = max(0, int(plan.base_v.max()) + plan.d_v - plan.src_h)
+    c_lo = min(0, int(plan.base_h.min()))
+    c_hi = max(0, int(plan.base_h.max()) + plan.d_h - plan.src_w)
+
     @jax.jit
     def kernel(src, iystar_f, ix_f, iy_f, sv, sh, bv, bh):
         # --- vertical: align columns upward by s_v via log2 shift passes
         src2 = src.astype(jnp.float32)
+        if r_lo or r_hi:
+            src2 = jnp.concatenate(
+                [jnp.repeat(src2[..., :1, :], -r_lo, axis=-2), src2]
+                + ([jnp.repeat(src2[..., -1:, :], r_hi, axis=-2)] if r_hi else []),
+                axis=-2,
+            )
+        ext_h = p.src_h - r_lo + r_hi
         for b in range(p.bits_v):
             k = 1 << b
             rolled = jnp.concatenate(
@@ -501,13 +541,20 @@ def make_srw_aligned_fn(
         )
         acc = jnp.zeros(src.shape[:-2] + (p.out_h, p.src_w), dtype=jnp.float32)
         for d in range(p.d_v):
-            idx = jnp.clip(bv + d, 0, p.src_h - 1)
+            idx = jnp.clip(bv + d - r_lo, 0, ext_h - 1)
             w = weight(pos, (bv + d)[:, None].astype(jnp.float32))
             acc = acc + w * jnp.take(src2, idx, axis=-2)
         v = acc
 
         # --- horizontal: align rows leftward by s_h
         v2 = v
+        if c_lo or c_hi:
+            v2 = jnp.concatenate(
+                [jnp.repeat(v2[..., :, :1], -c_lo, axis=-1), v2]
+                + ([jnp.repeat(v2[..., :, -1:], c_hi, axis=-1)] if c_hi else []),
+                axis=-1,
+            )
+        ext_w = p.src_w - c_lo + c_hi
         for b in range(p.bits_h):
             k = 1 << b
             rolled = jnp.concatenate(
@@ -527,7 +574,7 @@ def make_srw_aligned_fn(
         )
         out = jnp.zeros(src.shape[:-2] + (p.out_h, p.out_w), dtype=jnp.float32)
         for d in range(p.d_h):
-            idx = jnp.clip(bh + d, 0, p.src_w - 1)
+            idx = jnp.clip(bh + d - c_lo, 0, ext_w - 1)
             w = weight(posh, (bh + d)[None, :].astype(jnp.float32))
             out = out + w * jnp.take(v2, idx, axis=-1)
 
@@ -585,6 +632,7 @@ def plan_srw_hybrid(
     max_taps: int = 32,
     tap_budget: int = 12,
     fields: _Fields | None = None,
+    pos_tol: float = 0.5,
 ) -> SRWHybridPlan | None:
     if fields is None:
         fields = _coarse_geometry(source_gm, target_gm, step)
@@ -594,6 +642,14 @@ def plan_srw_hybrid(
     src_h, src_w = fields.src_h, fields.src_w
     out_h, out_w = fields.out_h, fields.out_w
     step = fields.step
+
+    # curvature gate: the kernel linearly interpolates the coarse iy*/ix
+    # fields; near projection singularities their curvature makes that
+    # interpolation itself wrong by ~|second difference|/8 pixels.  Reject
+    # when the estimated position error exceeds pos_tol (callers can retry
+    # with a finer coarse step — the error scales with step^2).
+    if _fields_interp_err(fields) > pos_tol:
+        return None
 
     # ---- vertical: derivative-midrange shift — s_v'(c) is the midrange
     # over output rows of d iy*/dc, which minimizes the worst-case in-tile
@@ -748,12 +804,29 @@ def make_srw_hybrid_fn(
             return jnp.maximum(0.0, 1.0 - jnp.abs(pos - k))
         return (jnp.round(pos) == k).astype(jnp.float32)
 
+    # shifted-space tap ranges can leave [0, src_h): clamping there would
+    # read row s_v(c) / column s_h(j) instead of the true global edge (the
+    # shift moves the array edge per column/row).  Pad so every tap index
+    # is in-bounds of an array whose construction already encodes the
+    # correct global clamp-to-edge.
+    r_lo = min(0, int(plan.base_v.min()))
+    r_hi = max(0, int(plan.base_v.max()) + plan.d_v - plan.src_h)
+    c_lo = min(0, int(plan.base_h.min()))
+    c_hi = max(0, int(plan.base_h.max()) + plan.d_h - plan.src_w)
+
     @jax.jit
     def kernel(src, iystar_f, ix_f, iy_f, sv, sh, bv, bh):
         batch = src.shape[:-2]
 
         # --- vertical: align columns upward by s_v via log2 shift passes
         src2 = src.astype(jnp.float32)
+        if r_lo or r_hi:
+            src2 = jnp.concatenate(
+                [jnp.repeat(src2[..., :1, :], -r_lo, axis=-2), src2]
+                + ([jnp.repeat(src2[..., -1:, :], r_hi, axis=-2)] if r_hi else []),
+                axis=-2,
+            )
+        ext_h = p.src_h - r_lo + r_hi
         for b in range(p.bits_v):
             k = 1 << b
             rolled = jnp.concatenate(
@@ -777,9 +850,9 @@ def make_srw_hybrid_fn(
             pad = src_w_pad - p.src_w
             src2 = jnp.pad(src2, [(0, 0)] * (src2.ndim - 1) + [(0, pad)])
             pos_v = jnp.pad(pos_v, ((0, 0), (0, pad)))
-        # tile axis up front: (T, ..., src_h, col_tile)
+        # tile axis up front: (T, ..., ext_h, col_tile)
         src_t = jnp.moveaxis(
-            src2.reshape(batch + (p.src_h, n_col_tiles, p.col_tile)), -2, 0
+            src2.reshape(batch + (ext_h, n_col_tiles, p.col_tile)), -2, 0
         )
         pos_t = jnp.moveaxis(
             pos_v.reshape(p.out_h, n_col_tiles, p.col_tile), -2, 0
@@ -789,7 +862,7 @@ def make_srw_hybrid_fn(
         )
         bvt = jnp.moveaxis(bv, -1, 0)  # (T, out_h)
         for d in range(p.d_v):
-            idx = jnp.clip(bvt + d, 0, p.src_h - 1)  # (T, out_h)
+            idx = jnp.clip(bvt + d - r_lo, 0, ext_h - 1)  # (T, out_h)
             w = weight(pos_t, (bvt + d)[..., None].astype(jnp.float32))
             idx_b = idx.reshape(
                 (n_col_tiles,) + (1,) * len(batch) + (p.out_h, 1)
@@ -806,6 +879,13 @@ def make_srw_hybrid_fn(
 
         # --- horizontal: align rows leftward by s_h
         v2 = v
+        if c_lo or c_hi:
+            v2 = jnp.concatenate(
+                [jnp.repeat(v2[..., :, :1], -c_lo, axis=-1), v2]
+                + ([jnp.repeat(v2[..., :, -1:], c_hi, axis=-1)] if c_hi else []),
+                axis=-1,
+            )
+        ext_w = p.src_w - c_lo + c_hi
         for b in range(p.bits_h):
             k = 1 << b
             rolled = jnp.concatenate(
@@ -830,8 +910,8 @@ def make_srw_hybrid_fn(
             )
             pos_h = jnp.pad(pos_h, ((0, pad), (0, 0)))
         v_t = jnp.moveaxis(
-            v2.reshape(batch + (n_row_tiles, p.row_tile, p.src_w)), -3, 0
-        )  # (T, ..., row_tile, src_w)
+            v2.reshape(batch + (n_row_tiles, p.row_tile, ext_w)), -3, 0
+        )  # (T, ..., row_tile, ext_w)
         pos_ht = jnp.moveaxis(
             pos_h.reshape(n_row_tiles, p.row_tile, p.out_w), 0, 0
         )
@@ -839,7 +919,7 @@ def make_srw_hybrid_fn(
             (n_row_tiles,) + batch + (p.row_tile, p.out_w), jnp.float32
         )
         for d in range(p.d_h):
-            idx = jnp.clip(bh + d, 0, p.src_w - 1)  # (T, out_w)
+            idx = jnp.clip(bh + d - c_lo, 0, ext_w - 1)  # (T, out_w)
             w = weight(
                 pos_ht, (bh + d)[:, None, :].astype(jnp.float32)
             )  # (T, row_tile, out_w)
@@ -876,6 +956,7 @@ def make_srw_reproject_fn(
     fill_value=np.nan,
     step: int = 16,
     allow_hybrid: bool = False,
+    pos_tol: float = 0.5,
     **plan_kwargs,
 ):
     """Plan + compile the best SRW strategy, or None when unsuitable
@@ -900,12 +981,21 @@ def make_srw_reproject_fn(
     fields = _coarse_geometry(source_gm, target_gm, step)
     if fields is None:
         return None
+    # central curvature gate (all strategies interpolate the same coarse
+    # fields): estimated interpolation error = |second difference| / 8.
+    # iy* is gated only on the columns the horizontal taps can reach —
+    # outside each row's ix range it is linearly extrapolated bookkeeping
+    # whose curvature never affects output pixels.
+    if _fields_interp_err(fields) > pos_tol:
+        return None
     tiled = plan_srw(source_gm, target_gm, step=step, fields=fields, **plan_kwargs)
     aligned = plan_srw_aligned(
         source_gm, target_gm, step=step, fields=fields, max_taps=24
     )
     hybrid = (
-        plan_srw_hybrid(source_gm, target_gm, step=step, fields=fields)
+        plan_srw_hybrid(
+            source_gm, target_gm, step=step, fields=fields, pos_tol=pos_tol
+        )
         if allow_hybrid
         else None
     )
@@ -938,3 +1028,154 @@ def make_srw_reproject_fn(
     if kind == "aligned":
         return make_srw_aligned_fn(best, interp_method, fill_value)
     return make_srw_hybrid_fn(best, interp_method, fill_value)
+
+
+# ---------------------------------------------------------------------------
+# region decomposition (domain-scale warps beyond any single plan)
+# ---------------------------------------------------------------------------
+
+
+def _source_window_gm(source_gm: GridMapping, fields: _Fields, margin: int):
+    """Crop the source to the rows/columns a region actually taps,
+    returning (window_gm, (j0, j1, i0, i1)) or None for full coverage."""
+    ix, iy = fields.ix64, fields.iy64
+    finite = np.isfinite(ix) & np.isfinite(iy)
+    if not finite.any():
+        return None
+    i0 = max(0, int(np.floor(ix[finite].min())) - margin)
+    i1 = min(fields.src_w, int(np.ceil(ix[finite].max())) + margin + 1)
+    j0 = max(0, int(np.floor(iy[finite].min())) - margin)
+    j1 = min(fields.src_h, int(np.ceil(iy[finite].max())) + margin + 1)
+    if i1 - i0 < 8 or j1 - j0 < 8:
+        return None
+    if (i1 - i0) * (j1 - j0) > 0.8 * fields.src_w * fields.src_h:
+        return None  # not worth cropping
+    x_res = float(source_gm.x_res)
+    y_res = float(source_gm.y_res)
+    if bool(source_gm.is_j_axis_up):
+        y_min = float(source_gm.y_min) + j0 * y_res
+    else:
+        y_min = float(source_gm.y_max) - j1 * y_res
+    win_gm = GridMapping.regular(
+        size=(i1 - i0, j1 - j0),
+        xy_min=(float(source_gm.x_min) + i0 * x_res, y_min),
+        xy_res=(x_res, y_res),
+        crs=source_gm.crs,
+        is_j_axis_up=bool(source_gm.is_j_axis_up),
+    )
+    return win_gm, (j0, j1, i0, i1)
+
+
+def make_region_reproject_fn(
+    source_gm: GridMapping,
+    target_gm: GridMapping,
+    interp_method: str = "bilinear",
+    fill_value=np.nan,
+    step: int = 16,
+    base_split: int = 4,
+    max_depth: int = 2,
+    allow_hybrid: bool = True,
+):
+    """Gather-free reprojection for warps too severe for any single SRW
+    plan: recursively quadtree-split the *target*, plan each region against
+    its own cropped source window (rotation/scale vary far less inside a
+    region, and cropping shrinks every tap stream), and fall back to the
+    XLA gather kernel only for regions that still refuse to plan (e.g.
+    near projection singularities).
+
+    Replaces the reference's uniformized-window tile mosaic
+    (reference reproject.py:385-469) with per-region *planned* kernels.
+    Returns ``fn(src) -> target`` or None when the decomposition cannot
+    beat plain gather (no region plans at all).
+    """
+    import jax.numpy as jnp
+
+    from .reproject_ops import make_fused_reproject_fn
+
+    if interp_method not in ("bilinear", "nearest"):
+        return None
+
+    out_h, out_w = target_gm.height, target_gm.width
+    x_res = float(target_gm.x_res)
+    y_res = float(target_gm.y_res)
+    j_up = bool(target_gm.is_j_axis_up)
+
+    def region_gm(r0, r1, c0, c1):
+        if j_up:
+            y_min = float(target_gm.y_min) + r0 * y_res
+        else:
+            y_min = float(target_gm.y_max) - r1 * y_res
+        return GridMapping.regular(
+            size=(c1 - c0, r1 - r0),
+            xy_min=(float(target_gm.x_min) + c0 * x_res, y_min),
+            xy_res=(x_res, y_res),
+            crs=target_gm.crs,
+            is_j_axis_up=j_up,
+        )
+
+    pieces = []  # (r0, r1, c0, c1, window or None, fn)
+    n_planned = 0
+
+    def build(r0, r1, c0, c1, depth):
+        nonlocal n_planned
+        gm = region_gm(r0, r1, c0, c1)
+        fields = _coarse_geometry(source_gm, gm, step)
+        win = None
+        src_gm_here = source_gm
+        if fields is not None:
+            w = _source_window_gm(source_gm, fields, margin=8 + 48)
+            if w is not None:
+                src_gm_here, win = w
+        # a finer coarse step rescues high-curvature regions: the field
+        # interpolation error that gates planning scales with step^2
+        for step_try in (step, 4):
+            fn = make_srw_reproject_fn(
+                src_gm_here, gm, interp_method, fill_value,
+                step=step_try, allow_hybrid=allow_hybrid,
+            )
+            if fn is not None:
+                n_planned += 1
+                pieces.append((r0, r1, c0, c1, win, fn))
+                return
+        if depth < max_depth and (r1 - r0) >= 128 and (c1 - c0) >= 128:
+            rm = (r0 + r1) // 2
+            cm = (c0 + c1) // 2
+            build(r0, rm, c0, cm, depth + 1)
+            build(r0, rm, cm, c1, depth + 1)
+            build(rm, r1, c0, cm, depth + 1)
+            build(rm, r1, cm, c1, depth + 1)
+            return
+        gfn = make_fused_reproject_fn(
+            src_gm_here, gm, interp_method, fill_value
+        )
+        pieces.append((r0, r1, c0, c1, win, gfn))
+
+    rb = -(-out_h // base_split)
+    cb = -(-out_w // base_split)
+    for bj in range(base_split):
+        for bi in range(base_split):
+            r0, r1 = bj * rb, min((bj + 1) * rb, out_h)
+            c0, c1 = bi * cb, min((bi + 1) * cb, out_w)
+            if r1 > r0 and c1 > c0:
+                build(r0, r1, c0, c1, 0)
+
+    if n_planned == 0:
+        return None  # nothing planned: plain gather on the full grid wins
+
+    def fn(src):
+        src = jnp.asarray(src)
+        out = jnp.full(
+            src.shape[:-2] + (out_h, out_w),
+            jnp.float32(fill_value),
+            dtype=jnp.float32,
+        )
+        for r0, r1, c0, c1, win, piece_fn in pieces:
+            piece_src = (
+                src[..., win[0] : win[1], win[2] : win[3]]
+                if win is not None
+                else src
+            )
+            out = out.at[..., r0:r1, c0:c1].set(piece_fn(piece_src))
+        return out
+
+    return fn
