@@ -295,6 +295,43 @@ def bench_rectify(log):
     return total_pix / (dt_a + dt_b) / 1e6
 
 
+def bench_reproject_20k(log):
+    """Config #5 analogue on one chip: 20k x 20k single-band reproject
+    (UTM zone 32N -> EPSG:3035), memory-resident (~5 GB working set).
+    The multi-chip version of this config is the sharded halo path
+    (parallel/halo.py), validated on the virtual mesh."""
+    import jax.numpy as jnp
+
+    from xcube_resampling_tpu.gridmapping import GridMapping
+    from xcube_resampling_tpu.ops.reproject_ops import make_fused_reproject_fn
+    from xcube_resampling_tpu.ops.srw import make_srw_reproject_fn
+
+    n = 20480
+    source_gm = GridMapping.regular(
+        size=(n, n), xy_min=(300000.0, 5200000.0), xy_res=30.0,
+        crs="epsg:32632",
+    )
+    target_gm = GridMapping.regular(
+        size=(n, n), xy_min=(4050000.0, 2650000.0), xy_res=30.0,
+        crs="epsg:3035",
+    )
+    fn = make_srw_reproject_fn(source_gm, target_gm, "bilinear", np.nan)
+    kind = "srw"
+    if fn is None:
+        fn = make_fused_reproject_fn(source_gm, target_gm, "bilinear", np.nan)
+        kind = "gather"
+    src = jnp.asarray(
+        np.random.default_rng(0).random((n, n), dtype=np.float32)
+    )
+    dt = _time_fn(fn, src, warmup=1, iters=3)
+    mpix_s = n * n / dt / 1e6
+    log(
+        f"reproject 20k x 20k UTM32N->3035 bilinear [{kind}]: "
+        f"{mpix_s:.1f} Mpix/s ({dt*1e3:.1f} ms, {n*n/1e6:.0f} Mpix)"
+    )
+    return mpix_s
+
+
 def main():
     def log(msg):
         print(msg, file=sys.stderr, flush=True)
@@ -319,6 +356,10 @@ def main():
         bench_reproject_global(log)
     except Exception as e:  # noqa: BLE001
         log(f"global reproject bench failed: {e!r}")
+    try:
+        bench_reproject_20k(log)
+    except Exception as e:  # noqa: BLE001
+        log(f"20k reproject bench failed: {e!r}")
 
     results = bench_reproject_utm(log)
     value = results["bilinear"]

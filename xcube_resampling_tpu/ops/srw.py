@@ -1162,6 +1162,12 @@ def make_region_reproject_fn(
     if n_planned == 0:
         return None  # nothing planned: plain gather on the full grid wins
 
+    import jax
+
+    # one jitted dispatch for the whole mosaic: per-piece eager calls would
+    # pay a host->device round trip each (measured to dominate wall time on
+    # remote backends); fused, the pieces also share layout/fusion decisions
+    @jax.jit
     def fn(src):
         src = jnp.asarray(src)
         out = jnp.full(
