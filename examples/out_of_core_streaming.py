@@ -41,7 +41,7 @@ print("band data:", lazy.band.data)  # LazyArray(shape=..., chunks=...)
 
 # --- stream-resample into a tiled output store ------------------------
 target_gm = GridMapping.regular(
-    size=(512, 512), xy_min=(4200000.0, 2700000.0), xy_res=200.0,
+    size=(512, 512), xy_min=(4270000.0, 2480000.0), xy_res=150.0,
     crs="epsg:3035", tile_size=128,
 )
 out_store = zarrlite.MemoryStore()
