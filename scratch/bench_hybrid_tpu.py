@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from xcube_resampling_tpu.gridmapping import GridMapping
-from xcube_resampling_tpu.ops.srw import plan_srw_hybrid, make_srw_hybrid_fn
+from xcube_resampling_tpu.ops.srw import plan_srw_hybrid, make_srw_hybrid_fn, make_region_reproject_fn
 from xcube_resampling_tpu.ops.reproject_ops import make_fused_reproject_fn
 
 
@@ -56,7 +56,24 @@ def main():
     plan = plan_srw_hybrid(source_gm, target_gm)
     print("plan time", time.time() - t0, flush=True)
     if plan is None:
-        print("hybrid: no plan", flush=True)
+        print("hybrid whole-domain: no plan; trying region decomposition",
+              flush=True)
+        src = jnp.asarray(
+            np.random.default_rng(0).random((src_h, src_w), dtype=np.float32)
+        )
+        t0 = time.time()
+        rfn = make_region_reproject_fn(source_gm, target_gm, "bilinear", np.nan)
+        print("region build", time.time() - t0, "fn", rfn is not None, flush=True)
+        if rfn is not None:
+            t0 = time.time()
+            out = rfn(src)
+            float(jnp.nan_to_num(out).ravel()[0])
+            print("region first call", time.time() - t0, "s", flush=True)
+            dt = time_fn(rfn, src, iters=3)
+            print(f"region bilinear: {out_w*out_h/dt/1e6:.1f} Mpix/s ({dt*1e3:.2f} ms)", flush=True)
+        gf = make_fused_reproject_fn(source_gm, target_gm, "bilinear", np.nan)
+        dt = time_fn(gf, src, iters=3)
+        print(f"gather bilinear: {out_w*out_h/dt/1e6:.1f} Mpix/s ({dt*1e3:.2f} ms)", flush=True)
         return
     print(
         "plan:", dict(d_v=plan.d_v, d_h=plan.d_h, col_tile=plan.col_tile,

@@ -734,16 +734,18 @@ def plan_srw_hybrid(
             span_max_h = max(span_max_h, float((seg.max(axis=0) - m).max()))
         return base, int(np.ceil(span_max_h)) + 4
 
-    # the horizontal take's lane dimension is out_w (full rows); row_tile
-    # only sets the sublane batch, so small tiles carry no lane penalty
+    # after the kernel's per-tile transpose, row_tile is the lane
+    # dimension of the horizontal take: weight the tap count by wasted
+    # lanes below 128
     best_h = None
     for cand in (512, 256, 128, 64, 32, 16):
         base, d = _h_layout(cand)
-        if d <= max_taps and (best_h is None or d < best_h[0]):
-            best_h = (d, cand, base)
+        eff = d * max(1.0, 128.0 / cand)
+        if d <= max_taps and (best_h is None or eff < best_h[0]):
+            best_h = (eff, d, cand, base)
     if best_h is None:
         return None
-    d_h, row_tile, base_h = best_h
+    _, d_h, row_tile, base_h = best_h
 
     return SRWHybridPlan(
         iystar_c=iystar.astype(np.float32),
@@ -864,12 +866,14 @@ def make_srw_hybrid_fn(
         for d in range(p.d_v):
             idx = jnp.clip(bvt + d - r_lo, 0, ext_h - 1)  # (T, out_h)
             w = weight(pos_t, (bvt + d)[..., None].astype(jnp.float32))
+            # size-1 trailing/batch index dims are essential: XLA then sees
+            # a lane-invariant row gather (streams at HBM speed); a
+            # materialized full-shape index lowers to a serial gather
+            # (measured 430x slower on v5e)
             idx_b = idx.reshape(
                 (n_col_tiles,) + (1,) * len(batch) + (p.out_h, 1)
             )
-            taken = jnp.take_along_axis(
-                src_t, jnp.broadcast_to(idx_b, acc.shape), axis=-2
-            )
+            taken = jnp.take_along_axis(src_t, idx_b, axis=-2)
             acc = acc + w.reshape(
                 (n_col_tiles,) + (1,) * len(batch) + (p.out_h, p.col_tile)
             ) * taken
@@ -909,30 +913,34 @@ def make_srw_hybrid_fn(
                 v2, [(0, 0)] * (v2.ndim - 2) + [(0, pad), (0, 0)]
             )
             pos_h = jnp.pad(pos_h, ((0, pad), (0, 0)))
-        v_t = jnp.moveaxis(
-            v2.reshape(batch + (n_row_tiles, p.row_tile, ext_w)), -3, 0
-        )  # (T, ..., row_tile, ext_w)
-        pos_ht = jnp.moveaxis(
-            pos_h.reshape(n_row_tiles, p.row_tile, p.out_w), 0, 0
-        )
+        # transpose each row tile so the take indexes sublanes (a per-tile
+        # row gather with size-1 index dims — fast) instead of lanes
+        v_t = jnp.swapaxes(
+            jnp.moveaxis(
+                v2.reshape(batch + (n_row_tiles, p.row_tile, ext_w)), -3, 0
+            ),
+            -1,
+            -2,
+        )  # (T, ..., ext_w, row_tile)
+        pos_ht = jnp.swapaxes(
+            pos_h.reshape(n_row_tiles, p.row_tile, p.out_w), -1, -2
+        )  # (T, out_w, row_tile)
         out_acc = jnp.zeros(
-            (n_row_tiles,) + batch + (p.row_tile, p.out_w), jnp.float32
+            (n_row_tiles,) + batch + (p.out_w, p.row_tile), jnp.float32
         )
         for d in range(p.d_h):
             idx = jnp.clip(bh + d - c_lo, 0, ext_w - 1)  # (T, out_w)
             w = weight(
-                pos_ht, (bh + d)[:, None, :].astype(jnp.float32)
-            )  # (T, row_tile, out_w)
+                pos_ht, (bh + d)[:, :, None].astype(jnp.float32)
+            )  # (T, out_w, row_tile)
             idx_b = idx.reshape(
-                (n_row_tiles,) + (1,) * len(batch) + (1, p.out_w)
+                (n_row_tiles,) + (1,) * len(batch) + (p.out_w, 1)
             )
-            taken = jnp.take_along_axis(
-                v_t, jnp.broadcast_to(idx_b, out_acc.shape), axis=-1
-            )
+            taken = jnp.take_along_axis(v_t, idx_b, axis=-2)
             out_acc = out_acc + w.reshape(
-                (n_row_tiles,) + (1,) * len(batch) + (p.row_tile, p.out_w)
+                (n_row_tiles,) + (1,) * len(batch) + (p.out_w, p.row_tile)
             ) * taken
-        out = jnp.moveaxis(out_acc, 0, -3).reshape(
+        out = jnp.moveaxis(jnp.swapaxes(out_acc, -1, -2), 0, -3).reshape(
             batch + (out_h_pad, p.out_w)
         )[..., : p.out_h, :]
 
