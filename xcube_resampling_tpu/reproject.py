@@ -194,12 +194,20 @@ def _reproject_data_array(
 
 
 def _reproject_on_device(data, source_gm, target_gm, interp_method, fill_value):
+    import os
+
     from .ops.reproject_ops import make_fused_reproject_fn
-    from .ops.srw import make_srw_reproject_fn
+    from .ops.srw import make_region_reproject_fn, make_srw_reproject_fn
 
     fn = make_srw_reproject_fn(
         source_gm, target_gm, interp_method, fill_value
     )
+    if fn is None and os.environ.get("XRTPU_FAST_EXTREME_WARP", "") == "1":
+        # opt-in fast path for domain-scale warps: per-region planned
+        # kernels (two-pass filter semantics — see ops/srw.py)
+        fn = make_region_reproject_fn(
+            source_gm, target_gm, interp_method, fill_value
+        )
     if fn is None:
         fn = make_fused_reproject_fn(
             source_gm, target_gm, interp_method, fill_value
