@@ -357,6 +357,122 @@ def make_srw_fn(plan: SRWPlan, interp_method: str = "bilinear", fill_value=np.na
     return fn
 
 
+def make_srw_fn_batched(
+    plan: SRWPlan, interp_method: str = "bilinear", fill_value=np.nan
+):
+    """Tiled SRW with *batched* tap loops: the per-tile Python loops of
+    :func:`make_srw_fn` emit ``n_tiles * d`` XLA ops — fine at a handful
+    of tiles, but a compile-time problem at large rasters (e.g. a 20k
+    grid with 512-px tiles emits 500+ takes).  Here each tap is a single
+    ``take_along_axis`` over a leading tile axis with size-1 index dims
+    (lane-invariant row gather — streams on TPU; see
+    :func:`make_srw_hybrid_fn`), so the op count is d_v + d_h regardless
+    of tile count.  The horizontal pass transposes each row tile so its
+    take also indexes sublanes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if interp_method not in ("bilinear", "nearest"):
+        raise ValueError("SRW supports 'bilinear' and 'nearest' only")
+
+    p = plan
+    iystar_c = jnp.asarray(p.iystar_c)
+    ix_c = jnp.asarray(p.ix_c)
+    iy_c = jnp.asarray(p.iy_c)
+    base_v = jnp.asarray(p.base_v)
+    base_h = jnp.asarray(p.base_h)
+
+    from .reproject_ops import _interp_field
+
+    n_col_tiles = p.base_v.shape[1]
+    n_row_tiles = p.base_h.shape[0]
+    src_w_pad = n_col_tiles * p.col_tile
+    out_h_pad = n_row_tiles * p.row_tile
+
+    def weight(pos, k):
+        if interp_method == "bilinear":
+            return jnp.maximum(0.0, 1.0 - jnp.abs(pos - k))
+        return (jnp.round(pos) == k).astype(jnp.float32)
+
+    @jax.jit
+    def kernel(src, iystar_f, ix_f, iy_f, bv, bh):
+        batch = src.shape[:-2]
+
+        rows = jnp.arange(p.out_h, dtype=jnp.float32)[:, None]
+        cols_src = jnp.arange(p.src_w, dtype=jnp.float32)[None, :]
+        pos_v = _interp_field(iystar_f, rows, cols_src, p.step, jnp)
+        src2 = src.astype(jnp.float32)
+        if src_w_pad > p.src_w:
+            pad = src_w_pad - p.src_w
+            src2 = jnp.pad(src2, [(0, 0)] * (src2.ndim - 1) + [(0, pad)])
+            pos_v = jnp.pad(pos_v, ((0, 0), (0, pad)))
+        src_t = jnp.moveaxis(
+            src2.reshape(batch + (p.src_h, n_col_tiles, p.col_tile)), -2, 0
+        )
+        pos_t = jnp.moveaxis(
+            pos_v.reshape(p.out_h, n_col_tiles, p.col_tile), -2, 0
+        )
+        acc = jnp.zeros(
+            (n_col_tiles,) + batch + (p.out_h, p.col_tile), jnp.float32
+        )
+        bvt = jnp.moveaxis(bv, -1, 0)  # (T, out_h)
+        for d in range(p.d_v):
+            idx = jnp.clip(bvt + d, 0, p.src_h - 1)
+            w = weight(pos_t, (bvt + d)[..., None].astype(jnp.float32))
+            idx_b = idx.reshape(
+                (n_col_tiles,) + (1,) * len(batch) + (p.out_h, 1)
+            )
+            taken = jnp.take_along_axis(src_t, idx_b, axis=-2)
+            acc = acc + w.reshape(
+                (n_col_tiles,) + (1,) * len(batch) + (p.out_h, p.col_tile)
+            ) * taken
+        v = jnp.moveaxis(acc, 0, -2).reshape(
+            batch + (p.out_h, src_w_pad)
+        )[..., : p.src_w]
+
+        cols = jnp.arange(p.out_w, dtype=jnp.float32)[None, :]
+        pos_h = _interp_field(ix_f, rows, cols, p.step, jnp)
+        v2 = v
+        if out_h_pad > p.out_h:
+            pad = out_h_pad - p.out_h
+            v2 = jnp.pad(v2, [(0, 0)] * (v2.ndim - 2) + [(0, pad), (0, 0)])
+            pos_h = jnp.pad(pos_h, ((0, pad), (0, 0)))
+        v_t = jnp.swapaxes(
+            jnp.moveaxis(
+                v2.reshape(batch + (n_row_tiles, p.row_tile, p.src_w)), -3, 0
+            ),
+            -1,
+            -2,
+        )  # (T, ..., src_w, row_tile)
+        pos_ht = jnp.swapaxes(
+            pos_h.reshape(n_row_tiles, p.row_tile, p.out_w), -1, -2
+        )
+        out_acc = jnp.zeros(
+            (n_row_tiles,) + batch + (p.out_w, p.row_tile), jnp.float32
+        )
+        for d in range(p.d_h):
+            idx = jnp.clip(bh + d, 0, p.src_w - 1)
+            w = weight(pos_ht, (bh + d)[:, :, None].astype(jnp.float32))
+            idx_b = idx.reshape(
+                (n_row_tiles,) + (1,) * len(batch) + (p.out_w, 1)
+            )
+            taken = jnp.take_along_axis(v_t, idx_b, axis=-2)
+            out_acc = out_acc + w.reshape(
+                (n_row_tiles,) + (1,) * len(batch) + (p.out_w, p.row_tile)
+            ) * taken
+        out = jnp.moveaxis(jnp.swapaxes(out_acc, -1, -2), 0, -3).reshape(
+            batch + (out_h_pad, p.out_w)
+        )[..., : p.out_h, :]
+
+        return _mask_fill(out, ix_f, iy_f, p, fill_value, jnp)
+
+    def fn(src):
+        return kernel(src, iystar_c, ix_c, iy_c, base_v, base_h)
+
+    return fn
+
+
 def _mask_fill(out, ix_f, iy_f, p, fill_value, jnp):
     from .reproject_ops import _interp_field
 
@@ -1032,6 +1148,13 @@ def make_srw_reproject_fn(
         return None
     _, kind, best = min(candidates, key=lambda c: c[0])
     if kind == "tiled":
+        # per-tile Python loops emit n_tiles * d ops: switch to the
+        # batched formulation when that would bloat compilation
+        n_ops = (
+            best.base_v.shape[1] * best.d_v + best.base_h.shape[0] * best.d_h
+        )
+        if n_ops > 128:
+            return make_srw_fn_batched(best, interp_method, fill_value)
         return make_srw_fn(best, interp_method, fill_value)
     if kind == "aligned":
         return make_srw_aligned_fn(best, interp_method, fill_value)
