@@ -1149,11 +1149,16 @@ def make_srw_reproject_fn(
     _, kind, best = min(candidates, key=lambda c: c[0])
     if kind == "tiled":
         # per-tile Python loops emit n_tiles * d ops: switch to the
-        # batched formulation when that would bloat compilation
+        # batched formulation when that would bloat compilation.  The
+        # batched kernel materializes several full-raster temporaries
+        # (tile-axis reshuffles, transposed row tiles), so it is only
+        # used when the working set stays small; big rasters keep the
+        # loop kernel, which streams tile slices.
         n_ops = (
             best.base_v.shape[1] * best.d_v + best.base_h.shape[0] * best.d_h
         )
-        if n_ops > 128:
+        n_elems = best.src_h * best.src_w + best.out_h * best.out_w
+        if n_ops > 128 and n_elems < 64_000_000:
             return make_srw_fn_batched(best, interp_method, fill_value)
         return make_srw_fn(best, interp_method, fill_value)
     if kind == "aligned":
