@@ -287,3 +287,28 @@ def test_region_reproject_extreme_case_vs_exact():
         d = np.abs(got[both] - truth[both])
         assert d.max() < atol, f"max err {d.max():.2e} vs atol {atol}"
         assert (np.isnan(got) != np.isnan(truth)).mean() < 0.01
+
+
+def test_region_reproject_nearest_and_batched():
+    from xcube_resampling_tpu.ops.srw import make_region_reproject_fn
+
+    src_gm, tgt_gm = _extreme_case()
+    fn = make_region_reproject_fn(
+        src_gm, tgt_gm, "nearest", np.nan, base_split=2, max_depth=1
+    )
+    assert fn is not None
+    rng = np.random.default_rng(2)
+    data = rng.integers(0, 40, size=(2, 360, 720)).astype(np.float32)
+    out = np.asarray(fn(jnp.asarray(data)))
+    assert out.shape == (2, 512, 512)
+    valid = ~np.isnan(out[0])
+    assert valid.mean() > 0.9
+    assert np.isin(out[0][valid], np.arange(40, dtype=np.float32)).all()
+    # batch consistency: second band is an independent input
+    fn2 = make_region_reproject_fn(
+        src_gm, tgt_gm, "nearest", np.nan, base_split=2, max_depth=1
+    )
+    single = np.asarray(fn2(jnp.asarray(data[1])))
+    np.testing.assert_array_equal(
+        np.nan_to_num(out[1]), np.nan_to_num(single)
+    )
