@@ -54,6 +54,22 @@ def srw_vertical_pallas(
     base = jnp.asarray(base, jnp.int32)
     src_h, w = src.shape
     out_h = pos.shape[0]
+
+    # auto-shrink the row block to the ~12 MB scoped-VMEM budget: the
+    # working set is the pos and out blocks plus the source window, whose
+    # height grows with the per-block base span (~ proportional to
+    # row_block for smooth warps)
+    base_np = np.asarray(base)
+    while row_block > 8:
+        nb = -(-out_h // row_block)
+        padded = np.pad(base_np, (0, nb * row_block - out_h), mode="edge")
+        blocks = padded.reshape(nb, row_block)
+        span_est = int((blocks.max(axis=1) - blocks.min(axis=1)).max())
+        win_est = span_est + d_taps + 32
+        if (2 * row_block + win_est) * w * 4 <= 12 * 2**20:
+            break
+        row_block //= 2
+
     n_blocks = -(-out_h // row_block)
     pad_rows = n_blocks * row_block - out_h
     if pad_rows:

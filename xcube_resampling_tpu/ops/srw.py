@@ -1103,6 +1103,34 @@ def make_srw_reproject_fn(
     if os.environ.get("XRTPU_FAST_EXTREME_WARP", "") == "1":
         allow_hybrid = True
     fields = _coarse_geometry(source_gm, target_gm, step)
+
+    # crop the source to the window the target actually taps: the vertical
+    # pass streams (out_h, src_w) intermediates, so a target covering a
+    # fraction of the source (e.g. one UTM zone of a global grid) would
+    # otherwise pay for every source column on every tap.  Window edges
+    # coincide with global edges exactly where positions spill past them,
+    # so clamp-to-edge and masking semantics are unchanged.
+    if fields is not None:
+        w = _source_window_gm(source_gm, fields, margin=8 + 48)
+        if w is not None:
+            win_gm, (j0, j1, i0, i1) = w
+            inner = make_srw_reproject_fn(
+                win_gm,
+                target_gm,
+                interp_method,
+                fill_value,
+                step=step,
+                allow_hybrid=allow_hybrid,
+                pos_tol=pos_tol,
+                **plan_kwargs,
+            )
+            if inner is None:
+                return None
+
+            def fn(src):
+                return inner(src[..., j0:j1, i0:i1])
+
+            return fn
     if fields is None:
         return None
     # central curvature gate (all strategies interpolate the same coarse
