@@ -1201,14 +1201,20 @@ def make_srw_reproject_fn(
 
 def _source_window_gm(source_gm: GridMapping, fields: _Fields, margin: int):
     """Crop the source to the rows/columns a region actually taps,
-    returning (window_gm, (j0, j1, i0, i1)) or None for full coverage."""
+    returning (window_gm, (j0, j1, i0, i1)) or None for full coverage.
+
+    Offsets are aligned down to the coarse-field step so the window's
+    iy*-reparametrization samples the same source-column phase as the
+    uncropped grid — the cropped kernels then see identical (shifted)
+    coordinate fields, not a different piecewise-linear approximation."""
     ix, iy = fields.ix64, fields.iy64
     finite = np.isfinite(ix) & np.isfinite(iy)
     if not finite.any():
         return None
-    i0 = max(0, int(np.floor(ix[finite].min())) - margin)
+    step = fields.step
+    i0 = max(0, int(np.floor(ix[finite].min())) - margin) // step * step
     i1 = min(fields.src_w, int(np.ceil(ix[finite].max())) + margin + 1)
-    j0 = max(0, int(np.floor(iy[finite].min())) - margin)
+    j0 = max(0, int(np.floor(iy[finite].min())) - margin) // step * step
     j1 = min(fields.src_h, int(np.ceil(iy[finite].max())) + margin + 1)
     if i1 - i0 < 8 or j1 - j0 < 8:
         return None

@@ -28,7 +28,13 @@ import numpy as np
 
 from ..gridmapping import GridMapping
 from ..ops.reproject_ops import _interp_field, coarse_coord_field, gather_interp
-from ..ops.srw import _coarse_geometry, _interp_cols, _interp_rows, _pick_tile
+from ..ops.srw import (
+    _coarse_geometry,
+    _interp_cols,
+    _interp_rows,
+    _pick_tile,
+    _source_window_gm,
+)
 
 
 def _shard_map():
@@ -39,6 +45,36 @@ def _shard_map():
     from jax.experimental.shard_map import shard_map
 
     return shard_map
+
+
+def _exchange_halo(src_band, halo, band_h, n, axis_name, lax, jnp):
+    """Extend a device's row band by *halo* rows on each side via
+    multi-hop ``ppermute``: hop k brings the full band of the k-th
+    neighbour, so halos larger than one band (strongly non-proportional
+    row mappings, tiny bands) still resolve.  Devices past the mesh edge
+    contribute zeros — those rows are always masked or out of the tap
+    range.  Returns (..., band_h + 2*halo, W)."""
+    k_hops = -(-halo // band_h)
+    above_parts = []
+    below_parts = []
+    for hop in range(k_hops, 0, -1):
+        above_parts.append(
+            lax.ppermute(
+                src_band, axis_name,
+                [(i, i + hop) for i in range(n - hop)],
+            )
+        )
+    for hop in range(1, k_hops + 1):
+        below_parts.append(
+            lax.ppermute(
+                src_band, axis_name,
+                [(i + hop, i) for i in range(n - hop)],
+            )
+        )
+    ext = jnp.concatenate(above_parts + [src_band] + below_parts, axis=-2)
+    # trim the over-fetched rows to exactly band_h + 2*halo
+    lead = k_hops * band_h - halo
+    return ext[..., lead : lead + band_h + 2 * halo, :]
 
 
 def required_halo(
@@ -114,12 +150,9 @@ def make_sharded_regrid_step(
     fields = coarse_coord_field(source_gm, target_gm, step)
     if halo is None:
         halo = required_halo(source_gm, target_gm, n, fields)
-    halo = min(halo, band_h)
+    halo = min(halo, (n - 1) * band_h)
     ix_c = jnp.asarray(fields[0])
     iy_c = jnp.asarray(fields[1])
-
-    up_perm = [(i, i + 1) for i in range(n - 1)]  # send last rows downward
-    down_perm = [(i + 1, i) for i in range(n - 1)]  # send first rows upward
 
     use_halo = n > 1 and halo > 0
 
@@ -128,9 +161,9 @@ def make_sharded_regrid_step(
         # replicated arguments (not captured constants — see reproject_ops)
         idx = lax.axis_index(axis_name)
         if use_halo:
-            above = lax.ppermute(src_band[..., -halo:, :], axis_name, up_perm)
-            below = lax.ppermute(src_band[..., :halo, :], axis_name, down_perm)
-            ext = jnp.concatenate([above, src_band, below], axis=-2)
+            ext = _exchange_halo(
+                src_band, halo, band_h, n, axis_name, lax, jnp
+            )
         else:
             ext = src_band
         ext_h = ext.shape[-2]
@@ -299,8 +332,7 @@ def make_sharded_srw_step(
             int(hi_tap[r0:r1].max() - (off + band_h - 1)),
         )
     halo = max(halo, 0)
-    if halo > band_h:
-        return None  # needs beyond-neighbour rows; gather path handles it
+    halo = min(halo, (n - 1) * band_h)
 
     iystar_c = jnp.asarray(iystar.astype(np.float32))
     ix_c = jnp.asarray(ix64.astype(np.float32))
@@ -308,8 +340,6 @@ def make_sharded_srw_step(
     bv_j = jnp.asarray(base_v)
     bh_j = jnp.asarray(base_h)
 
-    up_perm = [(i, i + 1) for i in range(n - 1)]
-    down_perm = [(i + 1, i) for i in range(n - 1)]
     use_halo = n > 1 and halo > 0
 
     def weight(pos, k):
@@ -320,9 +350,9 @@ def make_sharded_srw_step(
     def band_step(src_band, iystar_f, ix_f, iy_f, bv_band, bh_band):
         idx = lax.axis_index(axis_name)
         if use_halo:
-            above = lax.ppermute(src_band[..., -halo:, :], axis_name, up_perm)
-            below = lax.ppermute(src_band[..., :halo, :], axis_name, down_perm)
-            ext = jnp.concatenate([above, src_band, below], axis=-2)
+            ext = _exchange_halo(
+                src_band, halo, band_h, n, axis_name, lax, jnp
+            )
         else:
             ext = src_band
         # global row index of ext row 0 (negative on device 0: those halo
@@ -429,6 +459,18 @@ def sharded_reproject(
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # crop the source to the tapped window before banding: a target
+    # covering a subset of a global source would otherwise (a) stream
+    # every column on every tap and (b) break the proportional
+    # band<->band row correspondence the halo model assumes (all target
+    # rows would map into one device's band)
+    fields = _coarse_geometry(source_gm, target_gm, 16)
+    if fields is not None:
+        w = _source_window_gm(source_gm, fields, margin=8 + 48)
+        if w is not None:
+            source_gm, (j0, j1, i0, i1) = w
+            src = src[..., j0:j1, i0:i1]
 
     built = None
     if use_srw:
