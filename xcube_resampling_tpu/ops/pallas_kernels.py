@@ -15,11 +15,12 @@ offsets, ``pltpu.ANY``-space source with an explicit
 and a VMEM-budgeted row block.
 
 Hardware status (v5e, 2026-08): compiles via Mosaic and reproduces the
-reference bit-exactly, but the row-at-a-time ``fori_loop`` uses one of
-eight sublanes per op (~23 Mpix/s), while the XLA tap formulation of the
-same pass streams at 4-16 Gpix/s — so the XLA path remains the default
-and this kernel is a validated building block.  Making it competitive
-needs 8-row vectorized tap groups (rows sharing an aligned window).
+reference bit-exactly (maxerr 0.0 on hardware), but runs ~16-25 Mpix/s:
+the data-dependent per-group dynamic slices inside ``fori_loop`` defeat
+Mosaic's vectorizer even in the 8-row-group formulation, while the XLA
+tap formulation of the same pass streams at 4-16 Gpix/s.  The XLA path
+therefore remains the default; this kernel stands as the validated
+windowed-DMA building block.
 """
 
 from __future__ import annotations
@@ -117,7 +118,24 @@ def srw_vertical_pallas(
             [src_pad, jnp.repeat(src_pad[-1:], extra, axis=0)], axis=0
         )
 
-    def kernel(win_start_ref, base_ref, src_ref, pos_ref, out_ref, win, sem):
+    # 8-row groups: each group shares one 8-aligned tap window so all its
+    # arithmetic runs on full (8, W) sublane tiles instead of single rows
+    n_groups_total = (n_blocks * row_block) // 8
+    groups = base_sh.reshape(n_groups_total, 8)
+    gmin8 = (jnp.min(groups, axis=1) // 8) * 8  # per-group aligned start
+    gspan = int(jnp.max(jnp.max(groups, axis=1) - gmin8))
+    d_grp = -(-(gspan + d_taps + 7) // 8) * 8  # shared window height
+    win_h = max(win_h, int(jnp.max(gmin8 - win_start.repeat(row_block // 8)))
+                + d_grp + 8)
+    extra2 = int(max(0, int(jnp.max(win_start)) + win_h - src_pad.shape[0]))
+    if extra2:
+        src_pad = jnp.concatenate(
+            [src_pad, jnp.repeat(src_pad[-1:], extra2, axis=0)], axis=0
+        )
+
+    def kernel(
+        win_start_ref, gmin8_ref, src_ref, pos_ref, out_ref, win, sem
+    ):
         blk = pl.program_id(0)
         w0 = pl.multiple_of(win_start_ref[blk], 8)
         dma = pltpu.make_async_copy(
@@ -125,27 +143,27 @@ def srw_vertical_pallas(
         )
         dma.start()
         dma.wait()
+        groups_per_block = row_block // 8
 
-        def row_body(r, _):
-            b = base_ref[blk * row_block + r]
-            # 8-aligned window start (provably a sublane multiple); rows
-            # between s8 and the true start get zero hat weight, so the
-            # padded reduction is exact
-            s8 = pl.multiple_of(((b - w0) // 8) * 8, 8)
-            window = win[pl.ds(s8, d_pad), :]  # (d_pad, W) in VMEM
-            p = pos_ref[r, :]
-            k0 = (w0 + s8 - m_top).astype(jnp.float32)
-            acc = jnp.zeros((w,), jnp.float32)
-            for d in range(d_pad):
+        def group_body(g, _):
+            g_global = blk * groups_per_block + g
+            gm = gmin8_ref[g_global]
+            s8 = pl.multiple_of(gm - w0, 8)  # multiple of 8 by construction
+            window = win[pl.ds(s8, d_grp), :]  # (d_grp, W) in VMEM
+            r0 = pl.multiple_of(g * 8, 8)
+            p = pos_ref[pl.ds(r0, 8), :]  # (8, W)
+            k0 = (gm - m_top).astype(jnp.float32)
+            acc = jnp.zeros((8, w), jnp.float32)
+            for d in range(d_grp):
                 wgt = jnp.maximum(0.0, 1.0 - jnp.abs(p - (k0 + d)))
-                acc = acc + wgt * window[d, :]
-            out_ref[r, :] = acc
+                acc = acc + wgt * window[d, :][None, :]
+            out_ref[pl.ds(r0, 8), :] = acc
             return 0
 
-        jax.lax.fori_loop(0, row_block, row_body, 0)
+        jax.lax.fori_loop(0, groups_per_block, group_body, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # win_start, base
+        num_scalar_prefetch=2,  # win_start, gmin8
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # src stays off-chip
@@ -169,7 +187,7 @@ def srw_vertical_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks * row_block, w), jnp.float32),
         interpret=interpret,
-    )(win_start, base_sh, src_pad, pos)
+    )(win_start, gmin8, src_pad, pos)
     return out[:out_h]
 
 
