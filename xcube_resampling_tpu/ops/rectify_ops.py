@@ -420,17 +420,76 @@ def make_device_var_image_fn(
     fill_value,
     interp_method: str,
 ):
-    """Compile a device Phase-B kernel: gather a batch of source bands
+    """Compile a device Phase-B kernel: resample a batch of source bands
     through a fixed fractional (i, j) map (the map is built once per
     geometry by Phase A; every band/time-step then streams through this
-    jitted gather on the TPU — the multi-band fast path of rectify)."""
+    jitted kernel on the TPU — the multi-band fast path of rectify).
+
+    When the map is smooth enough (measured against the true per-pixel
+    field), the gather-free SRW tap kernel is used instead of the XLA
+    gather — Phase A's output is just another coordinate field to SRW."""
     import jax
     import jax.numpy as jnp
 
     src_h, src_w = src_shape
+    valid_np = ~np.isnan(ij_map[0]) & ~np.isnan(ij_map[1])
+    valid = jnp.asarray(valid_np)
+    fill = jnp.float32(fill_value)
+
+    if interp_method in ("nearest", "bilinear"):
+        from scipy.ndimage import binary_erosion
+
+        from .srw import fields_from_ij_map, make_srw_fn, plan_srw
+
+        # SRW needs a smooth field: the interior of the coverage is (the
+        # swath geometry itself), but the NaN-filled band at the coverage
+        # edge is extrapolation.  Resolve the interior gather-free and the
+        # thin edge band by a compacted per-pixel gather (a few % of the
+        # pixels at the serialized-gather rate is negligible).
+        step = 16
+        interior = binary_erosion(valid_np, iterations=step + 2)
+        edge = valid_np & ~interior
+        fields = fields_from_ij_map(
+            ij_map, src_h, src_w, step=step, gate_mask=interior
+        )
+        plan = (
+            plan_srw(None, None, fields=fields)
+            if fields is not None
+            else None
+        )
+        if plan is not None and interior.any():
+            srw_fn = make_srw_fn(plan, interp_method, fill_value)
+            interior_j = jnp.asarray(interior)
+            edge_rows, edge_cols = np.nonzero(edge)
+            e_rows = jnp.asarray(edge_rows)
+            e_cols = jnp.asarray(edge_cols)
+            ix_e = jnp.asarray(
+                ij_map[0][edge_rows, edge_cols], dtype=jnp.float32
+            )
+            iy_e = jnp.asarray(
+                ij_map[1][edge_rows, edge_cols], dtype=jnp.float32
+            )
+
+            @jax.jit
+            def fn_srw(src, ixe, iye, er, ec, inter):
+                from .reproject_ops import gather_interp
+
+                out = srw_fn(src)
+                out = jnp.where(inter, out, fill)
+                if er.shape[0]:
+                    vals = gather_interp(
+                        src, ixe, iye, interp_method, fill_value, jnp
+                    )
+                    out = out.at[..., er, ec].set(vals)
+                return out
+
+            def fn(src):
+                return fn_srw(src, ix_e, iy_e, e_rows, e_cols, interior_j)
+
+            return fn
+
     ix = jnp.asarray(np.nan_to_num(ij_map[0], nan=0.0), dtype=jnp.float32)
     iy = jnp.asarray(np.nan_to_num(ij_map[1], nan=0.0), dtype=jnp.float32)
-    valid = jnp.asarray(~np.isnan(ij_map[0]) & ~np.isnan(ij_map[1]))
 
     @jax.jit
     def kernel(src, ixd, iyd, validd):

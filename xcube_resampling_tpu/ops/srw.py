@@ -161,6 +161,124 @@ def _fields_interp_err(fields: _Fields) -> float:
     )
 
 
+def fields_from_ij_map(
+    ij_map: np.ndarray,
+    src_h: int,
+    src_w: int,
+    step: int = 16,
+    pos_tol: float = 0.05,
+    gate_mask: np.ndarray | None = None,
+) -> _Fields | None:
+    """Build SRW coarse fields from a full-resolution fractional (i, j)
+    map (e.g. rectify Phase A's output, reference rectify.py:312-371) —
+    SRW then accelerates any smooth precomputed warp, not only CRS pairs.
+
+    NaN entries (outside swath coverage) are filled per row by linear
+    interpolation/extrapolation from the valid samples; those positions
+    are masked downstream by the caller's validity mask, they only have
+    to be finite and smooth here.  Because the true per-pixel field is
+    available, the coarse approximation is gated on its *measured* error
+    (max |coarse-interped - true| over valid pixels <= pos_tol)."""
+    ix_full = np.asarray(ij_map[0], dtype=np.float64)
+    iy_full = np.asarray(ij_map[1], dtype=np.float64)
+    out_h, out_w = ix_full.shape
+    if out_h < 2 * step or out_w < 2 * step:
+        return None
+
+    def _fill_rows(f):
+        filled = f.copy()
+        cols = np.arange(out_w, dtype=np.float64)
+        last_good = None
+        for r in range(out_h):
+            row = filled[r]
+            good = np.isfinite(row)
+            n_good = int(good.sum())
+            if n_good == out_w:
+                last_good = filled[r]
+                continue
+            if n_good >= 2:
+                xg = cols[good]
+                yg = row[good]
+                vals = np.interp(cols, xg, yg)
+                lo = cols < xg[0]
+                if lo.any():
+                    s = (yg[1] - yg[0]) / (xg[1] - xg[0])
+                    vals[lo] = yg[0] + (cols[lo] - xg[0]) * s
+                hi = cols > xg[-1]
+                if hi.any():
+                    s = (yg[-1] - yg[-2]) / (xg[-1] - xg[-2])
+                    vals[hi] = yg[-1] + (cols[hi] - xg[-1]) * s
+                filled[r] = vals
+                last_good = vals
+            elif last_good is not None:
+                filled[r] = last_good
+            else:
+                return None  # leading all-NaN rows: fill backwards below
+        if not np.isfinite(filled).all():
+            # leading rows had no valid data: back-fill from the first
+            # fully-finite row
+            finite_rows = np.where(np.isfinite(filled).all(axis=1))[0]
+            if finite_rows.size == 0:
+                return None
+            filled[: finite_rows[0]] = filled[finite_rows[0]]
+        return filled
+
+    ix_f = _fill_rows(ix_full)
+    iy_f = _fill_rows(iy_full)
+    if ix_f is None or iy_f is None:
+        return None
+
+    # coarse subsample (with the last sample clamped to the final pixel,
+    # mirroring _coarse_geometry's +2 sampling)
+    ncj = (out_h - 1) // step + 2
+    nci = (out_w - 1) // step + 2
+    rsel = np.minimum(np.arange(ncj) * step, out_h - 1)
+    csel = np.minimum(np.arange(nci) * step, out_w - 1)
+    ix64 = ix_f[np.ix_(rsel, csel)]
+    iy64 = iy_f[np.ix_(rsel, csel)]
+
+    dx_row = np.diff(ix64, axis=1)
+    if np.all(dx_row > 0):
+        ascending = True
+    elif np.all(dx_row < 0):
+        ascending = False
+    else:
+        return None
+
+    # measured accuracy gate against the true per-pixel field (callers
+    # may pass a narrower gate_mask, e.g. the eroded interior when they
+    # resolve the coverage-edge band another way)
+    valid = gate_mask if gate_mask is not None else np.isfinite(ix_full)
+    if valid.any():
+        ix_approx = _interp_rows(_interp_cols(ix64, out_w, step), out_h, step)
+        iy_approx = _interp_rows(_interp_cols(iy64, out_w, step), out_h, step)
+        err = max(
+            float(np.max(np.abs(ix_approx[valid] - ix_full[valid]))),
+            float(np.max(np.abs(iy_approx[valid] - iy_full[valid]))),
+        )
+        if err > pos_tol:
+            return None
+
+    ncc = (src_w - 1) // step + 2
+    cs = np.arange(ncc, dtype=np.float64) * step
+    iystar = np.empty((ncj, ncc), dtype=np.float64)
+    for r in range(ncj):
+        xp_row = ix64[r] if ascending else ix64[r, ::-1]
+        fp_row = iy64[r] if ascending else iy64[r, ::-1]
+        vals = np.interp(cs, xp_row, fp_row)
+        left = cs < xp_row[0]
+        if left.any():
+            slope = (fp_row[1] - fp_row[0]) / (xp_row[1] - xp_row[0])
+            vals[left] = fp_row[0] + (cs[left] - xp_row[0]) * slope
+        right = cs > xp_row[-1]
+        if right.any():
+            slope = (fp_row[-1] - fp_row[-2]) / (xp_row[-1] - xp_row[-2])
+            vals[right] = fp_row[-1] + (cs[right] - xp_row[-1]) * slope
+        iystar[r] = vals
+
+    return _Fields(ix64, iy64, iystar, step, src_h, src_w, out_h, out_w)
+
+
 # ---------------------------------------------------------------------------
 # tiled plan (mild warp)
 # ---------------------------------------------------------------------------
