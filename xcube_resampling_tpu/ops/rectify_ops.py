@@ -458,7 +458,21 @@ def make_device_var_image_fn(
             else None
         )
         if plan is not None and interior.any():
-            srw_fn = make_srw_fn(plan, interp_method, fill_value)
+            from .srw import make_srw_fn_batched
+
+            n_ops = (
+                plan.base_v.shape[1] * plan.d_v
+                + plan.base_h.shape[0] * plan.d_h
+            )
+            n_elems = (
+                plan.src_h * plan.src_w + plan.out_h * plan.out_w
+            )
+            make = (
+                make_srw_fn_batched
+                if n_ops > 128 and n_elems < 64_000_000
+                else make_srw_fn
+            )
+            srw_fn = make(plan, interp_method, fill_value)
             interior_j = jnp.asarray(interior)
             edge_rows, edge_cols = np.nonzero(edge)
             e_rows = jnp.asarray(edge_rows)

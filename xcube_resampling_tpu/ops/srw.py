@@ -212,8 +212,7 @@ def fields_from_ij_map(
                 last_good = vals
             elif last_good is not None:
                 filled[r] = last_good
-            else:
-                return None  # leading all-NaN rows: fill backwards below
+            # else: leading sparse/all-NaN rows — back-filled below
         if not np.isfinite(filled).all():
             # leading rows had no valid data: back-fill from the first
             # fully-finite row
