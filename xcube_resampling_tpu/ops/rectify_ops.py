@@ -436,7 +436,17 @@ def make_device_var_image_fn(
     valid = jnp.asarray(valid_np)
     fill = jnp.float32(fill_value)
 
-    if interp_method in ("nearest", "bilinear"):
+    import os
+
+    # dispatch measured on v5e (OLCI-size map): the single-tap nearest
+    # gather already streams acceptably (~515 Mpix/s) and beats SRW's
+    # multi-tap structure there, so SRW engages for bilinear only.
+    # XRTPU_PHASEB_SRW=0/1 forces the choice for experiments.
+    srw_env = os.environ.get("XRTPU_PHASEB_SRW", "")
+    use_srw = (
+        interp_method == "bilinear" if srw_env == "" else srw_env == "1"
+    )
+    if use_srw and interp_method in ("nearest", "bilinear"):
         from scipy.ndimage import binary_erosion
 
         from .srw import fields_from_ij_map, make_srw_fn, plan_srw
