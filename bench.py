@@ -299,8 +299,17 @@ def bench_rectify(log):
     total_pix = 16 * npix
     log(
         f"rectify phase A (host, once): {dt_a:.2f} s; "
-        f"device phase B 16 bands: {total_pix / dt_b / 1e6:.1f} Mpix/s; "
+        f"device phase B 16 bands nearest [gather]: "
+        f"{total_pix / dt_b / 1e6:.1f} Mpix/s; "
         f"amortized: {total_pix / (dt_a + dt_b) / 1e6:.1f} Mpix/s"
+    )
+    fnb = rectify_ops.make_device_var_image_fn(
+        ij_map, ds.rad.values.shape, np.nan, "bilinear"
+    )
+    dt_bb = _time_fn(fnb, bands)
+    log(
+        f"rectify device phase B 16 bands bilinear [srw]: "
+        f"{total_pix / dt_bb / 1e6:.1f} Mpix/s"
     )
     return total_pix / (dt_a + dt_b) / 1e6
 
