@@ -404,7 +404,13 @@ def plan_srw(
 
 
 def make_srw_fn(plan: SRWPlan, interp_method: str = "bilinear", fill_value=np.nan):
-    """Compile the tiled SRW kernel."""
+    """Compile the tiled SRW kernel.
+
+    The per-pixel tap positions and the validity mask are functions of the
+    geometry alone, so they are materialized ONCE on device at build time
+    (a small jitted precompute) and fed to the per-call kernel as
+    arguments — the steady-state kernel then runs only taps, weights and
+    the fill select, saving ~half the per-call HBM streams."""
     import jax
     import jax.numpy as jnp
 
@@ -412,9 +418,6 @@ def make_srw_fn(plan: SRWPlan, interp_method: str = "bilinear", fill_value=np.na
         raise ValueError("SRW supports 'bilinear' and 'nearest' only")
 
     p = plan
-    iystar_c = jnp.asarray(p.iystar_c)
-    ix_c = jnp.asarray(p.ix_c)
-    iy_c = jnp.asarray(p.iy_c)
     base_v = jnp.asarray(p.base_v)
     base_h = jnp.asarray(p.base_h)
 
@@ -429,15 +432,34 @@ def make_srw_fn(plan: SRWPlan, interp_method: str = "bilinear", fill_value=np.na
         return (jnp.round(pos) == k).astype(jnp.float32)
 
     @jax.jit
-    def kernel(src, iystar_f, ix_f, iy_f, bv, bh):
-        # vertical pass: (out_h, src_w)
+    def precompute(iystar_f, ix_f, iy_f):
         rows = jnp.arange(p.out_h, dtype=jnp.float32)[:, None]
+        cols_src = jnp.arange(p.src_w, dtype=jnp.float32)[None, :]
+        pos_v = _interp_field(iystar_f, rows, cols_src, p.step, jnp)
+        cols = jnp.arange(p.out_w, dtype=jnp.float32)[None, :]
+        pos_h = _interp_field(ix_f, rows, cols, p.step, jnp)
+        ix_full = pos_h  # same field
+        iy_full = _interp_field(iy_f, rows, cols, p.step, jnp)
+        valid = (
+            (ix_full > -0.5)
+            & (ix_full < p.src_w - 0.5)
+            & (iy_full > -0.5)
+            & (iy_full < p.src_h - 0.5)
+        )
+        return pos_v, pos_h, valid
+
+    pos_v_dev, pos_h_dev, valid_dev = precompute(
+        jnp.asarray(p.iystar_c), jnp.asarray(p.ix_c), jnp.asarray(p.iy_c)
+    )
+
+    @jax.jit
+    def kernel(src, pos_v, pos_h, valid, bv, bh):
+        # vertical pass: (out_h, src_w)
         v_tiles = []
         for t in range(n_col_tiles):
             c0 = t * p.col_tile
             c1 = min((t + 1) * p.col_tile, p.src_w)
-            cols_src = jnp.arange(c0, c1, dtype=jnp.float32)[None, :]
-            pos = _interp_field(iystar_f, rows, cols_src, p.step, jnp)
+            pos = pos_v[:, c0:c1]
             base_t = bv[:, t]
             tile_src = src[..., c0:c1]
             acc = jnp.zeros(src.shape[:-2] + (p.out_h, c1 - c0), dtype=jnp.float32)
@@ -449,13 +471,11 @@ def make_srw_fn(plan: SRWPlan, interp_method: str = "bilinear", fill_value=np.na
         v = jnp.concatenate(v_tiles, axis=-1)
 
         # horizontal pass: (out_h, out_w)
-        cols = jnp.arange(p.out_w, dtype=jnp.float32)[None, :]
         out_tiles = []
         for t in range(n_row_tiles):
             r0 = t * p.row_tile
             r1 = min((t + 1) * p.row_tile, p.out_h)
-            rows_t = jnp.arange(r0, r1, dtype=jnp.float32)[:, None]
-            pos = _interp_field(ix_f, rows_t, cols, p.step, jnp)
+            pos = pos_h[r0:r1, :]
             base_t = bh[t]
             tile_v = v[..., r0:r1, :]
             acc = jnp.zeros(src.shape[:-2] + (r1 - r0, p.out_w), dtype=jnp.float32)
@@ -466,10 +486,11 @@ def make_srw_fn(plan: SRWPlan, interp_method: str = "bilinear", fill_value=np.na
             out_tiles.append(acc)
         out = jnp.concatenate(out_tiles, axis=-2)
 
-        return _mask_fill(out, ix_f, iy_f, p, fill_value, jnp)
+        fill = jnp.asarray(fill_value, dtype=out.dtype)
+        return jnp.where(valid, out, fill)
 
     def fn(src):
-        return kernel(src, iystar_c, ix_c, iy_c, base_v, base_h)
+        return kernel(src, pos_v_dev, pos_h_dev, valid_dev, base_v, base_h)
 
     return fn
 
@@ -512,23 +533,46 @@ def make_srw_fn_batched(
             return jnp.maximum(0.0, 1.0 - jnp.abs(pos - k))
         return (jnp.round(pos) == k).astype(jnp.float32)
 
+    # geometry-static position fields and validity mask, materialized once
+    # at build time in the layouts the tap loops consume
     @jax.jit
-    def kernel(src, iystar_f, ix_f, iy_f, bv, bh):
-        batch = src.shape[:-2]
-
+    def precompute(iystar_f, ix_f, iy_f):
         rows = jnp.arange(p.out_h, dtype=jnp.float32)[:, None]
         cols_src = jnp.arange(p.src_w, dtype=jnp.float32)[None, :]
         pos_v = _interp_field(iystar_f, rows, cols_src, p.step, jnp)
+        if src_w_pad > p.src_w:
+            pos_v = jnp.pad(pos_v, ((0, 0), (0, src_w_pad - p.src_w)))
+        pos_t = jnp.moveaxis(
+            pos_v.reshape(p.out_h, n_col_tiles, p.col_tile), -2, 0
+        )
+        cols = jnp.arange(p.out_w, dtype=jnp.float32)[None, :]
+        pos_h = _interp_field(ix_f, rows, cols, p.step, jnp)
+        iy_full = _interp_field(iy_f, rows, cols, p.step, jnp)
+        valid = (
+            (pos_h > -0.5)
+            & (pos_h < p.src_w - 0.5)
+            & (iy_full > -0.5)
+            & (iy_full < p.src_h - 0.5)
+        )
+        if out_h_pad > p.out_h:
+            pos_h = jnp.pad(pos_h, ((0, out_h_pad - p.out_h), (0, 0)))
+        pos_ht = jnp.swapaxes(
+            pos_h.reshape(n_row_tiles, p.row_tile, p.out_w), -1, -2
+        )
+        return pos_t, pos_ht, valid
+
+    pos_t_dev, pos_ht_dev, valid_dev = precompute(iystar_c, ix_c, iy_c)
+
+    @jax.jit
+    def kernel(src, pos_t, pos_ht, valid, bv, bh):
+        batch = src.shape[:-2]
+
         src2 = src.astype(jnp.float32)
         if src_w_pad > p.src_w:
             pad = src_w_pad - p.src_w
             src2 = jnp.pad(src2, [(0, 0)] * (src2.ndim - 1) + [(0, pad)])
-            pos_v = jnp.pad(pos_v, ((0, 0), (0, pad)))
         src_t = jnp.moveaxis(
             src2.reshape(batch + (p.src_h, n_col_tiles, p.col_tile)), -2, 0
-        )
-        pos_t = jnp.moveaxis(
-            pos_v.reshape(p.out_h, n_col_tiles, p.col_tile), -2, 0
         )
         acc = jnp.zeros(
             (n_col_tiles,) + batch + (p.out_h, p.col_tile), jnp.float32
@@ -548,13 +592,10 @@ def make_srw_fn_batched(
             batch + (p.out_h, src_w_pad)
         )[..., : p.src_w]
 
-        cols = jnp.arange(p.out_w, dtype=jnp.float32)[None, :]
-        pos_h = _interp_field(ix_f, rows, cols, p.step, jnp)
         v2 = v
         if out_h_pad > p.out_h:
             pad = out_h_pad - p.out_h
             v2 = jnp.pad(v2, [(0, 0)] * (v2.ndim - 2) + [(0, pad), (0, 0)])
-            pos_h = jnp.pad(pos_h, ((0, pad), (0, 0)))
         v_t = jnp.swapaxes(
             jnp.moveaxis(
                 v2.reshape(batch + (n_row_tiles, p.row_tile, p.src_w)), -3, 0
@@ -562,9 +603,6 @@ def make_srw_fn_batched(
             -1,
             -2,
         )  # (T, ..., src_w, row_tile)
-        pos_ht = jnp.swapaxes(
-            pos_h.reshape(n_row_tiles, p.row_tile, p.out_w), -1, -2
-        )
         out_acc = jnp.zeros(
             (n_row_tiles,) + batch + (p.out_w, p.row_tile), jnp.float32
         )
@@ -582,10 +620,11 @@ def make_srw_fn_batched(
             batch + (out_h_pad, p.out_w)
         )[..., : p.out_h, :]
 
-        return _mask_fill(out, ix_f, iy_f, p, fill_value, jnp)
+        fill = jnp.asarray(fill_value, dtype=out.dtype)
+        return jnp.where(valid, out, fill)
 
     def fn(src):
-        return kernel(src, iystar_c, ix_c, iy_c, base_v, base_h)
+        return kernel(src, pos_t_dev, pos_ht_dev, valid_dev, base_v, base_h)
 
     return fn
 
