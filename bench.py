@@ -56,7 +56,14 @@ def _time_fn(fn, *args, warmup=2, iters=10):
     backend: a forced scalar fetch at the end guarantees all queued
     executions really ran (plain block_until_ready does not synchronize
     here), while batching *iters* dispatches per fetch amortizes the
-    tunnel round-trip, which is subtracted using a measured estimate."""
+    tunnel round-trip, which is subtracted using a measured estimate.
+    Short kernels automatically rerun with more iterations so the
+    subtracted round-trip stays below ~5% of the measured window.
+
+    (A scan-chained device-side loop was tried and abandoned: XLA's
+    treatment of the loop body varied enough across shapes to produce
+    2-5x swings in either direction; the host loop is conservative but
+    reproducible on this backend.)"""
     import jax
     import jax.numpy as jnp
 
@@ -70,63 +77,21 @@ def _time_fn(fn, *args, warmup=2, iters=10):
     for _ in range(warmup):
         acc = probe(acc, fn(*args))
     float(acc)
-    # one rough warm-path sample decides the strategy: long kernels are
-    # timed with the host loop (dispatch overhead is negligible and the
-    # device-loop would recompile them inside a scan); short kernels use
-    # the scanned device loop below, whose single dispatch removes the
-    # per-iteration tunnel jitter entirely
-    t0 = time.perf_counter()
-    acc = probe(acc, fn(*args))
-    float(acc)
-    rough = time.perf_counter() - t0
 
-    # device-side timing loop: ONE dispatch runs `iters` executions chained
-    # through an accumulator (each iteration's input depends on the previous
-    # output, so XLA can neither elide nor CSE them) — per-iteration tunnel
-    # jitter disappears from the measurement
-    from jax import lax
+    def measure(n):
+        nonlocal acc
+        t0 = time.perf_counter()
+        for _ in range(n):
+            acc = probe(acc, fn(*args))
+        float(acc)
+        return time.perf_counter() - t0
 
-    def _looped(n):
-        def body(carry, _):
-            # numerically-negligible but un-foldable dependence on the
-            # carry keeps XLA from hoisting fn out of the loop
-            eps = (carry * jnp.float32(1e-30)).astype(args[0].dtype)
-            a0 = args[0] + eps
-            r = fn(a0, *args[1:])
-            return carry + jnp.nan_to_num(r).ravel()[0].astype(jnp.float32), None
-
-        return jax.jit(
-            lambda: lax.scan(body, jnp.float32(0.0), None, length=n)[0]
-        )
-
-    try:
-        if rough > 0.15:
-            raise RuntimeError("long kernel: host-loop timing")
-        iters = max(iters, 20)
-        looped = _looped(iters)
-        float(looped())  # compile + warm
-        samples = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            float(looped())
-            samples.append(time.perf_counter() - t0)
-        dt = sorted(samples)[2]  # median defeats tunnel jitter
-        return max((dt - rtt) / iters, 1e-9)
-    except Exception:  # noqa: BLE001 - fall back to host-loop timing
-        def measure(n):
-            nonlocal acc
-            t0 = time.perf_counter()
-            for _ in range(n):
-                acc = probe(acc, fn(*args))
-            float(acc)
-            return time.perf_counter() - t0
-
+    dt = measure(iters)
+    if dt < 20 * rtt:
+        iters = max(iters, int(20 * rtt * iters / max(dt, 1e-9)) + 1)
+        iters = min(iters, 200)
         dt = measure(iters)
-        if dt < 20 * rtt:
-            iters = max(iters, int(20 * rtt * iters / max(dt, 1e-9)) + 1)
-            iters = min(iters, 200)
-            dt = measure(iters)
-        return max((dt - rtt) / iters, 1e-9)
+    return max((dt - rtt) / iters, 1e-9)
 
 
 def bench_reproject_utm(log):
