@@ -341,13 +341,38 @@ def make_sharded_srw_step(
     bh_j = jnp.asarray(base_h)
 
     use_halo = n > 1 and halo > 0
+    out_h_pad = out_band_h * n
+
+    # geometry-static per-pixel fields, materialized once at build time
+    # with the exact f32 ops the band kernel used to run per call (the
+    # global row index arange equals each band's local arange + offset
+    # bitwise, so sharding these over rows changes nothing numerically)
+    import jax as _jax
+
+    @_jax.jit
+    def _precompute(iystar_f, ix_f, iy_f):
+        rows_col = jnp.arange(out_h_pad, dtype=jnp.float32)[:, None]
+        cols_src = jnp.arange(src_w, dtype=jnp.float32)[None, :]
+        pos_v = _interp_field(iystar_f, rows_col, cols_src, step, jnp)
+        cols = jnp.arange(out_w, dtype=jnp.float32)[None, :]
+        pos_h = _interp_field(ix_f, rows_col, cols, step, jnp)
+        iy_full = _interp_field(iy_f, rows_col, cols, step, jnp)
+        valid = (
+            (pos_h > -0.5)
+            & (pos_h < src_w - 0.5)
+            & (iy_full > -0.5)
+            & (iy_full < src_h - 0.5)
+        )
+        return pos_v, pos_h, valid
+
+    pos_v_dev, pos_h_dev, valid_dev = _precompute(iystar_c, ix_c, iy_c)
 
     def weight(pos, k):
         if interp_method == "bilinear":
             return jnp.maximum(0.0, 1.0 - jnp.abs(pos - k))
         return (jnp.round(pos) == k).astype(jnp.float32)
 
-    def band_step(src_band, iystar_f, ix_f, iy_f, bv_band, bh_band):
+    def band_step(src_band, pos_v_band, pos_h_band, valid_band, bv_band, bh_band):
         idx = lax.axis_index(axis_name)
         if use_halo:
             ext = _exchange_halo(
@@ -359,18 +384,12 @@ def make_sharded_srw_step(
         # rows are zero-filled by ppermute and never tapped)
         off = idx * band_h - (halo if use_halo else 0)
 
-        rows_g = (idx * out_band_h).astype(jnp.float32) + jnp.arange(
-            out_band_h, dtype=jnp.float32
-        )
-        rows_col = rows_g[:, None]
-
         # vertical pass: (out_band_h, src_w), per column tile
         v_tiles = []
         for t in range(n_col_tiles):
             c0 = t * col_tile
             c1 = min((t + 1) * col_tile, src_w)
-            cols_src = jnp.arange(c0, c1, dtype=jnp.float32)[None, :]
-            pos = _interp_field(iystar_f, rows_col, cols_src, step, jnp)
+            pos = pos_v_band[:, c0:c1]
             base_t = bv_band[:, t]
             tile_src = ext[..., c0:c1]
             acc = jnp.zeros(
@@ -385,12 +404,9 @@ def make_sharded_srw_step(
 
         # horizontal pass: row-local, per in-band row tile; the final
         # (overlapping) tile contributes only its uncovered tail rows
-        cols = jnp.arange(out_w, dtype=jnp.float32)[None, :]
         out_tiles = []
         for t, s0 in enumerate(tile_starts):
-            pos = _interp_field(
-                ix_f, rows_col[s0 : s0 + row_tile], cols, step, jnp
-            )
+            pos = pos_h_band[s0 : s0 + row_tile]
             base_t = bh_band[t]
             tile_v = v[..., s0 : s0 + row_tile, :]
             acc = jnp.zeros(
@@ -407,15 +423,9 @@ def make_sharded_srw_step(
         out = jnp.concatenate(out_tiles, axis=-2)
 
         # validity mask on this band's rows (same bounds as single-chip)
-        ix_full = _interp_field(ix_f, rows_col, cols, step, jnp)
-        iy_full = _interp_field(iy_f, rows_col, cols, step, jnp)
-        valid = (
-            (ix_full > -0.5)
-            & (ix_full < src_w - 0.5)
-            & (iy_full > -0.5)
-            & (iy_full < src_h - 0.5)
+        return jnp.where(
+            valid_band, out, jnp.asarray(fill_value, out.dtype)
         )
-        return jnp.where(valid, out, jnp.asarray(fill_value, out.dtype))
 
     batch_spec = [None] * src_batch_dims
     shard_map = _shard_map()
@@ -424,9 +434,9 @@ def make_sharded_srw_step(
         mesh=mesh,
         in_specs=(
             P(*batch_spec, axis_name, None),
-            P(None, None),
-            P(None, None),
-            P(None, None),
+            P(axis_name, None),
+            P(axis_name, None),
+            P(axis_name, None),
             P(axis_name, None),
             P(axis_name, None),
         ),
@@ -435,7 +445,7 @@ def make_sharded_srw_step(
     jitted = jax.jit(mapped)
 
     def step_fn(src):
-        return jitted(src, iystar_c, ix_c, iy_c, bv_j, bh_j)
+        return jitted(src, pos_v_dev, pos_h_dev, valid_dev, bv_j, bh_j)
 
     return step_fn, (src_pad_h, out_h)
 
