@@ -1088,8 +1088,44 @@ def make_srw_hybrid_fn(
     c_lo = min(0, int(plan.base_h.min()))
     c_hi = max(0, int(plan.base_h.max()) + plan.d_h - plan.src_w)
 
+    # geometry-static position fields / validity, materialized once in the
+    # layouts the tap loops consume
     @jax.jit
-    def kernel(src, iystar_f, ix_f, iy_f, sv, sh, bv, bh):
+    def precompute(iystar_f, ix_f, iy_f, sv, sh):
+        rows = jnp.arange(p.out_h, dtype=jnp.float32)[:, None]
+        cols_src = jnp.arange(p.src_w, dtype=jnp.float32)[None, :]
+        pos_v = (
+            _interp_field(iystar_f, rows, cols_src, p.step, jnp)
+            - sv[None, :].astype(jnp.float32)
+        )
+        if src_w_pad > p.src_w:
+            pos_v = jnp.pad(pos_v, ((0, 0), (0, src_w_pad - p.src_w)))
+        pos_t = jnp.moveaxis(
+            pos_v.reshape(p.out_h, n_col_tiles, p.col_tile), -2, 0
+        )
+        cols = jnp.arange(p.out_w, dtype=jnp.float32)[None, :]
+        ix_full = _interp_field(ix_f, rows, cols, p.step, jnp)
+        iy_full = _interp_field(iy_f, rows, cols, p.step, jnp)
+        valid = (
+            (ix_full > -0.5)
+            & (ix_full < p.src_w - 0.5)
+            & (iy_full > -0.5)
+            & (iy_full < p.src_h - 0.5)
+        )
+        pos_h = ix_full - sh[:, None].astype(jnp.float32)
+        if out_h_pad > p.out_h:
+            pos_h = jnp.pad(pos_h, ((0, out_h_pad - p.out_h), (0, 0)))
+        pos_ht = jnp.swapaxes(
+            pos_h.reshape(n_row_tiles, p.row_tile, p.out_w), -1, -2
+        )
+        return pos_t, pos_ht, valid
+
+    pos_t_dev, pos_ht_dev, valid_dev = precompute(
+        iystar_c, ix_c, iy_c, s_v, s_h
+    )
+
+    @jax.jit
+    def kernel(src, pos_t, pos_ht, valid, sv, sh, bv, bh):
         batch = src.shape[:-2]
 
         # --- vertical: align columns upward by s_v via log2 shift passes
@@ -1113,23 +1149,12 @@ def make_srw_hybrid_fn(
             mask = ((sv >> b) & 1).astype(bool)[None, :]
             src2 = jnp.where(mask, rolled, src2)
 
-        # residual tap positions on the (out row, src col) grid
-        rows = jnp.arange(p.out_h, dtype=jnp.float32)[:, None]
-        cols_src = jnp.arange(p.src_w, dtype=jnp.float32)[None, :]
-        pos_v = (
-            _interp_field(iystar_f, rows, cols_src, p.step, jnp)
-            - sv[None, :].astype(jnp.float32)
-        )
         if src_w_pad > p.src_w:
             pad = src_w_pad - p.src_w
             src2 = jnp.pad(src2, [(0, 0)] * (src2.ndim - 1) + [(0, pad)])
-            pos_v = jnp.pad(pos_v, ((0, 0), (0, pad)))
         # tile axis up front: (T, ..., ext_h, col_tile)
         src_t = jnp.moveaxis(
             src2.reshape(batch + (ext_h, n_col_tiles, p.col_tile)), -2, 0
-        )
-        pos_t = jnp.moveaxis(
-            pos_v.reshape(p.out_h, n_col_tiles, p.col_tile), -2, 0
         )
         acc = jnp.zeros(
             (n_col_tiles,) + batch + (p.out_h, p.col_tile), jnp.float32
@@ -1174,17 +1199,11 @@ def make_srw_hybrid_fn(
             mask = ((sh >> b) & 1).astype(bool)[:, None]
             v2 = jnp.where(mask, rolled, v2)
 
-        cols = jnp.arange(p.out_w, dtype=jnp.float32)[None, :]
-        pos_h = (
-            _interp_field(ix_f, rows, cols, p.step, jnp)
-            - sh[:, None].astype(jnp.float32)
-        )
         if out_h_pad > p.out_h:
             pad = out_h_pad - p.out_h
             v2 = jnp.pad(
                 v2, [(0, 0)] * (v2.ndim - 2) + [(0, pad), (0, 0)]
             )
-            pos_h = jnp.pad(pos_h, ((0, pad), (0, 0)))
         # transpose each row tile so the take indexes sublanes (a per-tile
         # row gather with size-1 index dims — fast) instead of lanes
         v_t = jnp.swapaxes(
@@ -1194,9 +1213,6 @@ def make_srw_hybrid_fn(
             -1,
             -2,
         )  # (T, ..., ext_w, row_tile)
-        pos_ht = jnp.swapaxes(
-            pos_h.reshape(n_row_tiles, p.row_tile, p.out_w), -1, -2
-        )  # (T, out_w, row_tile)
         out_acc = jnp.zeros(
             (n_row_tiles,) + batch + (p.out_w, p.row_tile), jnp.float32
         )
@@ -1216,10 +1232,13 @@ def make_srw_hybrid_fn(
             batch + (out_h_pad, p.out_w)
         )[..., : p.out_h, :]
 
-        return _mask_fill(out, ix_f, iy_f, p, fill_value, jnp)
+        fill = jnp.asarray(fill_value, dtype=out.dtype)
+        return jnp.where(valid, out, fill)
 
     def fn(src):
-        return kernel(src, iystar_c, ix_c, iy_c, s_v, s_h, base_v, base_h)
+        return kernel(
+            src, pos_t_dev, pos_ht_dev, valid_dev, s_v, s_h, base_v, base_h
+        )
 
     return fn
 
