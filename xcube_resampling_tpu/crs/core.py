@@ -10,7 +10,6 @@ inverse closures via :mod:`.projections`.
 
 from __future__ import annotations
 
-import math
 import re
 from typing import Any, Mapping
 

@@ -13,7 +13,6 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..chunk import get_block_iterators, get_chunk_sizes
 
 
 @dataclass

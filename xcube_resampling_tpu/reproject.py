@@ -22,7 +22,6 @@ from .constants import (
     SCALE_LIMIT,
     AggMethods,
     FillValues,
-    FloatInt,
     InterpMethods,
     RecoverNans,
 )
