@@ -247,3 +247,34 @@ def test_reproject_raise_not_implemented():
         "interp_methods must be one of 0, 1, 'nearest', 'bilinear', 'triangular'"
         in str(excinfo.value)
     )
+
+
+def test_engine_fast_extreme_warp_env(monkeypatch):
+    """XRTPU_FAST_EXTREME_WARP=1 routes device-backed extreme warps through
+    the region-decomposed SRW path inside the engine."""
+    import jax.numpy as jnp
+
+    from xcube_resampling_tpu.gridmapping import GridMapping
+    from xcube_resampling_tpu.reproject import _reproject_on_device
+
+    src_gm = GridMapping.regular(
+        size=(360, 180), xy_min=(-180, -90), xy_res=1.0, crs="EPSG:4326"
+    )
+    tgt_gm = GridMapping.regular(
+        size=(128, 128), xy_min=(900000.0, 900000.0), xy_res=40000.0,
+        crs="EPSG:3035",
+    )
+    data = jnp.asarray(
+        np.linspace(0, 1, 360 * 180, dtype=np.float32).reshape(180, 360)
+    )
+    base = np.asarray(
+        _reproject_on_device(data, src_gm, tgt_gm, "bilinear", np.nan)
+    )
+    monkeypatch.setenv("XRTPU_FAST_EXTREME_WARP", "1")
+    fast = np.asarray(
+        _reproject_on_device(data, src_gm, tgt_gm, "bilinear", np.nan)
+    )
+    both = ~np.isnan(base) & ~np.isnan(fast)
+    assert both.mean() > 0.9
+    # smooth input: the two paths agree to the documented tolerance
+    np.testing.assert_allclose(fast[both], base[both], atol=2e-2)
