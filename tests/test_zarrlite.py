@@ -173,3 +173,44 @@ def test_open_dataset_lazy_roundtrip():
     sub = lazy_ds.isel(y=slice(4, 12), x=slice(0, 8))
     assert isinstance(sub.band.data, np.ndarray)
     np.testing.assert_array_equal(sub.band.values, data[4:12, 0:8])
+
+
+def test_round_trip_2d_coords_swath():
+    """2D lat/lon coordinate variables survive write/open and the reopened
+    dataset still infers an irregular (swath) grid mapping — the rebuild's
+    analogue of the reference's xarray decode_cf coordinate-role probes
+    (reference tests/gridmapping/test_cfconv.py:330-399)."""
+    from xcube_resampling_tpu.gridmapping import GridMapping
+    from xcube_resampling_tpu.xrlite import DataArray, Dataset
+
+    yy, xx = np.mgrid[0:12, 0:11].astype(np.float64)
+    lon = 10.0 + 0.2 * xx + 0.01 * yy
+    lat = 50.0 + 0.2 * yy - 0.01 * xx
+    noise = np.random.default_rng(0).random((12, 11)).astype(np.float32)
+    ds = Dataset(
+        dict(noise=DataArray(noise, dims=("y", "x"),
+                             attrs={"grid_mapping": "crs"})),
+        coords=dict(
+            lon=DataArray(lon, dims=("y", "x"),
+                          attrs={"standard_name": "longitude"}),
+            lat=DataArray(lat, dims=("y", "x"),
+                          attrs={"standard_name": "latitude"}),
+            crs=DataArray(np.array(0), dims=(),
+                          attrs=CRS.from_epsg(4326).to_cf()),
+        ),
+    )
+    gm = GridMapping.from_dataset(ds)
+    assert not gm.is_regular
+
+    store = zarrlite.MemoryStore()
+    zarrlite.write_dataset(ds, store)
+    back = zarrlite.open_dataset(store)
+    assert back.noise.shape == (12, 11)
+    np.testing.assert_allclose(np.asarray(back.lon.data), lon)
+    # 2D coord vars come back as data vars (no 1D dim-name match);
+    # re-marking them as coords restores grid-mapping inference
+    back = back.set_coords([n for n in ("lon", "lat", "crs") if n in back.data_vars])
+    gm2 = GridMapping.from_dataset(back)
+    assert not gm2.is_regular
+    assert gm2.crs.to_epsg() == 4326
+    np.testing.assert_allclose(gm2.xy_bbox, gm.xy_bbox)
