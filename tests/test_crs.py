@@ -84,7 +84,9 @@ def test_from_string_forms():
 
 
 @pytest.mark.parametrize(
-    "code", [4326, 4258, 3035, 3857, 3395, 3031, 3413, 2154, 32632, 32750]
+    "code",
+    [4326, 4258, 4269, 3035, 3857, 3395, 3031, 3413, 2154, 3034, 6933,
+     32632, 32750],
 )
 def test_wkt_and_cf_round_trip(code):
     crs = CRS.from_epsg(code)
@@ -170,7 +172,7 @@ def test_transverse_mercator_scale_at_central_meridian():
 # ------------------------------------------- differential-geometry checks
 
 
-@pytest.mark.parametrize("code", [3035])
+@pytest.mark.parametrize("code", [3035, 6933])
 def test_equal_area_jacobian_laea(code):
     """|det J| must equal a^2 (1-e^2) cos(phi) / (1 - e^2 sin^2 phi)^2
     everywhere for an ellipsoidal equal-area projection."""
@@ -191,7 +193,7 @@ def test_equal_area_jacobian_laea(code):
         assert abs(det / expect - 1) < 1e-6
 
 
-@pytest.mark.parametrize("code", [3857, 3395, 2154, 3031, 32632])
+@pytest.mark.parametrize("code", [3857, 3395, 2154, 3034, 3031, 32632])
 def test_conformal_projections_are_conformal(code):
     """Conformal maps: the Jacobian columns (scaled to isometric coords) are
     orthogonal and equal length — angle preservation to ~1e-6."""
@@ -201,7 +203,7 @@ def test_conformal_projections_are_conformal(code):
     a, e2 = ell.a, (0.0 if code == 3857 else ell.e2)
     if code == 3031:
         domain = ((-179, 179), (-85, -62))
-    elif code == 2154:
+    elif code in (2154, 3034):
         domain = ((-4, 9), (42, 50))
     else:
         domain = ((3, 15), (-70, 70))
@@ -236,6 +238,8 @@ def test_conformal_projections_are_conformal(code):
         (3413, ((-179, 179), (58, 88))),
         (2154, ((-5, 10), (41, 51))),
         (5243, ((5, 15), (47, 55))),
+        (3034, ((-10, 30), (35, 70))),
+        (6933, ((-179, 179), (-85, 85))),
     ],
 )
 def test_forward_inverse_round_trip(code, domain):
@@ -270,6 +274,23 @@ def test_rotated_pole_round_trip():
 
 
 # ----------------------------------------------------------- transformer
+
+
+def test_ease_grid_2_extent():
+    """EASE-Grid 2.0 global (EPSG:6933): the published grid half-extent is
+    x(180 deg) = 17367530.445161 m (NSIDC EASE-Grid 2.0 definition)."""
+    fwd, inv = CRS.from_epsg(6933).projection()
+    x, y = fwd(np.float64(179.9999999), np.float64(0.0), np)
+    assert abs(abs(float(x)) - 17367530.445161) < 0.1
+    x0, y0 = fwd(np.float64(0.0), np.float64(0.0), np)
+    np.testing.assert_allclose([x0, y0], [0.0, 0.0], atol=1e-9)
+    # equal-area identity: the full map rectangle's area equals the
+    # ellipsoid's surface area S = 2 pi a^2 (1 + (1-e^2)/e * atanh(e))
+    _, yp = fwd(np.float64(0.0), np.float64(90.0), np)
+    a, e = WGS84.a, np.sqrt(WGS84.e2)
+    surface = 2 * np.pi * a**2 * (1 + (1 - e * e) / e * np.arctanh(e))
+    map_area = (2 * abs(float(x))) * (2 * float(yp))
+    assert abs(map_area / surface - 1) < 1e-7
 
 
 def test_transformer_identity():

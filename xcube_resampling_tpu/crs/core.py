@@ -425,6 +425,46 @@ def _epsg(code: int) -> CRS | None:
             axis_lat_lon=True,
             epsg=4258,
         )
+    elif code == 4269:
+        crs = CRS(
+            kind="geographic",
+            ellipsoid=GRS80,
+            name="NAD83",
+            datum_name="North American Datum 1983",
+            axis_lat_lon=True,
+            epsg=4269,
+        )
+    elif code == 6933:
+        crs = CRS(
+            kind="projected",
+            ellipsoid=WGS84,
+            proj_name="lambert_cylindrical_equal_area",
+            params={
+                "standard_parallel": 30.0,
+                "longitude_of_central_meridian": 0.0,
+                "false_easting": 0.0,
+                "false_northing": 0.0,
+            },
+            name="WGS 84 / NSIDC EASE-Grid 2.0 Global",
+            datum_name="World Geodetic System 1984",
+            epsg=6933,
+        )
+    elif code == 3034:
+        crs = CRS(
+            kind="projected",
+            ellipsoid=GRS80,
+            proj_name="lambert_conformal_conic",
+            params={
+                "standard_parallel": [35.0, 65.0],
+                "latitude_of_projection_origin": 52.0,
+                "longitude_of_central_meridian": 10.0,
+                "false_easting": 4000000.0,
+                "false_northing": 2800000.0,
+            },
+            name="ETRS89-extended / LCC Europe",
+            datum_name="European Terrestrial Reference System 1989",
+            epsg=3034,
+        )
     elif code == 3035:
         crs = CRS(
             kind="projected",
@@ -571,7 +611,9 @@ def _match_epsg(crs: CRS) -> int | None:
     """Try to identify a CRS built from raw parameters with a known EPSG
     entry (so e.g. a CF transverse_mercator with UTM-32 parameters compares
     equal to CRS.from_epsg(32632))."""
-    candidates: list[int] = [4326, 4258, 3035, 3857, 3395, 3031, 3413, 2154]
+    candidates: list[int] = [
+        4326, 4258, 4269, 3035, 3857, 3395, 3031, 3413, 2154, 6933, 3034,
+    ]
     if crs.is_projected and crs.proj_name == "transverse_mercator":
         lon0 = crs._params.get("longitude_of_central_meridian")
         if lon0 is not None and (float(lon0) + 183.0) % 6 == 0:

@@ -560,6 +560,80 @@ def make_polar_stereographic(params: dict, ell: Ellipsoid):
     return forward, inverse
 
 
+def make_lambert_cylindrical_equal_area(params: dict, ell: Ellipsoid):
+    """Lambert cylindrical equal-area, ellipsoidal (Snyder §10; the
+    projection of the EASE-Grid 2.0 family, EPSG:6933).
+
+    ``x = a k0 (lam - lam0)``, ``y = a q(phi) / (2 k0)`` with
+    ``k0 = cos(phi_ts)/sqrt(1 - e^2 sin^2 phi_ts)``; the inverse recovers
+    the geodetic latitude from the authalic ``q`` by the same Newton
+    iteration as the other equal-area projections here."""
+    lat_ts = float(
+        params.get(
+            "standard_parallel", params.get("latitude_of_true_scale", 0.0)
+        )
+    )
+    lon0 = float(
+        params.get(
+            "longitude_of_central_meridian",
+            params.get("longitude_of_projection_origin", 0.0),
+        )
+    )
+    fe = float(params.get("false_easting", 0.0))
+    fn = float(params.get("false_northing", 0.0))
+    a, e, e2 = ell.a, ell.e, ell.e2
+    lam0 = math.radians(lon0)
+    pts = math.radians(lat_ts)
+    k0 = math.cos(pts) / math.sqrt(1 - e2 * math.sin(pts) ** 2)
+
+    def _q(phi, xp):
+        s = xp.sin(phi)
+        if e == 0:
+            return 2.0 * s
+        return (1 - e2) * (
+            s / (1 - e2 * s * s)
+            + (1 / (2 * e)) * xp.log((1 + e * s) / (1 - e * s))
+        )
+
+    def forward(lon, lat, xp):
+        lam = _d2r(xp, lon)
+        phi = _d2r(xp, lat)
+        dlam = (lam - lam0 + math.pi) % (2 * math.pi) - math.pi
+        return fe + a * k0 * dlam, fn + a * _q(phi, xp) / (2.0 * k0)
+
+    if e > 0:
+        qp = (1 - e2) * (
+            1.0 / (1 - e2) + (1 / (2 * e)) * math.log((1 + e) / (1 - e))
+        )
+    else:
+        qp = 2.0
+
+    def inverse(x, y, xp):
+        lam = lam0 + (x - fe) / (a * k0)
+        q = 2.0 * k0 * (y - fn) / a
+        if e == 0:
+            phi = xp.arcsin(xp.clip(q / 2.0, -1.0, 1.0))
+        else:
+            phi = xp.arcsin(xp.clip(q / qp, -1.0, 1.0))
+            for _ in range(6):
+                s = xp.sin(phi)
+                one = 1 - e2 * s * s
+                corr = (
+                    one * one
+                    / (2.0 * xp.cos(phi))
+                    * (
+                        q / (1 - e2)
+                        - s / one
+                        + (1 / (2 * e)) * xp.log((1 - e * s) / (1 + e * s))
+                    )
+                )
+                phi = phi + corr
+        lam = (lam + math.pi) % (2 * math.pi) - math.pi
+        return _r2d(xp, lam), _r2d(xp, phi)
+
+    return forward, inverse
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -572,6 +646,7 @@ PROJECTION_FACTORIES = {
     "lambert_conformal_conic": make_lambert_conformal_conic,
     "albers_conical_equal_area": make_albers_conical_equal_area,
     "polar_stereographic": make_polar_stereographic,
+    "lambert_cylindrical_equal_area": make_lambert_cylindrical_equal_area,
 }
 
 
