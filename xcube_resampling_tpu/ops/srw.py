@@ -1418,7 +1418,7 @@ def make_region_reproject_fn(
     fill_value=np.nan,
     step: int = 16,
     base_split: int = 4,
-    max_depth: int = 2,
+    max_depth: int = 3,
     allow_hybrid: bool = True,
 ):
     """Gather-free reprojection for warps too severe for any single SRW
