@@ -378,6 +378,22 @@ def main():
 
     log(f"devices: {jax.devices()}")
 
+    # the headline metric runs FIRST so a driver-side timeout can never
+    # swallow the JSON line (the region config alone compiles for minutes)
+    results = bench_reproject_utm(log)
+    value = results["bilinear"]
+    print(
+        json.dumps(
+            {
+                "metric": "reproject_bilinear_4326_to_utm_mpix_per_s_per_chip",
+                "value": round(float(value), 1),
+                "unit": "Mpix/s",
+                "vs_baseline": round(float(value) / REFERENCE_MPIX_S, 1),
+            }
+        ),
+        flush=True,
+    )
+
     try:
         bench_affine(log)
     except Exception as e:  # noqa: BLE001
@@ -398,19 +414,6 @@ def main():
         bench_reproject_20k(log)
     except Exception as e:  # noqa: BLE001
         log(f"20k reproject bench failed: {e!r}")
-
-    results = bench_reproject_utm(log)
-    value = results["bilinear"]
-    print(
-        json.dumps(
-            {
-                "metric": "reproject_bilinear_4326_to_utm_mpix_per_s_per_chip",
-                "value": round(float(value), 1),
-                "unit": "Mpix/s",
-                "vs_baseline": round(float(value) / REFERENCE_MPIX_S, 1),
-            }
-        )
-    )
 
 
 if __name__ == "__main__":
