@@ -110,6 +110,9 @@ def test_srw_aligned_matches_gather_kernel():
 
 
 def test_srw_chooser_handles_severe_warp():
+    """Rotation-heavy warps exceed the two-pass fidelity gate on the
+    default path (fall back to exact gather) but plan in the opt-in fast
+    mode."""
     source_gm = GridMapping.regular(
         size=(720, 360), xy_min=(-180.0, -90.0), xy_res=0.5, crs="epsg:4326"
     )
@@ -119,7 +122,10 @@ def test_srw_chooser_handles_severe_warp():
         xy_res=30000.0,
         crs="epsg:3035",
     )
-    fn = make_srw_reproject_fn(source_gm, target_gm, "bilinear", np.nan)
+    assert make_srw_reproject_fn(source_gm, target_gm, "bilinear", np.nan) is None
+    fn = make_srw_reproject_fn(
+        source_gm, target_gm, "bilinear", np.nan, allow_hybrid=True
+    )
     assert fn is not None
     data = np.random.default_rng(1).random((360, 720)).astype(np.float32)
     out = np.asarray(fn(jnp.asarray(data)))

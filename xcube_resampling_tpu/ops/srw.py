@@ -135,6 +135,20 @@ def _interp_cols(field: np.ndarray, n_cols: int, step: int) -> np.ndarray:
     return field[:, ic0] * (1 - fcc[None, :]) + field[:, ic0 + 1] * fcc[None, :]
 
 
+def _twopass_slope(fields: _Fields) -> float:
+    """Worst per-pixel variation of the separable warp's fields: the
+    two-pass filter deviates from direct bilinear by about a quarter of
+    this value on worst-case data.  iy* is measured only on the columns
+    the horizontal taps can reach."""
+    ix64, iystar, step = fields.ix64, fields.iystar64, fields.step
+    k0 = max(0, int(np.floor(np.nanmin(ix64) / step)) - 1)
+    k1 = min(iystar.shape[1], int(np.ceil(np.nanmax(ix64) / step)) + 2)
+    used = iystar[:, k0:k1] if k1 - k0 >= 2 else iystar
+    s_v = float(np.nanmax(np.abs(np.diff(used, axis=1)))) / step
+    s_h = float(np.nanmax(np.abs(np.diff(ix64, axis=0)))) / step
+    return max(s_v, s_h)
+
+
 def _fields_interp_err(fields: _Fields) -> float:
     """Estimated worst-case position error (pixels) of linearly
     interpolating the coarse fields: |second difference| / 8.  iy* is
@@ -1314,6 +1328,15 @@ def make_srw_reproject_fn(
     # outside each row's ix range it is linearly extrapolated bookkeeping
     # whose curvature never affects output pixels.
     if _fields_interp_err(fields) > pos_tol:
+        return None
+    # two-pass fidelity gate (default path only): the Catmull-Smith
+    # decomposition deviates from direct bilinear by ~slope/4 pixels on
+    # worst-case (noise) data, where slope is the per-pixel variation of
+    # the reparametrized fields.  The default path promises near-direct
+    # results, so rotation-heavy warps (slope > 0.2 -> ~0.05 px) fall back
+    # to the exact gather kernel; the opt-in fast mode (allow_hybrid)
+    # explicitly accepts two-pass filter semantics.
+    if not allow_hybrid and _twopass_slope(fields) > 0.2:
         return None
     tiled = plan_srw(source_gm, target_gm, step=step, fields=fields, **plan_kwargs)
     aligned = plan_srw_aligned(

@@ -34,6 +34,7 @@ from ..ops.srw import (
     _interp_rows,
     _pick_tile,
     _source_window_gm,
+    _twopass_slope,
 )
 
 
@@ -254,6 +255,9 @@ def make_sharded_srw_step(
     n = mesh.shape[axis_name]
     fields = _coarse_geometry(source_gm, target_gm, step)
     if fields is None:
+        return None
+    # same two-pass fidelity gate as the single-chip default path
+    if _twopass_slope(fields) > 0.2:
         return None
     ix64, iystar = fields.ix64, fields.iystar64
     iy64 = fields.iy64
