@@ -1,0 +1,96 @@
+"""Randomized SRW-vs-gather parity across CRS pairs (deterministic seed).
+
+Every configuration where the default chooser engages a gather-free SRW
+kernel must match the exact gather kernel within the documented fidelity
+envelope (the two-pass gate guarantees ~0.05 px worst-case deviation) —
+this is the property the per-case tests cannot cover combinatorially."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from xcube_resampling_tpu.crs import Transformer
+from xcube_resampling_tpu.gridmapping import GridMapping
+from xcube_resampling_tpu.ops.reproject_ops import make_fused_reproject_fn
+from xcube_resampling_tpu.ops.srw import make_srw_reproject_fn
+
+CRS_POOL = [
+    "epsg:4326", "epsg:32632", "epsg:32750", "epsg:3035", "epsg:3857",
+    "epsg:2154", "epsg:3034", "epsg:6933", "epsg:3031", "epsg:3413",
+]
+_CENTERS = {
+    "epsg:32632": (9, 50), "epsg:32750": (117, -18), "epsg:3035": (12, 50),
+    "epsg:3857": (0, 20), "epsg:2154": (3, 46), "epsg:3034": (10, 50),
+    "epsg:6933": (0, 10), "epsg:3031": (0, -72), "epsg:3413": (-45, 72),
+}
+
+
+def _rand_gm(rng, crs):
+    if crs == "epsg:4326":
+        w = int(rng.integers(64, 400))
+        h = int(rng.integers(64, 300))
+        res = float(rng.uniform(0.05, 0.3))
+        lon0 = float(rng.uniform(-150, 120))
+        lat0 = min(float(rng.uniform(-60, 40)), 88.0 - h * res)
+        return GridMapping.regular(
+            size=(w, h), xy_min=(lon0, lat0), xy_res=res, crs=crs
+        )
+    lon, lat = _CENTERS[crs]
+    lon += float(rng.uniform(-3, 3))
+    lat += float(rng.uniform(-3, 3))
+    cx, cy = Transformer.from_crs("epsg:4326", crs).transform(lon, lat)
+    w = int(rng.integers(64, 384))
+    h = int(rng.integers(64, 384))
+    res = float(rng.uniform(300, 4000))
+    return GridMapping.regular(
+        size=(w, h), xy_min=(cx - w * res / 2, cy - h * res / 2),
+        xy_res=res, crs=crs,
+    )
+
+
+def test_fuzz_srw_parity():
+    rng = np.random.default_rng(7)
+    engaged = 0
+    for _ in range(30):
+        src_crs, tgt_crs = rng.choice(CRS_POOL, 2, replace=False)
+        try:
+            sgm = _rand_gm(rng, src_crs)
+            t = Transformer.from_crs(src_crs, tgt_crs)
+            cx = (sgm.x_min + sgm.x_max) / 2
+            cy = (sgm.y_min + sgm.y_max) / 2
+            tcx, tcy = t.transform(cx, cy)
+            if not (np.isfinite(tcx) and np.isfinite(tcy)):
+                continue
+            w = int(rng.integers(64, 256))
+            h = int(rng.integers(64, 256))
+            res = float(rng.uniform(0.3, 1.5)) * (
+                (sgm.x_res if src_crs != "epsg:4326" else sgm.x_res * 1e5)
+                / (1.0 if tgt_crs != "epsg:4326" else 1e5)
+            )
+            if tgt_crs == "epsg:4326" and abs(tcy) + h * res / 2 > 89:
+                continue
+            tgm = GridMapping.regular(
+                size=(w, h), xy_min=(tcx - w * res / 2, tcy - h * res / 2),
+                xy_res=res, crs=tgt_crs,
+            )
+        except ValueError:
+            continue  # generated grid invalid (e.g. latitude overflow)
+        fn = make_srw_reproject_fn(sgm, tgm, "bilinear", np.nan)
+        if fn is None:
+            continue
+        engaged += 1
+        data = rng.random((sgm.height, sgm.width)).astype(np.float32)
+        a = np.asarray(fn(jnp.asarray(data)))
+        b = np.asarray(
+            make_fused_reproject_fn(sgm, tgm, "bilinear", np.nan)(
+                jnp.asarray(data)
+            )
+        )
+        nanmis = (np.isnan(a) != np.isnan(b)).mean()
+        both = ~np.isnan(a) & ~np.isnan(b)
+        md = float(np.abs(a[both] - b[both]).max()) if both.any() else 0.0
+        assert nanmis < 0.02, f"{src_crs}->{tgt_crs}: nan mismatch {nanmis}"
+        assert md < 0.1, f"{src_crs}->{tgt_crs}: max diff {md}"
+    assert engaged >= 5, f"only {engaged} configurations engaged SRW"
