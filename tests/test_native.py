@@ -65,3 +65,47 @@ def test_native_phase_a_handles_nans():
     ref = _numpy_reference(*args)
     nat = inverse_ij_map_native(*args)
     np.testing.assert_array_equal(nat, ref)
+
+
+def test_native_mt_bit_identical_across_thread_counts():
+    """The multi-threaded Phase A (min-quad-rank merge of per-thread row
+    blocks) must be bit-identical to the sequential kernel for any thread
+    count — the determinism contract of the native tier."""
+    import ctypes
+
+    from xcube_resampling_tpu.constants import UV_DELTA
+    from xcube_resampling_tpu.gridmapping import GridMapping
+    from xcube_resampling_tpu.native import get_lib
+
+    from .sampledata import create_olci_like_swath
+
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native library unavailable")
+
+    ds = create_olci_like_swath(width=160, height=240, tile_size=512)
+    source_gm = GridMapping.from_dataset(ds)
+    target_gm = source_gm.to_regular(tile_size=512)
+    src_xy = np.asarray(source_gm.xy_coords.data, dtype=np.float64)
+    dst_h, dst_w = target_gm.height, target_gm.width
+    x_min, _, _, y_max = target_gm.xy_bbox
+    dbl_p = ctypes.POINTER(ctypes.c_double)
+    sx = np.ascontiguousarray(src_xy[0])
+    sy = np.ascontiguousarray(src_xy[1])
+    args = (
+        sx.ctypes.data_as(dbl_p), sy.ctypes.data_as(dbl_p),
+        sx.shape[0], sx.shape[1], 0, 0, dst_h, dst_w,
+        float(x_min), float(y_max), float(target_gm.x_res),
+        float(-target_gm.y_res), UV_DELTA,
+    )
+
+    ref = np.full((2, dst_h, dst_w), np.nan, np.float64)
+    lib.inverse_ij_map_f64(*args, ref.ctypes.data_as(dbl_p))
+    for n_threads in (1, 3, 7):
+        out = np.full((2, dst_h, dst_w), np.nan, np.float64)
+        lib.inverse_ij_map_f64_mt(
+            *args, out.ctypes.data_as(dbl_p), n_threads
+        )
+        np.testing.assert_array_equal(
+            np.nan_to_num(out, nan=-9e9), np.nan_to_num(ref, nan=-9e9)
+        )

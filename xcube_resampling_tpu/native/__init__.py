@@ -27,23 +27,20 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = [
-        "g++",
-        "-O3",
-        "-fPIC",
-        "-shared",
-        "-std=c++17",
-        "-o",
-        str(_LIB_PATH),
-        *[str(s) for s in _SOURCES],
-    ]
-    try:
-        res = subprocess.run(
-            cmd, capture_output=True, timeout=120, cwd=str(_HERE)
-        )
-        return res.returncode == 0 and _LIB_PATH.is_file()
-    except (OSError, subprocess.SubprocessError):
-        return False
+    base = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17"]
+    tail = ["-o", str(_LIB_PATH), *[str(s) for s in _SOURCES]]
+    # OpenMP first (multi-threaded Phase A); plain build as fallback
+    for flags in (["-fopenmp"], []):
+        try:
+            res = subprocess.run(
+                base + flags + tail,
+                capture_output=True, timeout=120, cwd=str(_HERE),
+            )
+            if res.returncode == 0 and _LIB_PATH.is_file():
+                return True
+        except (OSError, subprocess.SubprocessError):
+            return False
+    return False
 
 
 def get_lib():
@@ -82,6 +79,10 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double),
         ]
         lib.inverse_ij_map_f64.restype = None
+        lib.inverse_ij_map_f64_mt.argtypes = (
+            lib.inverse_ij_map_f64.argtypes + [ctypes.c_int32]
+        )
+        lib.inverse_ij_map_f64_mt.restype = None
         _lib = lib
         return _lib
 
@@ -111,7 +112,16 @@ def inverse_ij_map_native(
     dst_h, dst_w = dst_shape
     out = np.full((2, dst_h, dst_w), np.nan, dtype=np.float64)
     dbl_p = ctypes.POINTER(ctypes.c_double)
-    lib.inverse_ij_map_f64(
+    # thread count: XRTPU_NATIVE_THREADS wins, else all cores; the
+    # multi-threaded kernel is bit-identical to the sequential one
+    # (min-quad-rank merge of contiguous row-block claims)
+    try:
+        n_threads = int(os.environ.get("XRTPU_NATIVE_THREADS", "0"))
+    except ValueError:
+        n_threads = 0
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    lib.inverse_ij_map_f64_mt(
         src_x.ctypes.data_as(dbl_p),
         src_y.ctypes.data_as(dbl_p),
         src_x.shape[0],
@@ -126,5 +136,6 @@ def inverse_ij_map_native(
         float(dst_y_scale),
         float(uv_delta),
         out.ctypes.data_as(dbl_p),
+        int(n_threads),
     )
     return out

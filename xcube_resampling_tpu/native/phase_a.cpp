@@ -9,13 +9,27 @@
 // (row-major quad order), which equals the scatter-min-rank resolution of
 // the vectorized paths.
 //
-// Build: g++ -O3 -fPIC -shared -o libphase_a.so phase_a.cpp
+// Build: g++ -O3 -fPIC -shared [-fopenmp] -o libphase_a.so phase_a.cpp
 // (see build.py; loaded via ctypes, no pybind11 required)
+//
+// The multi-threaded variant (inverse_ij_map_f64_mt) exploits that
+// sequential first-writer-wins over row-major quads equals "minimum quad
+// rank wins": threads process contiguous source-row blocks (rank order
+// within each thread, so local first-wins stays valid) into private claim
+// maps carrying the winning quad rank, then a min-by-rank merge produces
+// output bit-identical to the sequential kernel regardless of thread
+// count.
 
 #include <cmath>
 #include <cstdint>
+#include <cstring>
 #include <algorithm>
 #include <limits>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace {
 
@@ -146,6 +160,179 @@ void inverse_ij_map_f64(
                     }
                 }
             }
+        }
+    }
+}
+
+// Row-range worker for the multi-threaded variant: identical quad logic,
+// but claims go into a private (rank, i, j) map.  Quads in [j_begin,
+// j_end) are visited in increasing rank, so the local first-wins skip is
+// exact within the block.
+static void phase_a_rows(
+    const double* src_x, const double* src_y,
+    int64_t src_h, int64_t src_w,
+    int64_t j_begin, int64_t j_end,
+    int64_t src_i_min, int64_t src_j_min,
+    int64_t dst_h, int64_t dst_w,
+    double dst_x_offset, double dst_y_offset,
+    double dst_x_scale, double dst_y_scale,
+    double uv_delta,
+    int32_t* rank_map, double* out_i, double* out_j) {
+    const double u_min = -uv_delta;
+    const double v_min = -uv_delta;
+    const double uv_max = 1.0 + 2.0 * uv_delta;
+    const int32_t kFree = std::numeric_limits<int32_t>::max();
+
+    for (int64_t j0 = j_begin; j0 < j_end; ++j0) {
+        const double* x_row0 = src_x + j0 * src_w;
+        const double* x_row1 = x_row0 + src_w;
+        const double* y_row0 = src_y + j0 * src_w;
+        const double* y_row1 = y_row0 + src_w;
+        for (int64_t i0 = 0; i0 + 1 < src_w; ++i0) {
+            const double p0x = x_row0[i0], p1x = x_row0[i0 + 1];
+            const double p2x = x_row1[i0], p3x = x_row1[i0 + 1];
+            const double p0y = y_row0[i0], p1y = y_row0[i0 + 1];
+            const double p2y = y_row1[i0], p3y = y_row1[i0 + 1];
+            if (std::isnan(p0x) || std::isnan(p1x) || std::isnan(p2x) ||
+                std::isnan(p3x) || std::isnan(p0y) || std::isnan(p1y) ||
+                std::isnan(p2y) || std::isnan(p3y))
+                continue;
+
+            const double fi0 = std::floor((p0x - dst_x_offset) / dst_x_scale);
+            const double fi1 = std::floor((p1x - dst_x_offset) / dst_x_scale);
+            const double fi2 = std::floor((p2x - dst_x_offset) / dst_x_scale);
+            const double fi3 = std::floor((p3x - dst_x_offset) / dst_x_scale);
+            const double fj0 = std::floor((p0y - dst_y_offset) / dst_y_scale);
+            const double fj1 = std::floor((p1y - dst_y_offset) / dst_y_scale);
+            const double fj2 = std::floor((p2y - dst_y_offset) / dst_y_scale);
+            const double fj3 = std::floor((p3y - dst_y_offset) / dst_y_scale);
+
+            const double fimin = std::min(std::min(fi0, fi1), std::min(fi2, fi3));
+            const double fimax = std::max(std::max(fi0, fi1), std::max(fi2, fi3));
+            const double fjmin = std::min(std::min(fj0, fj1), std::min(fj2, fj3));
+            const double fjmax = std::max(std::max(fj0, fj1), std::max(fj2, fj3));
+            if (std::isnan(fimin) || std::isnan(fjmin)) continue;
+            if (fimax < 0 || fjmax < 0 || fimin >= (double)dst_w ||
+                fjmin >= (double)dst_h)
+                continue;
+
+            int64_t i_lo = (int64_t)std::max(fimin, 0.0);
+            int64_t i_hi = (int64_t)std::min(fimax, (double)(dst_w - 1));
+            int64_t j_lo = (int64_t)std::max(fjmin, 0.0);
+            int64_t j_hi = (int64_t)std::min(fjmax, (double)(dst_h - 1));
+
+            double det_a = fdet(p0x, p0y, p1x, p1y, p2x, p2y);
+            double det_b = fdet(p3x, p3y, p2x, p2y, p1x, p1y);
+            if (std::isnan(det_a)) det_a = 0.0;
+            if (std::isnan(det_b)) det_b = 0.0;
+            if (det_a == 0.0 && det_b == 0.0) continue;
+
+            const int32_t rank = (int32_t)(j0 * (src_w - 1) + i0);
+
+            for (int64_t dj = j_lo; dj <= j_hi; ++dj) {
+                const double dy = dst_y_offset + ((double)dj + 0.5) * dst_y_scale;
+                int32_t* rk_row = rank_map + dj * dst_w;
+                double* oi_row = out_i + dj * dst_w;
+                double* oj_row = out_j + dj * dst_w;
+                for (int64_t di = i_lo; di <= i_hi; ++di) {
+                    if (rk_row[di] != kFree) continue;
+                    const double dx =
+                        dst_x_offset + ((double)di + 0.5) * dst_x_scale;
+
+                    double si = -1.0, sj = -1.0;
+                    if (det_a != 0.0) {
+                        const double u =
+                            fu(dx, dy, p0x, p0y, p2x, p2y) / det_a;
+                        const double v =
+                            fv(dx, dy, p0x, p0y, p1x, p1y) / det_a;
+                        if (u >= u_min && v >= v_min && u + v <= uv_max) {
+                            si = (double)i0 + fclamp(u, 0.0, 1.0);
+                            sj = (double)j0 + fclamp(v, 0.0, 1.0);
+                        }
+                    }
+                    if (si == -1.0 && det_b != 0.0) {
+                        const double u =
+                            fu(dx, dy, p3x, p3y, p1x, p1y) / det_b;
+                        const double v =
+                            fv(dx, dy, p3x, p3y, p2x, p2y) / det_b;
+                        if (u >= u_min && v >= v_min && u + v <= uv_max) {
+                            si = (double)(i0 + 1) - fclamp(u, 0.0, 1.0);
+                            sj = (double)(j0 + 1) - fclamp(v, 0.0, 1.0);
+                        }
+                    }
+                    if (si != -1.0) {
+                        rk_row[di] = rank;
+                        oi_row[di] = (double)src_i_min + si;
+                        oj_row[di] = (double)src_j_min + sj;
+                    }
+                }
+            }
+        }
+    }
+}
+
+// Multi-threaded Phase A: bit-identical to inverse_ij_map_f64 for any
+// n_threads (min-rank merge of per-thread contiguous-row-block claims).
+void inverse_ij_map_f64_mt(
+    const double* src_x, const double* src_y,
+    int64_t src_h, int64_t src_w,
+    int64_t src_i_min, int64_t src_j_min,
+    int64_t dst_h, int64_t dst_w,
+    double dst_x_offset, double dst_y_offset,
+    double dst_x_scale, double dst_y_scale,
+    double uv_delta,
+    double* out,
+    int32_t n_threads) {
+    if (src_h < 2 || src_w < 2) return;
+    const int64_t n_rows = src_h - 1;
+    int T = n_threads > 0 ? n_threads : 1;
+    if ((int64_t)T > n_rows) T = (int)n_rows;
+    if (T <= 1) {
+        inverse_ij_map_f64(src_x, src_y, src_h, src_w, src_i_min, src_j_min,
+                           dst_h, dst_w, dst_x_offset, dst_y_offset,
+                           dst_x_scale, dst_y_scale, uv_delta, out);
+        return;
+    }
+
+    const int64_t npx = dst_h * dst_w;
+    const int32_t kFree = std::numeric_limits<int32_t>::max();
+    std::vector<int32_t> ranks((size_t)T * npx, kFree);
+    std::vector<double> ois((size_t)T * npx);
+    std::vector<double> ojs((size_t)T * npx);
+
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(T) schedule(static, 1)
+#endif
+    for (int t = 0; t < T; ++t) {
+        const int64_t j_begin = n_rows * t / T;
+        const int64_t j_end = n_rows * (t + 1) / T;
+        phase_a_rows(src_x, src_y, src_h, src_w, j_begin, j_end,
+                     src_i_min, src_j_min, dst_h, dst_w,
+                     dst_x_offset, dst_y_offset, dst_x_scale, dst_y_scale,
+                     uv_delta,
+                     ranks.data() + (size_t)t * npx,
+                     ois.data() + (size_t)t * npx,
+                     ojs.data() + (size_t)t * npx);
+    }
+
+    double* out_i = out;
+    double* out_j = out + npx;
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(T) schedule(static)
+#endif
+    for (int64_t p = 0; p < npx; ++p) {
+        int32_t best = kFree;
+        int bt = -1;
+        for (int t = 0; t < T; ++t) {
+            const int32_t r = ranks[(size_t)t * npx + p];
+            if (r < best) {
+                best = r;
+                bt = t;
+            }
+        }
+        if (bt >= 0) {
+            out_i[p] = ois[(size_t)bt * npx + p];
+            out_j[p] = ojs[(size_t)bt * npx + p];
         }
     }
 }
