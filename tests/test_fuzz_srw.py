@@ -93,4 +93,25 @@ def test_fuzz_srw_parity():
         md = float(np.abs(a[both] - b[both]).max()) if both.any() else 0.0
         assert nanmis < 0.02, f"{src_crs}->{tgt_crs}: nan mismatch {nanmis}"
         assert md < 0.1, f"{src_crs}->{tgt_crs}: max diff {md}"
+
+        # nearest: the two-pass evaluation samples iy* at the rounded
+        # column, so pixels within ~slope/2 (<= 0.1 px, inside the
+        # documented position tolerance) of a rounding boundary may pick
+        # the other neighbour; the flip rate is bounded by the fidelity
+        # gate's slope cap
+        fn_n = make_srw_reproject_fn(sgm, tgm, "nearest", np.nan)
+        if fn_n is not None:
+            an = np.asarray(fn_n(jnp.asarray(data)))
+            bn = np.asarray(
+                make_fused_reproject_fn(sgm, tgm, "nearest", np.nan)(
+                    jnp.asarray(data)
+                )
+            )
+            both_n = ~np.isnan(an) & ~np.isnan(bn)
+            frac_diff = (
+                (an[both_n] != bn[both_n]).mean() if both_n.any() else 0.0
+            )
+            assert frac_diff < 0.05, (
+                f"{src_crs}->{tgt_crs}: nearest mismatch frac {frac_diff}"
+            )
     assert engaged >= 5, f"only {engaged} configurations engaged SRW"
