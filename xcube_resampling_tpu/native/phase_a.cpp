@@ -177,11 +177,11 @@ static void phase_a_rows(
     double dst_x_offset, double dst_y_offset,
     double dst_x_scale, double dst_y_scale,
     double uv_delta,
-    int32_t* rank_map, double* out_i, double* out_j) {
+    int64_t* rank_map, double* out_i, double* out_j) {
     const double u_min = -uv_delta;
     const double v_min = -uv_delta;
     const double uv_max = 1.0 + 2.0 * uv_delta;
-    const int32_t kFree = std::numeric_limits<int32_t>::max();
+    const int64_t kFree = std::numeric_limits<int64_t>::max();
 
     for (int64_t j0 = j_begin; j0 < j_end; ++j0) {
         const double* x_row0 = src_x + j0 * src_w;
@@ -227,11 +227,13 @@ static void phase_a_rows(
             if (std::isnan(det_b)) det_b = 0.0;
             if (det_a == 0.0 && det_b == 0.0) continue;
 
-            const int32_t rank = (int32_t)(j0 * (src_w - 1) + i0);
+            // int64: a swath can exceed 2^31 quads, and int32 overflow
+            // here is UB plus a possible collision with the kFree sentinel
+            const int64_t rank = j0 * (src_w - 1) + i0;
 
             for (int64_t dj = j_lo; dj <= j_hi; ++dj) {
                 const double dy = dst_y_offset + ((double)dj + 0.5) * dst_y_scale;
-                int32_t* rk_row = rank_map + dj * dst_w;
+                int64_t* rk_row = rank_map + dj * dst_w;
                 double* oi_row = out_i + dj * dst_w;
                 double* oj_row = out_j + dj * dst_w;
                 for (int64_t di = i_lo; di <= i_hi; ++di) {
@@ -295,8 +297,8 @@ void inverse_ij_map_f64_mt(
     }
 
     const int64_t npx = dst_h * dst_w;
-    const int32_t kFree = std::numeric_limits<int32_t>::max();
-    std::vector<int32_t> ranks((size_t)T * npx, kFree);
+    const int64_t kFree = std::numeric_limits<int64_t>::max();
+    std::vector<int64_t> ranks((size_t)T * npx, kFree);
     std::vector<double> ois((size_t)T * npx);
     std::vector<double> ojs((size_t)T * npx);
 
@@ -321,10 +323,10 @@ void inverse_ij_map_f64_mt(
 #pragma omp parallel for num_threads(T) schedule(static)
 #endif
     for (int64_t p = 0; p < npx; ++p) {
-        int32_t best = kFree;
+        int64_t best = kFree;
         int bt = -1;
         for (int t = 0; t < T; ++t) {
-            const int32_t r = ranks[(size_t)t * npx + p];
+            const int64_t r = ranks[(size_t)t * npx + p];
             if (r < best) {
                 best = r;
                 bt = t;
