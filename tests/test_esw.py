@@ -1,0 +1,175 @@
+"""Exact separable warp (ops/esw.py): the gather-free kernel must reproduce
+the direct gather kernel exactly — same taps, same validity mask, same
+values up to lerp-order float32 rounding (ESW lerps vertically first by
+construction, the gather kernel horizontally first; the products are
+mathematically identical and differ by at most a few ulp).  Nearest has no
+lerp and must be BIT-exact.  This is the accuracy contract that lets ESW be
+the default extreme-warp path with no fidelity gate."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from xcube_resampling_tpu.gridmapping import GridMapping
+from xcube_resampling_tpu.ops.esw import (
+    make_esw_region_fn,
+    make_esw_reproject_fn,
+    plan_esw,
+)
+from xcube_resampling_tpu.ops.reproject_ops import make_fused_reproject_fn
+
+
+def _assert_exact(a, b, bilinear=False):
+    """Identical NaN masks; bit-identical values (nearest) or within 4
+    float32 ulp of unit scale (bilinear lerp-order rounding: ESW lerps
+    vertically first, the gather kernel horizontally first — measured
+    difference on these cases is 2 ulp)."""
+    np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+    fa = np.nan_to_num(a).astype(np.float32)
+    fb = np.nan_to_num(b).astype(np.float32)
+    if not bilinear:
+        np.testing.assert_array_equal(fa, fb)
+        return
+    d = np.abs(fa - fb)
+    # data is in [0, 1): 4 ulp at 1.0 = 4 * 2^-24
+    assert d.max() <= 4 * 2.0**-24, f"max abs diff {d.max():.3e}"
+
+
+def _utm_case(src=96, out=80):
+    """Mild warp (UTM32 -> LAEA regional window)."""
+    source_gm = GridMapping.regular(
+        size=(src, src), xy_min=(565000.0, 5930000.0), xy_res=100.0,
+        crs="epsg:32632",
+    )
+    target_gm = GridMapping.regular(
+        size=(out, out), xy_min=(4320500, 3379500), xy_res=100,
+        crs="epsg:3035",
+    )
+    return source_gm, target_gm
+
+
+def _severe_case():
+    """Rotation-heavy continental warp that the default SRW fidelity gate
+    rejects (test_srw.py::test_srw_chooser_handles_severe_warp)."""
+    source_gm = GridMapping.regular(
+        size=(720, 360), xy_min=(-180.0, -90.0), xy_res=0.5, crs="epsg:4326"
+    )
+    target_gm = GridMapping.regular(
+        size=(512, 256), xy_min=(900000.0, 900000.0), xy_res=7000.0,
+        crs="epsg:3035",
+    )
+    return source_gm, target_gm
+
+
+def _extreme_case():
+    """Domain-scale warp with the projection singularity inside the target:
+    no single plan covers it -> region mosaic."""
+    source_gm = GridMapping.regular(
+        size=(720, 360), xy_min=(-180, -90), xy_res=0.5, crs="EPSG:4326"
+    )
+    target_gm = GridMapping.regular(
+        size=(512, 512), xy_min=(900000.0, 900000.0), xy_res=10000.0,
+        crs="EPSG:3035",
+    )
+    return source_gm, target_gm
+
+
+def _rand(shape, seed=0):
+    return np.random.default_rng(seed).random(shape, dtype=np.float32)
+
+
+@pytest.mark.parametrize("interp", ["bilinear", "nearest"])
+@pytest.mark.parametrize("case", [_utm_case, _severe_case])
+def test_esw_matches_gather(interp, case):
+    source_gm, target_gm = case()
+    esw = make_esw_reproject_fn(source_gm, target_gm, interp, np.nan)
+    assert esw is not None, "ESW plan unexpectedly rejected"
+    gat = make_fused_reproject_fn(source_gm, target_gm, interp, np.nan)
+
+    data = _rand((source_gm.height, source_gm.width))
+    a = np.asarray(esw(jnp.asarray(data)))
+    b = np.asarray(gat(jnp.asarray(data)))
+
+    assert np.isfinite(b).mean() > 0.5
+    _assert_exact(a, b, bilinear=interp == "bilinear")
+
+
+def test_esw_batched():
+    source_gm, target_gm = _severe_case()
+    esw = make_esw_reproject_fn(source_gm, target_gm, "bilinear", np.nan)
+    gat = make_fused_reproject_fn(source_gm, target_gm, "bilinear", np.nan)
+    data = _rand((3, source_gm.height, source_gm.width), seed=2)
+    a = np.asarray(esw(jnp.asarray(data)))
+    b = np.asarray(gat(jnp.asarray(data)))
+    assert a.shape == (3, 256, 512)
+    _assert_exact(a, b, bilinear=True)
+
+
+def test_esw_plan_adapts_sample_count():
+    source_gm, target_gm = _severe_case()
+    plan = plan_esw(source_gm, target_gm)
+    assert plan is not None
+    # rotation-heavy: needs more than the minimal window, stays bounded
+    assert 3 <= plan.n_samples <= 10
+    assert plan.d_v <= 40 and plan.d_h <= 40
+
+
+def test_esw_rejects_triangular():
+    source_gm, target_gm = _utm_case()
+    assert make_esw_reproject_fn(source_gm, target_gm, "triangular") is None
+
+
+@pytest.mark.parametrize("interp", ["bilinear", "nearest"])
+def test_esw_region_mosaic_matches_gather(interp):
+    """Quadtree mosaic over the singular extreme case: every planned piece
+    and every gather-fallback piece reproduces direct gather semantics, so
+    the full mosaic matches the whole-target gather kernel (ulp-level for
+    bilinear, bit-exact for nearest)."""
+    source_gm, target_gm = _extreme_case()
+    fn = make_esw_region_fn(
+        source_gm, target_gm, interp, np.nan, base_split=2, max_depth=2
+    )
+    assert fn is not None
+    gat = make_fused_reproject_fn(source_gm, target_gm, interp, np.nan)
+    data = _rand((source_gm.height, source_gm.width), seed=3)
+    a = np.asarray(fn(jnp.asarray(data)))
+    b = np.asarray(gat(jnp.asarray(data)))
+    assert np.isfinite(b).mean() > 0.9
+    _assert_exact(a, b, bilinear=interp == "bilinear")
+
+
+def test_default_device_path_uses_exact_semantics():
+    """End-to-end: on a severe warp the default device path (reproject.py)
+    now routes to ESW — the result must match the gather kernel at ulp
+    level, with no env flag."""
+    import os
+
+    from xcube_resampling_tpu.crs import CRS
+    from xcube_resampling_tpu.reproject import reproject_dataset
+    from xcube_resampling_tpu.xrlite import DataArray, Dataset
+
+    assert os.environ.get("XRTPU_FAST_EXTREME_WARP", "") != "1"
+    source_gm, target_gm = _severe_case()
+    data = _rand((source_gm.height, source_gm.width), seed=4)
+    ds = Dataset(
+        dict(
+            band=DataArray(
+                # jax-backed -> routes through the device path
+                jnp.asarray(data), dims=("y", "x"),
+                attrs=dict(grid_mapping="spatial_ref"),
+            )
+        ),
+        coords=dict(
+            x=np.asarray(source_gm.x_coords.data),
+            y=np.asarray(source_gm.y_coords.data),
+            spatial_ref=np.array(0),
+        ),
+    )
+    ds["spatial_ref"].attrs.update(CRS.from_epsg("4326").to_cf())
+    out = reproject_dataset(ds, target_gm)
+    gat = make_fused_reproject_fn(source_gm, target_gm, "bilinear", np.nan)
+    b = np.asarray(gat(jnp.asarray(data)))
+    a = np.asarray(out.band.values, dtype=np.float32)
+    _assert_exact(a, b, bilinear=True)

@@ -61,6 +61,7 @@ class CRS:
         datum_name: str = "World Geodetic System 1984",
         axis_lat_lon: bool = False,
         epsg: int | None = None,
+        towgs84: tuple | None = None,
     ):
         assert kind in ("geographic", "projected")
         self._kind = kind
@@ -71,6 +72,10 @@ class CRS:
         self._datum_name = datum_name
         self._axis_lat_lon = axis_lat_lon
         self._epsg = epsg
+        # explicit all-zero transforms are the WGS84-coincident default
+        if towgs84 is not None and not any(towgs84):
+            towgs84 = None
+        self._towgs84 = tuple(float(v) for v in towgs84) if towgs84 else None
         self._fwd_inv = None
 
     # -- identity ----------------------------------------------------------
@@ -108,6 +113,13 @@ class CRS:
         return self._datum_name
 
     @property
+    def towgs84(self) -> tuple | None:
+        """Explicit 7-parameter Helmert transform to WGS84 (from a WKT
+        TOWGS84/BOUNDCRS node or a proj4 ``+towgs84``), or None when the
+        datum-name registry decides (see crs.datum.towgs84_for_datum)."""
+        return self._towgs84
+
+    @property
     def proj_name(self) -> str | None:
         return self._proj_name
 
@@ -143,7 +155,9 @@ class CRS:
 
     # -- equality ----------------------------------------------------------
 
-    def _key(self):
+    def _key(self, with_datum: bool = True):
+        from .datum import canonical_datum_key
+
         params = tuple(
             sorted(
                 (k, tuple(v) if isinstance(v, (list, tuple)) else round(float(v), 9))
@@ -157,8 +171,9 @@ class CRS:
             params,
             round(self._ellipsoid.a, 6),
             round(self._ellipsoid.inverse_flattening, 9),
-            self._datum_name,
+            canonical_datum_key(self._datum_name) if with_datum else None,
             self._axis_lat_lon,
+            self._towgs84,
         )
 
     def equals(self, other: "CRS") -> bool:
@@ -235,13 +250,12 @@ class CRS:
         (pyproj.CRS.from_cf parity; reference cfconv.py:215-221)."""
         attrs = dict(attrs)
         wkt = attrs.get("crs_wkt") or attrs.get("spatial_ref")
-        if isinstance(wkt, str):
-            m = re.search(r'ID\s*\[\s*"EPSG"\s*,\s*(\d+)\s*\]\s*\]\s*$', wkt)
-            if m:
-                try:
-                    return cls.from_epsg(int(m.group(1)))
-                except CRSError:
-                    pass
+        if isinstance(wkt, str) and wkt.strip():
+            try:
+                return cls.from_wkt(wkt)
+            except CRSError:
+                # fall through to the CF grid-mapping attributes
+                pass
         gm_name = attrs.get("grid_mapping_name")
         if not gm_name:
             raise CRSError(f"cannot build CRS from attributes: {list(attrs)[:8]}")
@@ -315,7 +329,12 @@ class CRS:
             f'ELLIPSOID["{ell.name}",{ell.a},{ell.inverse_flattening},'
             f'LENGTHUNIT["metre",1]]'
         )
-        datum = f'DATUM["{self._datum_name}",{ell_wkt}]'
+        tw = (
+            f',TOWGS84[{",".join(str(v) for v in self._towgs84)}]'
+            if self._towgs84
+            else ""
+        )
+        datum = f'DATUM["{self._datum_name}",{ell_wkt}{tw}]'
         if self.is_geographic:
             body = (
                 f'GEOGCRS["{self._name}",{datum},'
@@ -367,9 +386,23 @@ class CRS:
         m = re.match(r"^(?:EPSG|epsg)\s*:\s*(\d+)$", s)
         if m:
             return cls.from_epsg(int(m.group(1)))
-        m = re.search(r'ID\s*\[\s*"EPSG"\s*,\s*(\d+)\s*\]\s*\]\s*$', s)
+        m = re.match(r"^urn:ogc:def:crs:EPSG:[^:]*:(\d+)$", s, re.IGNORECASE)
         if m:
             return cls.from_epsg(int(m.group(1)))
+        if s.startswith("+") or re.match(r"^proj=", s):
+            from .proj4 import crs_from_proj4
+
+            try:
+                return crs_from_proj4(s)
+            except ValueError as e:
+                raise CRSError(f"cannot parse proj4 string: {e}") from None
+        if re.match(r"^[A-Za-z_][A-Za-z0-9_]*\s*[\[(]", s):
+            from .wkt import crs_from_wkt
+
+            try:
+                return crs_from_wkt(s)
+            except ValueError as e:
+                raise CRSError(f"cannot parse WKT: {e}") from None
         raise CRSError(f"cannot parse CRS from {text!r}")
 
     @classmethod
@@ -387,7 +420,21 @@ class CRS:
     # pyproj-compatible alias
     @classmethod
     def from_wkt(cls, wkt: str) -> "CRS":
-        return cls.from_string(wkt)
+        from .wkt import crs_from_wkt
+
+        try:
+            return crs_from_wkt(wkt)
+        except ValueError as e:
+            raise CRSError(f"cannot parse WKT: {e}") from None
+
+    @classmethod
+    def from_proj4(cls, text: str) -> "CRS":
+        from .proj4 import crs_from_proj4
+
+        try:
+            return crs_from_proj4(text)
+        except ValueError as e:
+            raise CRSError(f"cannot parse proj4 string: {e}") from None
 
 
 def _utm_params(zone: int) -> dict:
@@ -433,6 +480,68 @@ def _epsg(code: int) -> CRS | None:
             datum_name="North American Datum 1983",
             axis_lat_lon=True,
             epsg=4269,
+        )
+    elif code == 4230:
+        from .datum import INTL1924
+
+        crs = CRS(
+            kind="geographic",
+            ellipsoid=INTL1924,
+            name="ED50",
+            datum_name="European Datum 1950",
+            axis_lat_lon=True,
+            epsg=4230,
+        )
+    elif code == 4277:
+        from .datum import AIRY1830
+
+        crs = CRS(
+            kind="geographic",
+            ellipsoid=AIRY1830,
+            name="OSGB36",
+            datum_name="OSGB 1936",
+            axis_lat_lon=True,
+            epsg=4277,
+        )
+    elif code == 4301:
+        from .datum import BESSEL1841
+
+        crs = CRS(
+            kind="geographic",
+            ellipsoid=BESSEL1841,
+            name="Tokyo",
+            datum_name="Tokyo",
+            axis_lat_lon=True,
+            epsg=4301,
+        )
+    elif code == 4267:
+        from .datum import CLARKE1866
+
+        crs = CRS(
+            kind="geographic",
+            ellipsoid=CLARKE1866,
+            name="NAD27",
+            datum_name="North American Datum 1927",
+            axis_lat_lon=True,
+            epsg=4267,
+        )
+    elif code == 27700:
+        from .datum import AIRY1830
+
+        crs = CRS(
+            kind="projected",
+            ellipsoid=AIRY1830,
+            proj_name="transverse_mercator",
+            params={
+                "scale_factor_at_central_meridian": 0.9996012717,
+                "longitude_of_central_meridian": -2.0,
+                "latitude_of_projection_origin": 49.0,
+                "false_easting": 400000.0,
+                "false_northing": -100000.0,
+            },
+            name="OSGB36 / British National Grid",
+            datum_name="OSGB 1936",
+            epsg=27700,
         )
     elif code == 6933:
         crs = CRS(
@@ -602,6 +711,19 @@ def _epsg(code: int) -> CRS | None:
             datum_name="European Terrestrial Reference System 1989",
             epsg=code,
         )
+    elif 23028 <= code <= 23038:
+        from .datum import INTL1924
+
+        zone = code - 23000
+        crs = CRS(
+            kind="projected",
+            ellipsoid=INTL1924,
+            proj_name="transverse_mercator",
+            params=_utm_params(zone),
+            name=f"ED50 / UTM zone {zone}N",
+            datum_name="European Datum 1950",
+            epsg=code,
+        )
     if crs is not None:
         _EPSG_CACHE[code] = crs
     return crs
@@ -612,17 +734,28 @@ def _match_epsg(crs: CRS) -> int | None:
     entry (so e.g. a CF transverse_mercator with UTM-32 parameters compares
     equal to CRS.from_epsg(32632))."""
     candidates: list[int] = [
-        4326, 4258, 4269, 3035, 3857, 3395, 3031, 3413, 2154, 6933, 3034,
+        4326, 4258, 4269, 4230, 4277, 4301, 4267, 3035, 3857, 3395, 3031,
+        3413, 2154, 6933, 3034, 27700,
     ]
     if crs.is_projected and crs.proj_name == "transverse_mercator":
         lon0 = crs._params.get("longitude_of_central_meridian")
         if lon0 is not None and (float(lon0) + 183.0) % 6 == 0:
             zone = int(round((float(lon0) + 183.0) / 6))
             if 1 <= zone <= 60:
-                candidates += [32600 + zone, 32700 + zone, 25800 + zone]
+                candidates += [
+                    32600 + zone, 32700 + zone, 25800 + zone, 23000 + zone,
+                ]
+    # datum names carried by proj4 strings / partial CF attrs are often
+    # placeholders ("unknown based on GRS 1980"): the ellipsoid in the key
+    # still pins the frame family, so match without the datum name then
+    from .datum import canonical_datum_key
+
+    anonymous = canonical_datum_key(crs._datum_name).startswith("unknown")
     for code in candidates:
         known = _epsg(code)
-        if known is not None and known._key() == crs._key():
+        if known is not None and known._key(with_datum=not anonymous) == crs._key(
+            with_datum=not anonymous
+        ):
             return code
     return None
 

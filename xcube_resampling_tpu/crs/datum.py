@@ -50,8 +50,27 @@ class Ellipsoid:
 WGS84 = Ellipsoid("WGS 84", 6378137.0, 298.257223563)
 GRS80 = Ellipsoid("GRS 1980", 6378137.0, 298.257222101)
 SPHERE = Ellipsoid("Normal Sphere", 6370997.0, 0.0)
+INTL1924 = Ellipsoid("International 1924", 6378388.0, 297.0)
+CLARKE1866 = Ellipsoid("Clarke 1866", 6378206.4, 294.978698213898)
+BESSEL1841 = Ellipsoid("Bessel 1841", 6377397.155, 299.1528128)
+AIRY1830 = Ellipsoid("Airy 1830", 6377563.396, 299.3249646)
+KRASSOWSKY1940 = Ellipsoid("Krassowsky 1940", 6378245.0, 298.3)
+WGS72 = Ellipsoid("WGS 72", 6378135.0, 298.26)
 
-ELLIPSOIDS = {e.name: e for e in (WGS84, GRS80, SPHERE)}
+ELLIPSOIDS = {
+    e.name: e
+    for e in (
+        WGS84,
+        GRS80,
+        SPHERE,
+        INTL1924,
+        CLARKE1866,
+        BESSEL1841,
+        AIRY1830,
+        KRASSOWSKY1940,
+        WGS72,
+    )
+}
 
 
 def ellipsoid_from_params(
@@ -76,3 +95,164 @@ def ellipsoid_from_params(
         if abs(known.a - a) < 1e-6 and abs(known.inverse_flattening - rf) < 1e-6:
             return known
     return Ellipsoid("unnamed", a, rf)
+
+
+# ---------------------------------------------------------------------------
+# datum transforms (7-parameter Helmert via the geocentric hub)
+# ---------------------------------------------------------------------------
+
+#: Normalized datum name -> 7-parameter towgs84 transform
+#: (tx, ty, tz [m], rx, ry, rz [arc-sec, position-vector convention],
+#: ds [ppm]).  The modern realizations (WGS84 / ETRS89 / NAD83 / RGF93 /
+#: GDA94/2020 ...) are treated as coincident, matching PROJ's default
+#: ballpark behavior (their true offsets are < 1 m and time-dependent).
+#: Legacy datums use the EPSG single-Helmert (mean-value) parameters —
+#: regionally accurate to a few metres, like PROJ without grid files.
+_ZERO7 = (0.0,) * 7
+
+TOWGS84_BY_DATUM = {
+    "world_geodetic_system_1984": _ZERO7,
+    "world_geodetic_system_1984_ensemble": _ZERO7,
+    "wgs_84": _ZERO7,
+    "wgs84": _ZERO7,
+    "d_wgs_1984": _ZERO7,
+    "european_terrestrial_reference_system_1989": _ZERO7,
+    "european_terrestrial_reference_system_1989_ensemble": _ZERO7,
+    "etrs89": _ZERO7,
+    "north_american_datum_1983": _ZERO7,
+    "nad83": _ZERO7,
+    "reseau_geodesique_francais_1993": _ZERO7,
+    "reseau_geodesique_francais_1993_v1": _ZERO7,
+    "rgf93": _ZERO7,
+    "geocentric_datum_of_australia_1994": _ZERO7,
+    "geocentric_datum_of_australia_2020": _ZERO7,
+    # legacy datums (EPSG mean-value Helmert parameters)
+    "european_datum_1950": (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0),
+    "ed50": (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0),
+    "osgb_1936": (446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489),
+    "osgb36": (446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489),
+    "ordnance_survey_of_great_britain_1936": (
+        446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489,
+    ),
+    "tokyo": (-146.414, 507.337, 680.507, 0.0, 0.0, 0.0, 0.0),
+    "deutsches_hauptdreiecksnetz": (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7),
+    "dhdn": (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7),
+    "potsdam": (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7),
+    "north_american_datum_1927": (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0),
+    "nad27": (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0),
+    "pulkovo_1942": (23.92, -141.27, -80.9, 0.0, 0.35, 0.82, -0.12),
+    "world_geodetic_system_1972": (0.0, 0.0, 4.5, 0.0, 0.0, 0.554, 0.2263),
+    "wgs_72": (0.0, 0.0, 4.5, 0.0, 0.0, 0.554, 0.2263),
+}
+
+
+#: spelling variants (WKT1/ESRI/proj4 datum names) -> canonical key
+_DATUM_ALIASES = {
+    "wgs_1984": "world_geodetic_system_1984",
+    "wgs84": "world_geodetic_system_1984",
+    "wgs_84": "world_geodetic_system_1984",
+    "d_wgs_1984": "world_geodetic_system_1984",
+    "world_geodetic_system_1984_ensemble": "world_geodetic_system_1984",
+    "etrs89": "european_terrestrial_reference_system_1989",
+    "etrs_1989": "european_terrestrial_reference_system_1989",
+    "d_etrs_1989": "european_terrestrial_reference_system_1989",
+    "european_terrestrial_reference_system_1989_ensemble": (
+        "european_terrestrial_reference_system_1989"
+    ),
+    "nad83": "north_american_datum_1983",
+    "d_north_american_1983": "north_american_datum_1983",
+    "nad27": "north_american_datum_1927",
+    "d_north_american_1927": "north_american_datum_1927",
+    "ed50": "european_datum_1950",
+    "d_european_1950": "european_datum_1950",
+    "osgb36": "osgb_1936",
+    "ordnance_survey_of_great_britain_1936": "osgb_1936",
+    "d_osgb_1936": "osgb_1936",
+    "rgf93": "reseau_geodesique_francais_1993",
+    "reseau_geodesique_francais_1993_v1": "reseau_geodesique_francais_1993",
+    "dhdn": "deutsches_hauptdreiecksnetz",
+    "potsdam": "deutsches_hauptdreiecksnetz",
+    "wgs_72": "world_geodetic_system_1972",
+    "wgs72": "world_geodetic_system_1972",
+}
+
+
+def normalize_datum_name(name: str) -> str:
+    import re
+
+    return re.sub(r"[^a-z0-9]+", "_", str(name).lower()).strip("_")
+
+
+def canonical_datum_key(name: str) -> str:
+    """Normalized datum identifier with spelling variants collapsed, so
+    WKT1 'WGS_1984', WKT2 '... ensemble' and plain 'WGS 84' all compare
+    equal."""
+    n = normalize_datum_name(name)
+    return _DATUM_ALIASES.get(n, n)
+
+
+def towgs84_for_datum(name: str):
+    """Known 7-parameter transform for a datum name, or None."""
+    return TOWGS84_BY_DATUM.get(canonical_datum_key(name))
+
+
+def geodetic_to_geocentric(lon_deg, lat_deg, ell: Ellipsoid, xp):
+    """(lon, lat) degrees on *ell* (h = 0) -> geocentric (X, Y, Z) metres.
+    Pure array math — runs on numpy float64 or traces under jax.jit."""
+    d2r = 0.017453292519943295
+    lon = lon_deg * d2r
+    lat = lat_deg * d2r
+    sphi = xp.sin(lat)
+    cphi = xp.cos(lat)
+    nu = ell.a / xp.sqrt(1.0 - ell.e2 * sphi * sphi)
+    x = nu * cphi * xp.cos(lon)
+    y = nu * cphi * xp.sin(lon)
+    z = nu * (1.0 - ell.e2) * sphi
+    return x, y, z
+
+
+def geocentric_to_geodetic(x, y, z, ell: Ellipsoid, xp):
+    """Geocentric (X, Y, Z) metres -> (lon, lat) degrees on *ell* (h
+    discarded), via Bowring's method with one refinement iteration
+    (sub-micrometre for earth-surface points)."""
+    r2d = 57.29577951308232
+    p = xp.sqrt(x * x + y * y)
+    e2 = ell.e2
+    b = ell.b
+    ep2 = (ell.a * ell.a - b * b) / (b * b) if b else 0.0
+    theta = xp.arctan2(z * ell.a, p * b)
+    st = xp.sin(theta)
+    ct = xp.cos(theta)
+    lat = xp.arctan2(z + ep2 * b * st * st * st, p - e2 * ell.a * ct * ct * ct)
+    # one Bowring refinement of the parametric latitude
+    theta = xp.arctan2((1.0 - ell.f) * xp.sin(lat), xp.cos(lat))
+    st = xp.sin(theta)
+    ct = xp.cos(theta)
+    lat = xp.arctan2(z + ep2 * b * st * st * st, p - e2 * ell.a * ct * ct * ct)
+    lon = xp.arctan2(y, x)
+    return lon * r2d, lat * r2d
+
+
+def helmert7(x, y, z, p7, xp, inverse: bool = False):
+    """7-parameter Helmert transform, position-vector rotation convention
+    (EPSG 9606, PROJ +towgs84): X2 = T + (1 + s) R X with the small-angle
+    rotation matrix.  ``inverse=True`` applies the exact-to-first-order
+    reverse (standard for towgs84 round trips)."""
+    tx, ty, tz, rx_s, ry_s, rz_s, ds = p7
+    as2r = 4.84813681109536e-06  # arc-seconds -> radians
+    rx = rx_s * as2r
+    ry = ry_s * as2r
+    rz = rz_s * as2r
+    m = 1.0 + ds * 1e-6
+    if not inverse:
+        x2 = m * (x - rz * y + ry * z) + tx
+        y2 = m * (rz * x + y - rx * z) + ty
+        z2 = m * (-ry * x + rx * y + z) + tz
+        return x2, y2, z2
+    xs = (x - tx) / m
+    ys = (y - ty) / m
+    zs = (z - tz) / m
+    x2 = xs + rz * ys - ry * zs
+    y2 = -rz * xs + ys + rx * zs
+    z2 = ry * xs - rx * ys + zs
+    return x2, y2, z2

@@ -58,13 +58,17 @@ class _Fields:
     out_w: int
 
 
-def _coarse_geometry(
+def _raw_coarse_fields(
     source_gm: GridMapping, target_gm: GridMapping, step: int
-) -> _Fields | None:
+) -> tuple[np.ndarray, np.ndarray]:
+    """Float64 coarse ix/iy fields of the inverse transform, unvalidated
+    (may contain non-finite values near projection singularities).  Bit-for-
+    bit the same evaluation as reproject_ops.coarse_coord_field — float32
+    casts of these ARE the gather kernel's coordinate fields, which is what
+    makes the exact-warp kernels (ops/esw.py) reproduce it exactly."""
     transformer = Transformer.from_crs(target_gm.crs, source_gm.crs)
 
     out_h, out_w = target_gm.height, target_gm.width
-    src_h, src_w = source_gm.height, source_gm.width
 
     ncj = (out_h - 1) // step + 2
     nci = (out_w - 1) // step + 2
@@ -84,10 +88,33 @@ def _coarse_geometry(
     src_yres_signed = float(y_vals[1] - y_vals[0])
     ix64 = (np.asarray(sx) - src_x0) / float(source_gm.x_res)
     iy64 = (np.asarray(sy) - src_y0) / src_yres_signed
+    return ix64, iy64
+
+
+def _coarse_geometry(
+    source_gm: GridMapping, target_gm: GridMapping, step: int
+) -> _Fields | None:
+    out_h, out_w = target_gm.height, target_gm.width
+    src_h, src_w = source_gm.height, source_gm.width
+
+    ix64, iy64 = _raw_coarse_fields(source_gm, target_gm, step)
 
     if not np.isfinite(ix64).all() or not np.isfinite(iy64).all():
         return None
 
+    iystar = _iystar_from_fields(ix64, iy64, src_w, step)
+    if iystar is None:
+        return None
+
+    return _Fields(ix64, iy64, iystar, step, src_h, src_w, out_h, out_w)
+
+
+def _iystar_from_fields(
+    ix64: np.ndarray, iy64: np.ndarray, src_w: int, step: int
+) -> np.ndarray | None:
+    """Reparametrized row field iy*(out row, source col) from the coarse
+    coordinate fields, or None when rows are not monotone in ix (no valid
+    reparametrization exists there)."""
     # monotone ix along output rows is required for the reparametrization
     dx_row = np.diff(ix64, axis=1)
     if np.all(dx_row > 0):
@@ -97,6 +124,7 @@ def _coarse_geometry(
     else:
         return None
 
+    ncj = ix64.shape[0]
     ncc = (src_w - 1) // step + 2
     cs = np.arange(ncc, dtype=np.float64) * step
     iystar = np.empty((ncj, ncc), dtype=np.float64)
@@ -116,7 +144,7 @@ def _coarse_geometry(
             vals[right] = fp_row[-1] + (cs[right] - xp_row[-1]) * slope
         iystar[r] = vals
 
-    return _Fields(ix64, iy64, iystar, step, src_h, src_w, out_h, out_w)
+    return iystar
 
 
 def _interp_rows(field: np.ndarray, n_rows: int, step: int) -> np.ndarray:
@@ -1443,6 +1471,7 @@ def make_region_reproject_fn(
     base_split: int = 4,
     max_depth: int = 3,
     allow_hybrid: bool = True,
+    exact: bool = False,
 ):
     """Gather-free reprojection for warps too severe for any single SRW
     plan: recursively quadtree-split the *target*, plan each region against
@@ -1450,6 +1479,11 @@ def make_region_reproject_fn(
     region, and cropping shrinks every tap stream), and fall back to the
     XLA gather kernel only for regions that still refuse to plan (e.g.
     near projection singularities).
+
+    With ``exact=True`` the pieces use the exact separable warp
+    (ops/esw.py — direct-bilinear semantics, no two-pass filter
+    deviation) instead of the SRW strategy chooser; this is the default
+    extreme-warp path.
 
     Replaces the reference's uniformized-window tile mosaic
     (reference reproject.py:385-469) with per-region *planned* kernels.
@@ -1459,6 +1493,17 @@ def make_region_reproject_fn(
     import jax.numpy as jnp
 
     from .reproject_ops import make_fused_reproject_fn
+
+    if exact:
+        from .esw import make_esw_region_fn
+
+        return make_esw_region_fn(
+            source_gm,
+            target_gm,
+            interp_method,
+            fill_value,
+            step=step,
+        )
 
     if interp_method not in ("bilinear", "nearest"):
         return None

@@ -195,19 +195,29 @@ def _reproject_data_array(
 def _reproject_on_device(data, source_gm, target_gm, interp_method, fill_value):
     import os
 
+    from .ops.esw import make_esw_reproject_fn
     from .ops.reproject_ops import make_fused_reproject_fn
-    from .ops.srw import make_region_reproject_fn, make_srw_reproject_fn
+    from .ops.srw import make_region_reproject_fn
 
-    fn = make_srw_reproject_fn(
+    # default tier: the exact separable warp — direct-gather semantics
+    # (bit-exact nearest, <=2 ulp bilinear) at streaming speed, covering
+    # local rotation slopes up to ~4 px/px.  Faster than the two-pass SRW
+    # strategies on mild warps AND exact, so it subsumes the old gated
+    # default (ops/srw.py make_srw_reproject_fn remains available as an
+    # explicit API and for the sharded paths).
+    fn = make_esw_reproject_fn(
         source_gm, target_gm, interp_method, fill_value
     )
     if fn is None and os.environ.get("XRTPU_FAST_EXTREME_WARP", "") == "1":
-        # opt-in fast path for domain-scale warps: per-region planned
-        # kernels (two-pass filter semantics — see ops/srw.py)
+        # opt-in fast mode for domain-scale warps (projection singularities
+        # inside the target): per-region planned SRW kernels (two-pass
+        # filter semantics — see ops/srw.py)
         fn = make_region_reproject_fn(
             source_gm, target_gm, interp_method, fill_value
         )
     if fn is None:
+        # exact fallback: the XLA gather kernel (same semantics as ESW,
+        # no planning constraints)
         fn = make_fused_reproject_fn(
             source_gm, target_gm, interp_method, fill_value
         )

@@ -250,9 +250,13 @@ class DataArray:
         data = self._data
         new_dims = list(self._dims)
         for dim, n in dims.items():
-            data = np.broadcast_to(
-                np.asarray(data)[np.newaxis, ...], (n,) + tuple(data.shape)
-            ).copy() if n != 1 else np.asarray(data)[np.newaxis, ...]
+            if n != 1:
+                data = np.broadcast_to(
+                    np.asarray(data)[np.newaxis, ...], (n,) + tuple(data.shape)
+                ).copy()
+            else:
+                # plain newaxis indexing keeps device (jax) arrays on device
+                data = data[np.newaxis, ...]
             new_dims.insert(0, dim)
         out = DataArray(data, dims=tuple(new_dims), attrs=dict(self._attrs), name=self.name)
         out._coords = dict(self._coords)
