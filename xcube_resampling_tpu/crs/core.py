@@ -72,10 +72,17 @@ class CRS:
         self._datum_name = datum_name
         self._axis_lat_lon = axis_lat_lon
         self._epsg = epsg
-        # explicit all-zero transforms are the WGS84-coincident default
-        if towgs84 is not None and not any(towgs84):
-            towgs84 = None
-        self._towgs84 = tuple(float(v) for v in towgs84) if towgs84 else None
+        # normalize away explicit transforms the datum registry implies
+        # anyway (all-zero = WGS84-coincident; or equal to the registry's
+        # parameters for this datum name): keeps equality/EPSG matching
+        # independent of whether towgs84 was spelled out
+        if towgs84 is not None:
+            towgs84 = tuple(float(v) for v in towgs84)
+            from .datum import towgs84_for_datum
+
+            if not any(towgs84) or towgs84 == towgs84_for_datum(datum_name):
+                towgs84 = None
+        self._towgs84 = towgs84
         self._fwd_inv = None
 
     # -- identity ----------------------------------------------------------
