@@ -49,13 +49,16 @@ def compute_ij_bboxes(
             & (y_image >= y_min)
             & (y_image <= y_max)
         )
-        jj, ii = np.nonzero(mask)
-        if ii.size == 0:
+        # row/col extents via any()+argmax — avoids materializing the
+        # index arrays of np.nonzero (the dominant cost at swath sizes)
+        rows = mask.any(axis=1)
+        if not rows.any():
             continue
-        i0 = int(ii.min())
-        j0 = int(jj.min())
-        i1 = int(ii.max()) + 1
-        j1 = int(jj.max()) + 1
+        cols = mask.any(axis=0)
+        j0 = int(rows.argmax())
+        j1 = h - int(rows[::-1].argmax())
+        i0 = int(cols.argmax())
+        i1 = w - int(cols[::-1].argmax())
         if ij_border != 0:
             i0 = max(0, i0 - ij_border)
             j0 = max(0, j0 - ij_border)

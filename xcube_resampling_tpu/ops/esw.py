@@ -77,6 +77,13 @@ class ESWPlan:
     base_h: np.ndarray  # (n_row_tiles, out_w) int32 horizontal tap bases
     d_h: int
     row_tile: int
+    # optional shift alignment (rotation-heavy warps): log2 roll passes
+    # remove the mean coordinate trend so the per-tile tap spans stay
+    # small; bases/selection then live in the shifted (residual) space
+    s_v: np.ndarray | None  # (src_w,) int32 >= 0 upward shift per src col
+    bits_v: int
+    s_h: np.ndarray | None  # (out_h,) int32 >= 0 left shift per out row
+    bits_h: int
     src_h: int  # window dims (== global when not cropped)
     src_w: int
     out_h: int
@@ -176,11 +183,13 @@ def plan_esw(
         return None
     half = (n_samples - 2) / 2.0
 
-    # ---- vertical tap layout: per-(output row, source col tile) bases
-    res_rows = _interp_rows(iystar, out_h, step)  # (out_h, ncc)
+    # ---- vertical tap layout: per-(output row, source col tile) bases,
+    # optionally in shift-aligned residual space (derivative-midrange
+    # integer shift per source column removes the mean rotation trend)
     ncc = iystar.shape[1]
+    cs = np.arange(ncc, dtype=np.float64) * step
 
-    def _v_layout(col_tile):
+    def _v_layout(res_rows, col_tile):
         n_col_tiles = -(-src_w // col_tile)
         base = np.zeros((out_h, n_col_tiles), dtype=np.int32)
         span_max = 0.0
@@ -197,22 +206,56 @@ def plan_esw(
         # the tile: tile span + S samples + float/interp safety
         return base, int(np.ceil(span_max)) + n_samples + 4
 
-    best_v = None
-    for cand in (512, 256, 128, 64, 32, 16):
-        base, d = _v_layout(cand)
-        eff = d * max(1.0, 96.0 / cand)
-        if d <= max_taps and (best_v is None or eff < best_v[0]):
-            best_v = (eff, cand, base, d)
-    if best_v is None:
-        return None
-    _, col_tile, base_v, d_v = best_v
+    def _best_tiling(layout_fn, res, candidates):
+        best = None
+        for cand in candidates:
+            base, d = layout_fn(res, cand)
+            eff = d * max(1.0, 96.0 / cand)
+            if d <= max_taps and (best is None or eff < best[0]):
+                best = (eff, cand, base, d)
+        return best
 
-    # ---- horizontal tap layout: per-(row tile, output col) bases
-    res_cols = _interp_cols(ix64, out_w, step)  # (ncj, out_w)
+    tiles_v = (512, 256, 128, 64, 32, 16)
+    plain_v = _best_tiling(_v_layout, _interp_rows(iystar, out_h, step), tiles_v)
+
+    # shifted-space candidate (skipped when the plain span is already tiny)
+    dv_ = np.diff(iystar, axis=1)
+    mid_slope_v = 0.5 * (dv_.max(axis=0) + dv_.min(axis=0))
+    s_v_coarse = np.round(np.concatenate([[0.0], np.cumsum(mid_slope_v)]))
+    s_v0 = np.round(
+        np.interp(np.arange(src_w, dtype=np.float64), cs, s_v_coarse)
+    ).astype(np.int64)
+    s_v_full = (s_v0 - s_v0.min()).astype(np.int32)
+    shifted_v = None
+    if s_v_full.max() > 0 and (plain_v is None or plain_v[3] > n_samples + 8):
+        s_v0_at_cs = s_v0[np.clip(cs.astype(np.int64), 0, src_w - 1)]
+        res_v = iystar - (s_v0_at_cs - s_v0.min())[None, :]
+        shifted_v = _best_tiling(
+            _v_layout, _interp_rows(res_v, out_h, step), tiles_v
+        )
+
+    bits_v = int(s_v_full.max()).bit_length()
+    # vertical taps touch (out_h, src_w)-sized streams (1 take + S
+    # selects each); roll passes touch the (src_h, src_w) source once per
+    # bit — weight them by the array-size ratio
+    roll_w_v = src_h / max(1, out_h * (1 + n_samples))
+    use_shift_v = shifted_v is not None and (
+        plain_v is None or shifted_v[3] + roll_w_v * bits_v < plain_v[3]
+    )
+    chosen_v = shifted_v if use_shift_v else plain_v
+    if chosen_v is None:
+        return None
+    _, col_tile, base_v, d_v = chosen_v
+    s_v = s_v_full if use_shift_v else None
+    if not use_shift_v:
+        bits_v = 0
+
+    # ---- horizontal tap layout: per-(row tile, output col) bases,
+    # optionally shift-aligned per output row
     ncj = ix64.shape[0]
     sample_rows = np.arange(ncj) * step
 
-    def _h_layout(row_tile):
+    def _h_layout(res_cols, row_tile):
         n_row_tiles = -(-out_h // row_tile)
         base = np.zeros((n_row_tiles, out_w), dtype=np.int32)
         span_max_h = 0.0
@@ -228,15 +271,39 @@ def plan_esw(
         # +1 for the right column tap, + float/interp safety
         return base, int(np.ceil(span_max_h)) + 5
 
-    best_h = None
-    for cand in (512, 256, 128, 64, 32, 16):
-        base, d = _h_layout(cand)
-        eff = d * max(1.0, 96.0 / cand)
-        if d <= max_taps and (best_h is None or eff < best_h[0]):
-            best_h = (eff, d, cand, base)
-    if best_h is None:
+    tiles_h = (512, 256, 128, 64, 32, 16)
+    plain_h = _best_tiling(_h_layout, _interp_cols(ix64, out_w, step), tiles_h)
+
+    dh_ = np.diff(ix64, axis=0)
+    mid_slope_h = 0.5 * (dh_.max(axis=1) + dh_.min(axis=1))
+    s_h_coarse = np.round(np.concatenate([[0.0], np.cumsum(mid_slope_h)]))
+    rows_grid = np.arange(ncj, dtype=np.float64) * step
+    s_h0 = np.round(
+        np.interp(np.arange(out_h, dtype=np.float64), rows_grid, s_h_coarse)
+    ).astype(np.int64)
+    s_h_full = (s_h0 - s_h0.min()).astype(np.int32)
+    shifted_h = None
+    if s_h_full.max() > 0 and (plain_h is None or plain_h[3] > 10):
+        s_h0_at_rows = s_h0[np.clip(rows_grid.astype(np.int64), 0, out_h - 1)]
+        res_h = ix64 - (s_h0_at_rows - s_h0.min())[:, None]
+        shifted_h = _best_tiling(
+            _h_layout, _interp_cols(res_h, out_w, step), tiles_h
+        )
+
+    bits_h = int(s_h_full.max()).bit_length()
+    # horizontal taps read S+1 (rt, out_w)-sized streams each; rolls move
+    # the S (out_h, src_w) sample fields once per bit — weight by size
+    roll_w_h = (n_samples * src_w) / max(1, (1 + n_samples) * out_w)
+    use_shift_h = shifted_h is not None and (
+        plain_h is None or shifted_h[3] + roll_w_h * bits_h < plain_h[3]
+    )
+    chosen_h = shifted_h if use_shift_h else plain_h
+    if chosen_h is None:
         return None
-    _, d_h, row_tile, base_h = best_h
+    _, row_tile, base_h, d_h = chosen_h
+    s_h = s_h_full if use_shift_h else None
+    if not use_shift_h:
+        bits_h = 0
 
     return ESWPlan(
         iystar_c=iystar.astype(np.float32),
@@ -250,6 +317,10 @@ def plan_esw(
         base_h=base_h,
         d_h=d_h,
         row_tile=row_tile,
+        s_v=s_v,
+        bits_v=bits_v,
+        s_h=s_h,
+        bits_h=bits_h,
         src_h=src_h,
         src_w=src_w,
         out_h=out_h,
@@ -284,10 +355,30 @@ def make_esw_fn(
     half = (S - 2) / 2.0
     base_v = jnp.asarray(p.base_v)
     base_h = jnp.asarray(p.base_h)
+    s_v = jnp.asarray(p.s_v) if p.s_v is not None else None
+    s_h = jnp.asarray(p.s_h) if p.s_h is not None else None
 
     n_col_tiles = p.base_v.shape[1]
     n_row_tiles = p.base_h.shape[0]
     nearest = interp_method == "nearest"
+
+    # shifted-space tap ids must clamp AFTER the shift is re-applied
+    # (clip(rid + s) != clip(rid) + s), so the shifted paths tap an
+    # edge-extended array whose index i holds clip(i + lo + shift):
+    r_lo = min(0, int(p.base_v.min())) if p.s_v is not None else 0
+    r_hi = (
+        max(0, int(p.base_v.max()) + p.d_v - p.src_h)
+        if p.s_v is not None
+        else 0
+    )
+    ext_h = p.src_h - r_lo + r_hi
+    c_lo = min(0, int(p.base_h.min())) if p.s_h is not None else 0
+    c_hi = (
+        max(0, int(p.base_h.max()) + p.d_h - p.src_w)
+        if p.s_h is not None
+        else 0
+    )
+    ext_w = p.src_w - c_lo + c_hi
 
     @jax.jit
     def precompute(iystar_f, ix_f, iy_f):
@@ -296,6 +387,21 @@ def make_esw_fn(
         # anchor field m(r, c) in window row space (float32, integer-valued)
         pos_v = _interp_field(iystar_f, rows, cols_src, p.step, jnp)
         m = jnp.floor(pos_v - half)
+        # vertical selection space: anchors minus the per-column shift
+        m_v = m - s_v[None, :].astype(jnp.float32) if s_v is not None else m
+        # horizontal tap space: anchor VALUES at the extended shift-aligned
+        # positions (index i holds m[r, clip(i + c_lo + s_h[r])])
+        if s_h is not None:
+            cidx = jnp.clip(
+                jnp.arange(ext_w, dtype=jnp.int32)[None, :]
+                + c_lo
+                + s_h[:, None],
+                0,
+                p.src_w - 1,
+            )
+            m_h = jnp.take_along_axis(m, cidx, axis=1)
+        else:
+            m_h = m
 
         # positions/validity/clamps in GLOBAL source index space — the
         # float32 arithmetic is bit-identical to the gather kernel's
@@ -310,16 +416,38 @@ def make_esw_fn(
         )
         ix_cl = jnp.clip(ix_full, 0, p.src_w_g - 1)
         iy_cl = jnp.clip(iy_full, 0, p.src_h_g - 1)
-        return m, ix_cl, iy_cl, valid
+        return m_v, m_h, ix_cl, iy_cl, valid
 
-    m_dev, ixc_dev, iyc_dev, valid_dev = precompute(
+    mv_dev, mh_dev, ixc_dev, iyc_dev, valid_dev = precompute(
         jnp.asarray(p.iystar_c), jnp.asarray(p.ix_c), jnp.asarray(p.iy_c)
     )
 
     @jax.jit
-    def kernel(src, m, ixc, iyc, valid, bv, bh):
+    def kernel(src, m_v, m_h, ixc, iyc, valid, bv, bh, sv, sh):
         src2 = src.astype(jnp.float32)
         batch = src.shape[:-2]
+
+        # --- optional vertical shift alignment: edge-extend, then roll
+        # each source column up by s_v[c] in log2 passes, so the per-tile
+        # tap spans stay small under rotation
+        if sv is not None:
+            if r_lo or r_hi:
+                parts = [src2]
+                if r_lo:
+                    parts.insert(
+                        0, jnp.repeat(src2[..., :1, :], -r_lo, axis=-2)
+                    )
+                if r_hi:
+                    parts.append(jnp.repeat(src2[..., -1:, :], r_hi, axis=-2))
+                src2 = jnp.concatenate(parts, axis=-2)
+            for b in range(p.bits_v):
+                k = 1 << b
+                rolled = jnp.concatenate(
+                    [src2[..., k:, :], jnp.repeat(src2[..., -1:, :], k, axis=-2)],
+                    axis=-2,
+                )
+                mask = ((sv >> b) & 1).astype(bool)[None, :]
+                src2 = jnp.where(mask, rolled, src2)
 
         # --- vertical pass: S sample fields V_s (out_h, src_w), built per
         # source-column tile from lane-shared row takes + exact selects.
@@ -331,14 +459,14 @@ def make_esw_fn(
             c0 = t * p.col_tile
             c1 = min((t + 1) * p.col_tile, p.src_w)
             tile_src = src2[..., c0:c1]
-            m_t = m[:, c0:c1]  # (out_h, ct) float32 integer-valued
+            m_t = m_v[:, c0:c1]  # (out_h, ct) float32 integer-valued
             base_t = bv[:, t]  # (out_h,)
             accs = [
                 jnp.zeros(batch + (p.out_h, c1 - c0), jnp.float32)
                 for _ in range(S)
             ]
             for d in range(p.d_v):
-                idx = jnp.clip(base_t + d, 0, p.src_h - 1)
+                idx = jnp.clip(base_t + d - r_lo, 0, ext_h - 1)
                 taken = jnp.take(tile_src, idx, axis=-2)
                 rid = (base_t + d).astype(jnp.float32)[:, None]
                 for s in range(S):
@@ -346,6 +474,34 @@ def make_esw_fn(
             for s in range(S):
                 v_tiles[s].append(accs[s])
         fields = [jnp.concatenate(v_tiles[s], axis=-1) for s in range(S)]
+
+        # --- optional horizontal shift alignment of the sample fields
+        # (the anchor field was pre-shifted once at build time): edge-
+        # extend, then roll each output row left by s_h[r] in log2 passes
+        if sh is not None:
+            mask_rows = [
+                ((sh >> b) & 1).astype(bool)[:, None] for b in range(p.bits_h)
+            ]
+            shifted = []
+            for f in fields:
+                if c_lo or c_hi:
+                    parts = [f]
+                    if c_lo:
+                        parts.insert(
+                            0, jnp.repeat(f[..., :, :1], -c_lo, axis=-1)
+                        )
+                    if c_hi:
+                        parts.append(jnp.repeat(f[..., :, -1:], c_hi, axis=-1))
+                    f = jnp.concatenate(parts, axis=-1)
+                for b in range(p.bits_h):
+                    k = 1 << b
+                    rolled = jnp.concatenate(
+                        [f[..., :, k:], jnp.repeat(f[..., :, -1:], k, axis=-1)],
+                        axis=-1,
+                    )
+                    f = jnp.where(mask_rows[b], rolled, f)
+                shifted.append(f)
+            fields = shifted
 
         # --- horizontal pass: per row tile, the true vertical lerp from
         # the S samples at both column taps, routed by exact index match
@@ -356,12 +512,12 @@ def make_esw_fn(
             base_t = bh[t]  # (out_w,)
             ixc_t = ixc[r0:r1, :]
             iyc_t = iyc[r0:r1, :]
-            m_rows = m[r0:r1, :]  # (rt, src_w)
+            m_rows = m_h[r0:r1, :]  # (rt, src_w)
             f_rows = [f[..., r0:r1, :] for f in fields]
 
-            # window offset and tap base are removed in integer space
-            # AFTER floor/rint (float subtraction before rounding could
-            # flip ties relative to the gather kernel)
+            # window offset, tap base and shift are removed in integer
+            # space AFTER floor/rint (float subtraction before rounding
+            # could flip ties relative to the gather kernel)
             if nearest:
                 y0g = jnp.rint(iyc_t)
                 i0 = jnp.rint(ixc_t).astype(jnp.int32) - p.i_off
@@ -372,13 +528,15 @@ def make_esw_fn(
                 x0 = jnp.floor(ixc_t)
                 fx = ixc_t - x0
                 i0 = x0.astype(jnp.int32) - p.i_off
+            if sh is not None:
+                i0 = i0 - sh[r0:r1][:, None]
             y0w = y0g - p.j_off  # window row, float32 integer-valued
 
             zero = jnp.zeros(batch + (r1 - r0, p.out_w), jnp.float32)
             cv0 = zero
             cv1 = zero
             for d in range(p.d_h):
-                idx = jnp.clip(base_t + d, 0, p.src_w - 1)
+                idx = jnp.clip(base_t + d - c_lo, 0, ext_w - 1)
                 mg = jnp.take(m_rows, idx, axis=-1)  # (rt, out_w)
                 # s0 = y0 - m selects the lerp's lower sample; for nearest
                 # rint may land on the window's top row S-1
@@ -401,7 +559,9 @@ def make_esw_fn(
         fill = jnp.asarray(fill_value, dtype=out.dtype)
         return jnp.where(valid, out, fill)
 
-    statics = (m_dev, ixc_dev, iyc_dev, valid_dev, base_v, base_h)
+    statics = (
+        mv_dev, mh_dev, ixc_dev, iyc_dev, valid_dev, base_v, base_h, s_v, s_h,
+    )
 
     if return_parts:
         # for mosaic composition: the caller passes the statics as jit

@@ -555,9 +555,12 @@ def var_image_from_ij_map(
         min(int(np.nanmax(ij_map[0])) + 2, src_var.shape[-1]),
         min(int(np.nanmax(ij_map[1])) + 2, src_var.shape[-2]),
     )
-    window = src_var[
-        ..., src_bbox[1] : src_bbox[3], src_bbox[0] : src_bbox[2]
-    ].astype(np.float64)
+    # no float64 copy of the window: the gathered taps promote to float64
+    # in the arithmetic below (u/v are float64), which is value-identical
+    # to upcasting the window first and halves the staging traffic
+    window = src_var[..., src_bbox[1] : src_bbox[3], src_bbox[0] : src_bbox[2]]
+    if window.dtype.kind not in "fc":
+        window = window.astype(np.float64)
     src_h, src_w = window.shape[-2], window.shape[-1]
 
     src_i_f = ij_map[0] - src_bbox[0]
