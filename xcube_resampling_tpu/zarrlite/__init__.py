@@ -7,13 +7,16 @@ the store, so interrupted jobs resume by recomputing only missing tiles
 (the rebuild's checkpoint/resume story — SURVEY.md §5).
 
 Supported: zarr v2 layout (.zgroup/.zarray/.zattrs/.zmetadata JSON docs,
-C-order chunks), raw or zlib-compressed chunks, directory stores and
-in-memory dict stores.
+C-order chunks); chunk compression raw, zlib, gzip, zstd, lz4 and blosc
+(lz4/lz4hc/zstd/zlib inner codecs with byte-shuffle — the numcodecs
+default — via the dependency-free decoder in .codecs); directory,
+in-memory dict and read-only zip stores.
 """
 
 from .core import (
     Array,
     DirectoryStore,
+    ZipStore,
     Group,
     MemoryStore,
     consolidate_metadata,
@@ -31,6 +34,7 @@ __all__ = [
     "Group",
     "LazyArray",
     "MemoryStore",
+    "ZipStore",
     "add_spatial_ref",
     "consolidate_metadata",
     "group",

@@ -55,10 +55,63 @@ class DirectoryStore(MutableMapping):
         return sum(1 for _ in self)
 
 
+class ZipStore(MutableMapping):
+    """Read-only store over a zip archive (zarr's common shipping format,
+    e.g. the reference's S3-OLCI-L2A.zarr.zip example data).
+
+    If the archive wraps everything in a single top-level directory that
+    holds the root .zgroup/.zarray (``foo.zarr.zip`` containing
+    ``foo.zarr/...``), that prefix is stripped automatically."""
+
+    def __init__(self, path: str | Path):
+        import zipfile
+
+        self._zf = zipfile.ZipFile(path, mode="r")
+        names = [n for n in self._zf.namelist() if not n.endswith("/")]
+        self._prefix = ""
+        if names and not any(
+            n in (".zgroup", ".zarray", ".zmetadata") for n in names
+        ):
+            tops = {n.split("/", 1)[0] for n in names if "/" in n}
+            if len(tops) == 1:
+                top = next(iter(tops))
+                if any(
+                    n == f"{top}/.zgroup" or n == f"{top}/.zmetadata"
+                    for n in names
+                ):
+                    self._prefix = top + "/"
+        self._keys = [
+            n[len(self._prefix) :] for n in names if n.startswith(self._prefix)
+        ]
+
+    def __getitem__(self, key: str) -> bytes:
+        try:
+            return self._zf.read(self._prefix + key)
+        except KeyError:
+            raise KeyError(key) from None
+
+    def __setitem__(self, key: str, value: bytes):
+        raise OSError("ZipStore is read-only")
+
+    def __delitem__(self, key: str):
+        raise OSError("ZipStore is read-only")
+
+    def __iter__(self):
+        return iter(self._keys)
+
+    def __len__(self):
+        return len(self._keys)
+
+    def close(self):
+        self._zf.close()
+
+
 def _as_store(store) -> MutableMapping:
     if isinstance(store, MutableMapping):
         return store
     if isinstance(store, (str, Path)):
+        if str(store).endswith(".zip") and Path(store).is_file():
+            return ZipStore(store)
         return DirectoryStore(store)
     raise TypeError(f"unsupported store type {type(store)}")
 
@@ -156,6 +209,22 @@ class Array:
             return zlib.decompress(raw)
         if self.compressor is None:
             return raw
+        if self.compressor == "blosc":
+            from .codecs import blosc_decompress
+
+            return blosc_decompress(raw)
+        if self.compressor == "gzip":
+            return zlib.decompress(raw, 16 + zlib.MAX_WBITS)
+        if self.compressor == "zstd":
+            import zstandard
+
+            return zstandard.ZstdDecompressor().decompress(raw)
+        if self.compressor == "lz4":
+            # numcodecs.LZ4: uint32-le decompressed size + raw lz4 block
+            from .codecs import lz4_block_decompress
+
+            (n,) = __import__("struct").unpack_from("<I", raw, 0)
+            return bytes(lz4_block_decompress(raw[4:], n))
         raise ValueError(f"unsupported compressor {self.compressor!r}")
 
     def _encode(self, raw: bytes) -> bytes:
