@@ -149,6 +149,37 @@ def bench_reproject_utm(log):
             f"reproject 4326->UTM32N bilinear [srw, 4-band]: "
             f"{mpix_s:.1f} Mpix/s ({dt*1e3:.2f} ms)"
         )
+
+    # the exact tier (direct-gather semantics, XRTPU_EXACT=1 path)
+    from xcube_resampling_tpu.ops.esw import make_esw_reproject_fn
+
+    fn = make_esw_reproject_fn(source_gm, target_gm, "bilinear", np.nan)
+    if fn is not None:
+        dt = _time_fn(fn, src)
+        mpix_s = out_w * out_h / dt / 1e6
+        results["bilinear_exact"] = mpix_s
+        log(
+            f"reproject 4326->UTM32N bilinear [esw, exact]: "
+            f"{mpix_s:.1f} Mpix/s ({dt*1e3:.2f} ms)"
+        )
+
+    # severe rotation (45 deg warp past the two-pass gate): the exact
+    # separable warp replaces the 20 Mpix/s gather fallback of round 1
+    severe_gm = GridMapping.regular(
+        size=(4096, 2048),
+        xy_min=(900000.0, 900000.0),
+        xy_res=875.0,
+        crs="epsg:3035",
+    )
+    fn = make_esw_reproject_fn(source_gm, severe_gm, "bilinear", np.nan)
+    if fn is not None:
+        dt = _time_fn(fn, src)
+        mpix_s = 4096 * 2048 / dt / 1e6
+        results["bilinear_severe_exact"] = mpix_s
+        log(
+            f"reproject 4326->3035 severe-rotation bilinear [esw, exact]: "
+            f"{mpix_s:.1f} Mpix/s ({dt*1e3:.2f} ms)"
+        )
     return results
 
 
@@ -189,12 +220,28 @@ def bench_reproject_global(log):
             f"reproject 4326->3035 {interp} [{kind}]: "
             f"{mpix_s:.1f} Mpix/s ({dt*1e3:.2f} ms)"
         )
-    # opt-in fast extreme-warp mode (two-pass filter semantics): whole-
-    # domain hybrid if it plans, else region decomposition (per-region
-    # planned kernels; ~3 min one-time compile for ~28 fused kernels)
+    # exact region mosaic (direct-gather semantics, ESW pieces + gather
+    # at the singular pieces; one-time compile of ~a dozen shared group
+    # kernels over the remote service)
     try:
         from xcube_resampling_tpu.ops.srw import make_region_reproject_fn
 
+        fn = make_region_reproject_fn(
+            source_gm, target_gm, "bilinear", np.nan, exact=True
+        )
+        if fn is not None:
+            dt = _time_fn(fn, src, warmup=1, iters=5)
+            mpix_s = out_w * out_h / dt / 1e6
+            results["bilinear_exact_mosaic"] = mpix_s
+            log(
+                f"reproject 4326->3035 bilinear [esw-mosaic, exact]: "
+                f"{mpix_s:.1f} Mpix/s ({dt*1e3:.2f} ms)"
+            )
+    except Exception as e:  # noqa: BLE001
+        log(f"exact mosaic bench skipped: {e!r}")
+    # opt-in fast extreme-warp mode (two-pass filter semantics): whole-
+    # domain hybrid if it plans, else region decomposition
+    try:
         fn = make_srw_reproject_fn(
             source_gm, target_gm, "bilinear", np.nan, allow_hybrid=True
         )

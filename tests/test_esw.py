@@ -140,19 +140,10 @@ def test_esw_region_mosaic_matches_gather(interp):
     _assert_exact(a, b, bilinear=interp == "bilinear")
 
 
-def test_default_device_path_uses_exact_semantics():
-    """End-to-end: on a severe warp the default device path (reproject.py)
-    now routes to ESW — the result must match the gather kernel at ulp
-    level, with no env flag."""
-    import os
-
+def _severe_ds(source_gm, data):
     from xcube_resampling_tpu.crs import CRS
-    from xcube_resampling_tpu.reproject import reproject_dataset
     from xcube_resampling_tpu.xrlite import DataArray, Dataset
 
-    assert os.environ.get("XRTPU_FAST_EXTREME_WARP", "") != "1"
-    source_gm, target_gm = _severe_case()
-    data = _rand((source_gm.height, source_gm.width), seed=4)
     ds = Dataset(
         dict(
             band=DataArray(
@@ -168,7 +159,47 @@ def test_default_device_path_uses_exact_semantics():
         ),
     )
     ds["spatial_ref"].attrs.update(CRS.from_epsg("4326").to_cf())
-    out = reproject_dataset(ds, target_gm)
+    return ds
+
+
+def test_exact_env_forces_esw_end_to_end(monkeypatch):
+    """XRTPU_EXACT=1 skips the gated two-pass tier: the device path's
+    result must match the gather kernel at ulp level on a warp the gate
+    would otherwise serve with two-pass filter semantics."""
+    from xcube_resampling_tpu.reproject import reproject_dataset
+
+    monkeypatch.setenv("XRTPU_EXACT", "1")
+    source_gm, target_gm = _severe_case()
+    data = _rand((source_gm.height, source_gm.width), seed=4)
+    out = reproject_dataset(_severe_ds(source_gm, data), target_gm)
+    gat = make_fused_reproject_fn(source_gm, target_gm, "bilinear", np.nan)
+    b = np.asarray(gat(jnp.asarray(data)))
+    a = np.asarray(out.band.values, dtype=np.float32)
+    _assert_exact(a, b, bilinear=True)
+
+
+def test_default_device_path_exact_beyond_gate(monkeypatch):
+    """Rotation past the two-pass slope gate: the default device path
+    (no env flags) routes to ESW and matches the gather kernel at ulp
+    level — the old behavior was a 40x-slower whole-target gather."""
+    from xcube_resampling_tpu.ops.srw import make_srw_reproject_fn
+    from xcube_resampling_tpu.reproject import reproject_dataset
+
+    monkeypatch.delenv("XRTPU_EXACT", raising=False)
+    monkeypatch.delenv("XRTPU_FAST_EXTREME_WARP", raising=False)
+    source_gm = GridMapping.regular(
+        size=(720, 360), xy_min=(-180.0, -90.0), xy_res=0.5, crs="epsg:4326"
+    )
+    # target finer than the source (no downscale pre-pass) but rotated
+    # past the two-pass gate
+    target_gm = GridMapping.regular(
+        size=(256, 256), xy_min=(2500000.0, 1400000.0), xy_res=15000.0,
+        crs="epsg:3035",
+    )
+    # the gate must reject this case (else the test is vacuous)
+    assert make_srw_reproject_fn(source_gm, target_gm, "bilinear", np.nan) is None
+    data = _rand((source_gm.height, source_gm.width), seed=5)
+    out = reproject_dataset(_severe_ds(source_gm, data), target_gm)
     gat = make_fused_reproject_fn(source_gm, target_gm, "bilinear", np.nan)
     b = np.asarray(gat(jnp.asarray(data)))
     a = np.asarray(out.band.values, dtype=np.float32)

@@ -249,3 +249,81 @@ def test_sharded_reproject_crops_source_columns():
         sharded_reproject(jnp.asarray(data), source_gm, target_gm, mesh)
     )
     assert (np.isnan(srw) != np.isnan(fused)).mean() < 0.001
+
+
+def _severe_sharded_case():
+    """Rotation past the two-pass gate: the sharded SRW step must refuse
+    and the exact sharded ESW step take over."""
+    source_gm = GridMapping.regular(
+        size=(720, 360), xy_min=(-180.0, -90.0), xy_res=0.5, crs="epsg:4326"
+    )
+    data = np.random.default_rng(7).random((360, 720), dtype=np.float32)
+    target_gm = GridMapping.regular(
+        size=(256, 256), xy_min=(2500000.0, 1400000.0), xy_res=15000.0,
+        crs="epsg:3035",
+    )
+    return source_gm, data, target_gm
+
+
+def test_sharded_esw_matches_gather_beyond_gate():
+    """Sharded ESW reproduces the gather kernel on the same grid mappings
+    (bit-exact nearest, lerp-order-only for bilinear) where the SRW gate
+    rejects — the aligned/hybrid sharding gap of round 1."""
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs multiple devices")
+    from xcube_resampling_tpu.parallel import (
+        make_sharded_esw_step,
+        make_sharded_srw_step,
+    )
+
+    source_gm, data, target_gm = _severe_sharded_case()
+    mesh = make_mesh(("bands",))
+    assert make_sharded_srw_step(mesh, source_gm, target_gm) is None
+
+    for interp in ("bilinear", "nearest"):
+        built = make_sharded_esw_step(
+            mesh, source_gm, target_gm, interp_method=interp
+        )
+        assert built is not None, f"esw sharded plan rejected ({interp})"
+        step_fn, (src_pad_h, out_h) = built
+        src = jnp.asarray(data)
+        if src_pad_h:
+            src = jnp.pad(src, ((0, src_pad_h), (0, 0)), constant_values=np.nan)
+        sharded = np.asarray(step_fn(src))[:out_h]
+        gat = make_fused_reproject_fn(source_gm, target_gm, interp, np.nan)
+        ref = np.asarray(gat(jnp.asarray(data)))
+        np.testing.assert_array_equal(np.isnan(sharded), np.isnan(ref))
+        if interp == "nearest":
+            np.testing.assert_array_equal(
+                np.nan_to_num(sharded), np.nan_to_num(ref)
+            )
+        else:
+            d = np.abs(np.nan_to_num(sharded) - np.nan_to_num(ref))
+            assert d.max() <= 4 * 2.0**-24, f"max abs diff {d.max():.3e}"
+
+
+def test_sharded_reproject_routes_esw_beyond_gate():
+    """End-to-end sharded_reproject on a beyond-gate warp: results match
+    the gather kernel on the cropped window at lerp-order tolerance."""
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs multiple devices")
+    source_gm, data, target_gm = _severe_sharded_case()
+    mesh = make_mesh(("bands",))
+    out = np.asarray(
+        sharded_reproject(
+            jnp.asarray(data), source_gm, target_gm, mesh,
+            interp_method="bilinear",
+        )
+    )
+    assert out.shape == (256, 256)
+    # the sharded path crops the source window first; its f32 coordinate
+    # fields are window-relative, so compare against the engine-accurate
+    # whole-grid gather at coordinate-noise tolerance
+    gat = make_fused_reproject_fn(source_gm, target_gm, "bilinear", np.nan)
+    ref = np.asarray(gat(jnp.asarray(data)))
+    both = ~np.isnan(out) & ~np.isnan(ref)
+    assert both.mean() > 0.9
+    np.testing.assert_allclose(out[both], ref[both], atol=2e-4)
+    assert (np.isnan(out) != np.isnan(ref)).mean() < 0.01

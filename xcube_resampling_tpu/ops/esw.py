@@ -148,6 +148,7 @@ def plan_esw(
     fields: _Fields | None = None,
     fields_global: _Fields | None = None,
     win: tuple[int, int, int, int] | None = None,
+    force: dict | None = None,
 ) -> ESWPlan | None:
     """Build an exact-warp plan, or None when the mapping is unsuitable
     (non-monotone rows near a projection singularity, a row deviation that
@@ -157,7 +158,12 @@ def plan_esw(
     For a cropped source window, pass the window-relative ``fields`` (the
     tap machinery plans in window space), the uncropped ``fields_global``
     and the window ``win`` = (j0, j1, i0, i1): the plan then stores the
-    global coordinate fields for bit-exact positions."""
+    global coordinate fields for bit-exact positions.
+
+    ``force`` (mosaic use) pins the layout decisions — keys ``n_samples``,
+    ``col_tile``, ``row_tile``, ``use_shift_v``, ``use_shift_h`` — so all
+    pieces of a mosaic group share one kernel signature; the per-piece tap
+    counts and bases still come from the piece's own geometry."""
     if fields is None:
         fields = _coarse_geometry(source_gm, target_gm, step)
     if fields is None:
@@ -179,6 +185,10 @@ def plan_esw(
     dev = _max_row_deviation(fields)
     n_samples = int(np.ceil(2.0 * (dev + margin))) + 2
     n_samples = max(3, n_samples)
+    if force is not None:
+        if n_samples > force["n_samples"]:
+            return None
+        n_samples = force["n_samples"]
     if n_samples > max_samples:
         return None
     half = (n_samples - 2) / 2.0
@@ -215,40 +225,64 @@ def plan_esw(
                 best = (eff, cand, base, d)
         return best
 
-    tiles_v = (512, 256, 128, 64, 32, 16)
-    plain_v = _best_tiling(_v_layout, _interp_rows(iystar, out_h, step), tiles_v)
-
-    # shifted-space candidate (skipped when the plain span is already tiny)
-    dv_ = np.diff(iystar, axis=1)
-    mid_slope_v = 0.5 * (dv_.max(axis=0) + dv_.min(axis=0))
-    s_v_coarse = np.round(np.concatenate([[0.0], np.cumsum(mid_slope_v)]))
-    s_v0 = np.round(
-        np.interp(np.arange(src_w, dtype=np.float64), cs, s_v_coarse)
-    ).astype(np.int64)
-    s_v_full = (s_v0 - s_v0.min()).astype(np.int32)
-    shifted_v = None
-    if s_v_full.max() > 0 and (plain_v is None or plain_v[3] > n_samples + 8):
+    def _sv_full():
+        dv_ = np.diff(iystar, axis=1)
+        mid_slope_v = 0.5 * (dv_.max(axis=0) + dv_.min(axis=0))
+        s_v_coarse = np.round(np.concatenate([[0.0], np.cumsum(mid_slope_v)]))
+        s_v0 = np.round(
+            np.interp(np.arange(src_w, dtype=np.float64), cs, s_v_coarse)
+        ).astype(np.int64)
         s_v0_at_cs = s_v0[np.clip(cs.astype(np.int64), 0, src_w - 1)]
-        res_v = iystar - (s_v0_at_cs - s_v0.min())[None, :]
-        shifted_v = _best_tiling(
-            _v_layout, _interp_rows(res_v, out_h, step), tiles_v
+        return (
+            (s_v0 - s_v0.min()).astype(np.int32),
+            iystar - (s_v0_at_cs - s_v0.min())[None, :],
         )
 
-    bits_v = int(s_v_full.max()).bit_length()
-    # vertical taps touch (out_h, src_w)-sized streams (1 take + S
-    # selects each); roll passes touch the (src_h, src_w) source once per
-    # bit — weight them by the array-size ratio
-    roll_w_v = src_h / max(1, out_h * (1 + n_samples))
-    use_shift_v = shifted_v is not None and (
-        plain_v is None or shifted_v[3] + roll_w_v * bits_v < plain_v[3]
-    )
-    chosen_v = shifted_v if use_shift_v else plain_v
-    if chosen_v is None:
-        return None
-    _, col_tile, base_v, d_v = chosen_v
-    s_v = s_v_full if use_shift_v else None
-    if not use_shift_v:
-        bits_v = 0
+    tiles_v = (512, 256, 128, 64, 32, 16)
+    if force is not None:
+        ct_f = force["col_tile"]
+        if force["use_shift_v"]:
+            s_v_full, res_v = _sv_full()
+            base_v, d_v = _v_layout(_interp_rows(res_v, out_h, step), ct_f)
+            s_v = s_v_full
+            bits_v = int(s_v_full.max()).bit_length()
+        else:
+            base_v, d_v = _v_layout(_interp_rows(iystar, out_h, step), ct_f)
+            s_v = None
+            bits_v = 0
+        col_tile = ct_f
+        if d_v > 2 * max_taps:
+            return None
+    else:
+        plain_v = _best_tiling(
+            _v_layout, _interp_rows(iystar, out_h, step), tiles_v
+        )
+
+        # shifted-space candidate (skipped when plain span already tiny)
+        s_v_full, res_v = _sv_full()
+        shifted_v = None
+        if s_v_full.max() > 0 and (
+            plain_v is None or plain_v[3] > n_samples + 8
+        ):
+            shifted_v = _best_tiling(
+                _v_layout, _interp_rows(res_v, out_h, step), tiles_v
+            )
+
+        bits_v = int(s_v_full.max()).bit_length()
+        # vertical taps touch (out_h, src_w)-sized streams (1 take + S
+        # selects each); roll passes touch the (src_h, src_w) source once
+        # per bit — weight them by the array-size ratio
+        roll_w_v = src_h / max(1, out_h * (1 + n_samples))
+        use_shift_v = shifted_v is not None and (
+            plain_v is None or shifted_v[3] + roll_w_v * bits_v < plain_v[3]
+        )
+        chosen_v = shifted_v if use_shift_v else plain_v
+        if chosen_v is None:
+            return None
+        _, col_tile, base_v, d_v = chosen_v
+        s_v = s_v_full if use_shift_v else None
+        if not use_shift_v:
+            bits_v = 0
 
     # ---- horizontal tap layout: per-(row tile, output col) bases,
     # optionally shift-aligned per output row
@@ -271,39 +305,63 @@ def plan_esw(
         # +1 for the right column tap, + float/interp safety
         return base, int(np.ceil(span_max_h)) + 5
 
-    tiles_h = (512, 256, 128, 64, 32, 16)
-    plain_h = _best_tiling(_h_layout, _interp_cols(ix64, out_w, step), tiles_h)
-
-    dh_ = np.diff(ix64, axis=0)
-    mid_slope_h = 0.5 * (dh_.max(axis=1) + dh_.min(axis=1))
-    s_h_coarse = np.round(np.concatenate([[0.0], np.cumsum(mid_slope_h)]))
-    rows_grid = np.arange(ncj, dtype=np.float64) * step
-    s_h0 = np.round(
-        np.interp(np.arange(out_h, dtype=np.float64), rows_grid, s_h_coarse)
-    ).astype(np.int64)
-    s_h_full = (s_h0 - s_h0.min()).astype(np.int32)
-    shifted_h = None
-    if s_h_full.max() > 0 and (plain_h is None or plain_h[3] > 10):
+    def _sh_full():
+        dh_ = np.diff(ix64, axis=0)
+        mid_slope_h = 0.5 * (dh_.max(axis=1) + dh_.min(axis=1))
+        s_h_coarse = np.round(np.concatenate([[0.0], np.cumsum(mid_slope_h)]))
+        rows_grid = np.arange(ncj, dtype=np.float64) * step
+        s_h0 = np.round(
+            np.interp(
+                np.arange(out_h, dtype=np.float64), rows_grid, s_h_coarse
+            )
+        ).astype(np.int64)
         s_h0_at_rows = s_h0[np.clip(rows_grid.astype(np.int64), 0, out_h - 1)]
-        res_h = ix64 - (s_h0_at_rows - s_h0.min())[:, None]
-        shifted_h = _best_tiling(
-            _h_layout, _interp_cols(res_h, out_w, step), tiles_h
+        return (
+            (s_h0 - s_h0.min()).astype(np.int32),
+            ix64 - (s_h0_at_rows - s_h0.min())[:, None],
         )
 
-    bits_h = int(s_h_full.max()).bit_length()
-    # horizontal taps read S+1 (rt, out_w)-sized streams each; rolls move
-    # the S (out_h, src_w) sample fields once per bit — weight by size
-    roll_w_h = (n_samples * src_w) / max(1, (1 + n_samples) * out_w)
-    use_shift_h = shifted_h is not None and (
-        plain_h is None or shifted_h[3] + roll_w_h * bits_h < plain_h[3]
-    )
-    chosen_h = shifted_h if use_shift_h else plain_h
-    if chosen_h is None:
-        return None
-    _, row_tile, base_h, d_h = chosen_h
-    s_h = s_h_full if use_shift_h else None
-    if not use_shift_h:
-        bits_h = 0
+    tiles_h = (512, 256, 128, 64, 32, 16)
+    if force is not None:
+        rt_f = force["row_tile"]
+        if force["use_shift_h"]:
+            s_h_full, res_h = _sh_full()
+            base_h, d_h = _h_layout(_interp_cols(res_h, out_w, step), rt_f)
+            s_h = s_h_full
+            bits_h = int(s_h_full.max()).bit_length()
+        else:
+            base_h, d_h = _h_layout(_interp_cols(ix64, out_w, step), rt_f)
+            s_h = None
+            bits_h = 0
+        row_tile = rt_f
+        if d_h > 2 * max_taps:
+            return None
+    else:
+        plain_h = _best_tiling(
+            _h_layout, _interp_cols(ix64, out_w, step), tiles_h
+        )
+
+        s_h_full, res_h = _sh_full()
+        shifted_h = None
+        if s_h_full.max() > 0 and (plain_h is None or plain_h[3] > 10):
+            shifted_h = _best_tiling(
+                _h_layout, _interp_cols(res_h, out_w, step), tiles_h
+            )
+
+        bits_h = int(s_h_full.max()).bit_length()
+        # horizontal taps read S+1 (rt, out_w)-sized streams each; rolls
+        # move the S (out_h, src_w) sample fields once per bit
+        roll_w_h = (n_samples * src_w) / max(1, (1 + n_samples) * out_w)
+        use_shift_h = shifted_h is not None and (
+            plain_h is None or shifted_h[3] + roll_w_h * bits_h < plain_h[3]
+        )
+        chosen_h = shifted_h if use_shift_h else plain_h
+        if chosen_h is None:
+            return None
+        _, row_tile, base_h, d_h = chosen_h
+        s_h = s_h_full if use_shift_h else None
+        if not use_shift_h:
+            bits_h = 0
 
     return ESWPlan(
         iystar_c=iystar.astype(np.float32),
@@ -332,72 +390,71 @@ def plan_esw(
     )
 
 
-def make_esw_fn(
-    plan: ESWPlan,
-    interp_method: str = "bilinear",
-    fill_value=np.nan,
-    return_parts: bool = False,
-):
-    """Compile the exact-warp kernel (see module docstring).
+class _KernelCfg:
+    """Hashable static trace config for the shared exact-warp kernel.
 
-    Geometry-static quantities (anchor field, clamped positions, validity)
-    are materialized once on device at build time; the steady-state kernel
-    runs lane-shared takes and elementwise selects only, in the same tiled
-    layout as the fast SRW kernel."""
+    All pieces of a uniformized mosaic share one (cfg, shapes) signature,
+    so XLA compiles the kernel ONCE per piece-shape group instead of once
+    per piece (a deep quadtree would otherwise issue dozens of multi-
+    minute remote compiles)."""
+
+    __slots__ = (
+        "n_samples", "d_v", "d_h", "col_tile", "row_tile", "bits_v",
+        "bits_h", "r_lo", "r_hi", "c_lo", "c_hi", "nearest",
+    )
+
+    def __init__(self, **kw):
+        for k in self.__slots__:
+            setattr(self, k, kw[k])
+
+    def _key(self):
+        return tuple(getattr(self, k) for k in self.__slots__)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, _KernelCfg) and self._key() == other._key()
+
+
+_IMPLS: dict = {}
+
+
+def _get_impls():
+    """Build (once) the module-level jitted precompute/kernel impls.  All
+    geometry enters as arguments; loop bounds and layout come from the
+    static ``cfg`` — jax's jit cache then shares compilations across every
+    plan with the same cfg and shapes."""
+    if _IMPLS:
+        return _IMPLS["pre"], _IMPLS["kernel"]
+    from functools import partial
+
     import jax
     import jax.numpy as jnp
 
-    if interp_method not in ("bilinear", "nearest"):
-        raise ValueError("ESW supports 'bilinear' and 'nearest' only")
-
-    p = plan
-    S = p.n_samples
-    half = (S - 2) / 2.0
-    base_v = jnp.asarray(p.base_v)
-    base_h = jnp.asarray(p.base_h)
-    s_v = jnp.asarray(p.s_v) if p.s_v is not None else None
-    s_h = jnp.asarray(p.s_h) if p.s_h is not None else None
-
-    n_col_tiles = p.base_v.shape[1]
-    n_row_tiles = p.base_h.shape[0]
-    nearest = interp_method == "nearest"
-
-    # shifted-space tap ids must clamp AFTER the shift is re-applied
-    # (clip(rid + s) != clip(rid) + s), so the shifted paths tap an
-    # edge-extended array whose index i holds clip(i + lo + shift):
-    r_lo = min(0, int(p.base_v.min())) if p.s_v is not None else 0
-    r_hi = (
-        max(0, int(p.base_v.max()) + p.d_v - p.src_h)
-        if p.s_v is not None
-        else 0
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "step", "half", "out_h", "out_w", "src_w", "src_h_g", "src_w_g",
+            "c_lo", "ext_w",
+        ),
     )
-    ext_h = p.src_h - r_lo + r_hi
-    c_lo = min(0, int(p.base_h.min())) if p.s_h is not None else 0
-    c_hi = (
-        max(0, int(p.base_h.max()) + p.d_h - p.src_w)
-        if p.s_h is not None
-        else 0
-    )
-    ext_w = p.src_w - c_lo + c_hi
-
-    @jax.jit
-    def precompute(iystar_f, ix_f, iy_f):
-        rows = jnp.arange(p.out_h, dtype=jnp.float32)[:, None]
-        cols_src = jnp.arange(p.src_w, dtype=jnp.float32)[None, :]
+    def precompute(iystar_f, ix_f, iy_f, sv, sh, *, step, half, out_h, out_w,
+                   src_w, src_h_g, src_w_g, c_lo, ext_w):
+        rows = jnp.arange(out_h, dtype=jnp.float32)[:, None]
+        cols_src = jnp.arange(src_w, dtype=jnp.float32)[None, :]
         # anchor field m(r, c) in window row space (float32, integer-valued)
-        pos_v = _interp_field(iystar_f, rows, cols_src, p.step, jnp)
+        pos_v = _interp_field(iystar_f, rows, cols_src, step, jnp)
         m = jnp.floor(pos_v - half)
         # vertical selection space: anchors minus the per-column shift
-        m_v = m - s_v[None, :].astype(jnp.float32) if s_v is not None else m
+        m_v = m - sv[None, :].astype(jnp.float32) if sv is not None else m
         # horizontal tap space: anchor VALUES at the extended shift-aligned
         # positions (index i holds m[r, clip(i + c_lo + s_h[r])])
-        if s_h is not None:
+        if sh is not None:
             cidx = jnp.clip(
-                jnp.arange(ext_w, dtype=jnp.int32)[None, :]
-                + c_lo
-                + s_h[:, None],
+                jnp.arange(ext_w, dtype=jnp.int32)[None, :] + c_lo + sh[:, None],
                 0,
-                p.src_w - 1,
+                src_w - 1,
             )
             m_h = jnp.take_along_axis(m, cidx, axis=1)
         else:
@@ -405,43 +462,54 @@ def make_esw_fn(
 
         # positions/validity/clamps in GLOBAL source index space — the
         # float32 arithmetic is bit-identical to the gather kernel's
-        cols = jnp.arange(p.out_w, dtype=jnp.float32)[None, :]
-        ix_full = _interp_field(ix_f, rows, cols, p.step, jnp)
-        iy_full = _interp_field(iy_f, rows, cols, p.step, jnp)
+        cols = jnp.arange(out_w, dtype=jnp.float32)[None, :]
+        ix_full = _interp_field(ix_f, rows, cols, step, jnp)
+        iy_full = _interp_field(iy_f, rows, cols, step, jnp)
         valid = (
             (ix_full > -0.5)
-            & (ix_full < p.src_w_g - 0.5)
+            & (ix_full < src_w_g - 0.5)
             & (iy_full > -0.5)
-            & (iy_full < p.src_h_g - 0.5)
+            & (iy_full < src_h_g - 0.5)
         )
-        ix_cl = jnp.clip(ix_full, 0, p.src_w_g - 1)
-        iy_cl = jnp.clip(iy_full, 0, p.src_h_g - 1)
+        ix_cl = jnp.clip(ix_full, 0, src_w_g - 1)
+        iy_cl = jnp.clip(iy_full, 0, src_h_g - 1)
         return m_v, m_h, ix_cl, iy_cl, valid
 
-    mv_dev, mh_dev, ixc_dev, iyc_dev, valid_dev = precompute(
-        jnp.asarray(p.iystar_c), jnp.asarray(p.ix_c), jnp.asarray(p.iy_c)
-    )
+    @partial(jax.jit, static_argnames=("cfg",))
+    def kernel(src, m_v, m_h, ixc, iyc, valid, bv, bh, sv, sh, j_off, i_off,
+               fill, *, cfg):
+        S = cfg.n_samples
+        nearest = cfg.nearest
+        r_lo, r_hi, c_lo, c_hi = cfg.r_lo, cfg.r_hi, cfg.c_lo, cfg.c_hi
+        out_h, out_w = ixc.shape
+        src_h, src_w = src.shape[-2], src.shape[-1]
+        ext_h = src_h - r_lo + r_hi
+        ext_w = src_w - c_lo + c_hi
+        n_col_tiles = -(-src_w // cfg.col_tile)
+        n_row_tiles = -(-out_h // cfg.row_tile)
 
-    @jax.jit
-    def kernel(src, m_v, m_h, ixc, iyc, valid, bv, bh, sv, sh):
         src2 = src.astype(jnp.float32)
         batch = src.shape[:-2]
 
         # --- optional vertical shift alignment: edge-extend, then roll
         # each source column up by s_v[c] in log2 passes, so the per-tile
-        # tap spans stay small under rotation
+        # tap spans stay small under rotation.  Shifted-space tap ids must
+        # clamp AFTER the shift is re-applied (clip(i + s) != clip(i) + s),
+        # hence the extended array whose index i holds clip(i + lo + s).
         if sv is not None:
             if r_lo or r_hi:
                 parts = [src2]
                 if r_lo:
-                    parts.insert(
-                        0, jnp.repeat(src2[..., :1, :], -r_lo, axis=-2)
-                    )
+                    parts.insert(0, jnp.repeat(src2[..., :1, :], -r_lo, axis=-2))
                 if r_hi:
                     parts.append(jnp.repeat(src2[..., -1:, :], r_hi, axis=-2))
                 src2 = jnp.concatenate(parts, axis=-2)
-            for b in range(p.bits_v):
-                k = 1 << b
+            n_ext = src2.shape[-2]
+            for b in range(cfg.bits_v):
+                # shifts past the window bottom saturate to the edge row
+                # (k can exceed the window height when the rotation trend
+                # is steeper than the window is tall)
+                k = min(1 << b, n_ext)
                 rolled = jnp.concatenate(
                     [src2[..., k:, :], jnp.repeat(src2[..., -1:, :], k, axis=-2)],
                     axis=-2,
@@ -456,16 +524,16 @@ def make_esw_fn(
         # their zero init (they are never selected by a valid pixel).
         v_tiles = [[] for _ in range(S)]
         for t in range(n_col_tiles):
-            c0 = t * p.col_tile
-            c1 = min((t + 1) * p.col_tile, p.src_w)
+            c0 = t * cfg.col_tile
+            c1 = min((t + 1) * cfg.col_tile, src_w)
             tile_src = src2[..., c0:c1]
             m_t = m_v[:, c0:c1]  # (out_h, ct) float32 integer-valued
             base_t = bv[:, t]  # (out_h,)
             accs = [
-                jnp.zeros(batch + (p.out_h, c1 - c0), jnp.float32)
+                jnp.zeros(batch + (out_h, c1 - c0), jnp.float32)
                 for _ in range(S)
             ]
-            for d in range(p.d_v):
+            for d in range(cfg.d_v):
                 idx = jnp.clip(base_t + d - r_lo, 0, ext_h - 1)
                 taken = jnp.take(tile_src, idx, axis=-2)
                 rid = (base_t + d).astype(jnp.float32)[:, None]
@@ -480,21 +548,20 @@ def make_esw_fn(
         # extend, then roll each output row left by s_h[r] in log2 passes
         if sh is not None:
             mask_rows = [
-                ((sh >> b) & 1).astype(bool)[:, None] for b in range(p.bits_h)
+                ((sh >> b) & 1).astype(bool)[:, None] for b in range(cfg.bits_h)
             ]
             shifted = []
             for f in fields:
                 if c_lo or c_hi:
                     parts = [f]
                     if c_lo:
-                        parts.insert(
-                            0, jnp.repeat(f[..., :, :1], -c_lo, axis=-1)
-                        )
+                        parts.insert(0, jnp.repeat(f[..., :, :1], -c_lo, axis=-1))
                     if c_hi:
                         parts.append(jnp.repeat(f[..., :, -1:], c_hi, axis=-1))
                     f = jnp.concatenate(parts, axis=-1)
-                for b in range(p.bits_h):
-                    k = 1 << b
+                for b in range(cfg.bits_h):
+                    # saturating shift, as in the vertical pass
+                    k = min(1 << b, f.shape[-1])
                     rolled = jnp.concatenate(
                         [f[..., :, k:], jnp.repeat(f[..., :, -1:], k, axis=-1)],
                         axis=-1,
@@ -507,12 +574,12 @@ def make_esw_fn(
         # the S samples at both column taps, routed by exact index match
         out_tiles = []
         for t in range(n_row_tiles):
-            r0 = t * p.row_tile
-            r1 = min((t + 1) * p.row_tile, p.out_h)
+            r0 = t * cfg.row_tile
+            r1 = min((t + 1) * cfg.row_tile, out_h)
             base_t = bh[t]  # (out_w,)
             ixc_t = ixc[r0:r1, :]
             iyc_t = iyc[r0:r1, :]
-            m_rows = m_h[r0:r1, :]  # (rt, src_w)
+            m_rows = m_h[r0:r1, :]
             f_rows = [f[..., r0:r1, :] for f in fields]
 
             # window offset, tap base and shift are removed in integer
@@ -520,22 +587,22 @@ def make_esw_fn(
             # could flip ties relative to the gather kernel)
             if nearest:
                 y0g = jnp.rint(iyc_t)
-                i0 = jnp.rint(ixc_t).astype(jnp.int32) - p.i_off
+                i0 = jnp.rint(ixc_t).astype(jnp.int32) - i_off
             else:
                 y0f = jnp.floor(iyc_t)
                 fy = iyc_t - y0f
                 y0g = y0f
                 x0 = jnp.floor(ixc_t)
                 fx = ixc_t - x0
-                i0 = x0.astype(jnp.int32) - p.i_off
+                i0 = x0.astype(jnp.int32) - i_off
             if sh is not None:
                 i0 = i0 - sh[r0:r1][:, None]
-            y0w = y0g - p.j_off  # window row, float32 integer-valued
+            y0w = y0g - j_off  # window row, float32 integer-valued
 
-            zero = jnp.zeros(batch + (r1 - r0, p.out_w), jnp.float32)
+            zero = jnp.zeros(batch + (r1 - r0, out_w), jnp.float32)
             cv0 = zero
             cv1 = zero
-            for d in range(p.d_h):
+            for d in range(cfg.d_h):
                 idx = jnp.clip(base_t + d - c_lo, 0, ext_w - 1)
                 mg = jnp.take(m_rows, idx, axis=-1)  # (rt, out_w)
                 # s0 = y0 - m selects the lerp's lower sample; for nearest
@@ -549,29 +616,138 @@ def make_esw_fn(
                     if s >= 2:
                         bb = jnp.where(s0 >= s - 1.5, taken[s], bb)
                 colval = a if nearest else a + fy * (bb - a)
-                cond0 = i0 == base_t + d
-                cv0 = jnp.where(cond0, colval, cv0)
+                cv0 = jnp.where(i0 == base_t + d, colval, cv0)
                 if not nearest:
                     cv1 = jnp.where(i0 + 1 == base_t + d, colval, cv1)
             out_tiles.append(cv0 if nearest else cv0 + fx * (cv1 - cv0))
         out = jnp.concatenate(out_tiles, axis=-2)
 
-        fill = jnp.asarray(fill_value, dtype=out.dtype)
         return jnp.where(valid, out, fill)
 
-    statics = (
-        mv_dev, mh_dev, ixc_dev, iyc_dev, valid_dev, base_v, base_h, s_v, s_h,
+    _IMPLS["pre"] = precompute
+    _IMPLS["kernel"] = kernel
+    return precompute, kernel
+
+
+def make_esw_fn(
+    plan: ESWPlan,
+    interp_method: str = "bilinear",
+    fill_value=np.nan,
+    return_parts: bool = False,
+    uniform: dict | None = None,
+):
+    """Compile the exact-warp kernel (see module docstring).
+
+    Geometry-static quantities (anchor fields, clamped positions,
+    validity) are materialized once on device at build time; the steady-
+    state kernel runs lane-shared takes and elementwise selects only, in
+    the same tiled layout as the fast SRW kernel.
+
+    ``uniform`` (mosaic use) overrides the trace-static layout values
+    (n_samples/d_v/d_h/tiles/bits/margins) with the piece group's maxima
+    so every piece of the group shares ONE compiled kernel.
+    """
+    import jax.numpy as jnp
+
+    if interp_method not in ("bilinear", "nearest"):
+        raise ValueError("ESW supports 'bilinear' and 'nearest' only")
+
+    p = plan
+    u = uniform or {}
+    S = u.get("n_samples", p.n_samples)
+    half = (S - 2) / 2.0
+    bits_v = u.get("bits_v", p.bits_v)
+    bits_h = u.get("bits_h", p.bits_h)
+
+    s_v = p.s_v
+    if s_v is None and bits_v > 0:
+        s_v = np.zeros(p.src_w, dtype=np.int32)
+    s_h = p.s_h
+    if s_h is None and bits_h > 0:
+        s_h = np.zeros(p.out_h, dtype=np.int32)
+
+    d_v = u.get("d_v", p.d_v)
+    d_h = u.get("d_h", p.d_h)
+    if "r_lo" in u:
+        r_lo, r_hi = u["r_lo"], u["r_hi"]
+        c_lo, c_hi = u["c_lo"], u["c_hi"]
+    else:
+        r_lo = min(0, int(p.base_v.min())) if s_v is not None else 0
+        r_hi = (
+            max(0, int(p.base_v.max()) + d_v - p.src_h)
+            if s_v is not None
+            else 0
+        )
+        c_lo = min(0, int(p.base_h.min())) if s_h is not None else 0
+        c_hi = (
+            max(0, int(p.base_h.max()) + d_h - p.src_w)
+            if s_h is not None
+            else 0
+        )
+
+    cfg = _KernelCfg(
+        n_samples=S,
+        d_v=d_v,
+        d_h=d_h,
+        col_tile=u.get("col_tile", p.col_tile),
+        row_tile=u.get("row_tile", p.row_tile),
+        bits_v=bits_v,
+        bits_h=bits_h,
+        r_lo=r_lo,
+        r_hi=r_hi,
+        c_lo=c_lo,
+        c_hi=c_hi,
+        nearest=interp_method == "nearest",
     )
 
+    precompute, kernel = _get_impls()
+
+    sv_j = jnp.asarray(s_v) if s_v is not None else None
+    sh_j = jnp.asarray(s_h) if s_h is not None else None
+    mv_dev, mh_dev, ixc_dev, iyc_dev, valid_dev = precompute(
+        jnp.asarray(p.iystar_c),
+        jnp.asarray(p.ix_c),
+        jnp.asarray(p.iy_c),
+        sv_j,
+        sh_j,
+        step=p.step,
+        half=half,
+        out_h=p.out_h,
+        out_w=p.out_w,
+        src_w=p.src_w,
+        src_h_g=p.src_h_g,
+        src_w_g=p.src_w_g,
+        c_lo=c_lo,
+        ext_w=p.src_w - c_lo + c_hi,
+    )
+
+    statics = (
+        mv_dev,
+        mh_dev,
+        ixc_dev,
+        iyc_dev,
+        valid_dev,
+        jnp.asarray(p.base_v),
+        jnp.asarray(p.base_h),
+        sv_j,
+        sh_j,
+        jnp.float32(p.j_off),
+        jnp.int32(p.i_off),
+        jnp.float32(fill_value),
+    )
+
+    def fn(src, *args):
+        return kernel(src, *(args or statics), cfg=cfg)
+
+    if return_parts == "raw":
+        # for vmapped mosaic groups: the caller stacks statics across
+        # pieces and maps the shared impl once per group
+        return cfg, statics
     if return_parts:
         # for mosaic composition: the caller passes the statics as jit
         # ARGUMENTS (closing over them inside an outer jit would embed
         # them as program constants — hundreds of MB for big pieces)
-        return kernel, statics
-
-    def fn(src):
-        return kernel(src, *statics)
-
+        return fn, statics
     return fn
 
 
@@ -663,6 +839,7 @@ def make_esw_region_fn(
     step: int = 16,
     base_split: int = 2,
     max_depth: int = 4,
+    op_budget: int = 4000,
     **plan_kwargs,
 ):
     """Exact reprojection for domain-scale warps no single ESW plan covers
@@ -693,15 +870,15 @@ def make_esw_region_fn(
     src_h_g, src_w_g = source_gm.height, source_gm.width
     ix_r, iy_r = _raw_coarse_fields(source_gm, target_gm, step)
 
-    pieces = []  # (r0, r1, c0, c1, window or None, kernel, statics)
-    n_planned = 0
+    esw_desc = []  # (r0, r1, c0, c1, f, win, probe_plan)
+    gather_desc = []  # (r0, r1, c0, c1, ixs, iys)
 
     def build(r0, r1, c0, c1, depth):
-        nonlocal n_planned
         ixs, iys = _slice_raw(ix_r, iy_r, step, r0, r1, c0, c1)
         finite = np.isfinite(ixs) & np.isfinite(iys)
         plan = None
         win = None
+        f = None
         if finite.all():
             iystar_s = _iystar_from_fields(ixs, iys, src_w_g, step)
             if iystar_s is not None:
@@ -724,12 +901,23 @@ def make_esw_region_fn(
                     **plan_kwargs,
                 )
         if plan is not None:
-            kernel, statics = make_esw_fn(
-                plan, interp_method, fill_value, return_parts=True
+            # trace-size estimate: tap loops unroll, so extreme-rotation
+            # pieces (near the projection singularity) can emit kernels
+            # the XLA service takes minutes to compile.  Demote those to
+            # the gather kernel — they are small and the quadtree already
+            # isolated them
+            est_ops = (
+                -(-plan.src_w // plan.col_tile)
+                * plan.d_v
+                * (1 + plan.n_samples)
+                + -(-plan.out_h // plan.row_tile)
+                * plan.d_h
+                * (2 * plan.n_samples + 6)
             )
-            n_planned += 1
-            pieces.append((r0, r1, c0, c1, win, kernel, statics))
-            return
+            if est_ops <= op_budget:
+                esw_desc.append((r0, r1, c0, c1, f, win, plan))
+                return
+            plan = None
         half_r = (r1 - r0) // 2 // step * step
         half_c = (c1 - c0) // 2 // step * step
         if depth < max_depth and half_r >= 128 and half_c >= 128:
@@ -744,6 +932,155 @@ def make_esw_region_fn(
             # whole-target gather yields fill here, which the mosaic
             # buffer already holds
             return
+        gather_desc.append((r0, r1, c0, c1, ixs, iys))
+
+    rb = (-(-out_h // base_split) + step - 1) // step * step
+    cb = (-(-out_w // base_split) + step - 1) // step * step
+    for bj in range(base_split):
+        for bi in range(base_split):
+            r0, r1 = bj * rb, min((bj + 1) * rb, out_h)
+            c0, c1 = bi * cb, min((bi + 1) * cb, out_w)
+            if r1 > r0 and c1 > c0:
+                build(r0, r1, c0, c1, 0)
+
+    if not esw_desc:
+        return None
+
+    # ---- uniformize per piece-shape group so every group shares ONE
+    # compiled kernel (the reference's uniformized-window idea applied at
+    # the compilation level): same forced layout decisions, same padded
+    # window shape, group-max tap counts/margins.  Each group then runs
+    # as ONE vmapped dispatch over its pieces — compile count and
+    # per-piece dispatch overhead both collapse to the group count.
+    pieces = []  # (r0, r1, c0, c1, window or None, kernel, statics)
+    vgroups = []  # (cfg, gh, gw, wh, ww, [(r0, c0, j0, i0, statics)])
+
+    def _win_or_full(win):
+        return win if win is not None else (0, src_h_g, 0, src_w_g)
+
+    groups: dict = {}
+    for desc in esw_desc:
+        p = desc[6]
+        key = (desc[1] - desc[0], desc[3] - desc[2], p.n_samples)
+        groups.setdefault(key, []).append(desc)
+
+    def _demote_to_gather(desc):
+        r0, r1, c0, c1 = desc[:4]
+        ixs, iys = _slice_raw(ix_r, iy_r, step, r0, r1, c0, c1)
+        gather_desc.append((r0, r1, c0, c1, ixs, iys))
+
+    for (gh, gw, g_S), descs in groups.items():
+        force = {
+            "n_samples": g_S,
+            "col_tile": 128,
+            "row_tile": min(128, gh),
+            "use_shift_v": any(d[6].s_v is not None for d in descs),
+            "use_shift_h": any(d[6].s_h is not None for d in descs),
+        }
+        wins = [_win_or_full(d[5]) for d in descs]
+        wh = min(
+            src_h_g,
+            -(-max(w[1] - w[0] for w in wins) // step) * step,
+        )
+        ww = min(
+            src_w_g,
+            -(-max(w[3] - w[2] for w in wins) // step) * step,
+        )
+        replans = []
+        for desc, w0 in zip(descs, wins):
+            r0, r1, c0, c1, f, _, probe = desc
+            j0 = max(0, min(w0[0], src_h_g - wh)) // step * step
+            i0 = max(0, min(w0[2], src_w_g - ww)) // step * step
+            win2 = (j0, j0 + wh, i0, i0 + ww)
+            plan2 = plan_esw(
+                source_gm,
+                target_gm,
+                step=step,
+                fields=_offset_fields(f, *win2),
+                fields_global=f,
+                win=win2,
+                force=force,
+                **plan_kwargs,
+            )
+            replans.append((desc, win2, plan2))
+
+        # group tap counts are maxima: demote the most expensive members
+        # to the gather kernel until the shared kernel's trace-size
+        # estimate fits the budget (they are small singularity-adjacent
+        # pieces; gather on a cropped window is fine there)
+        def group_est(rps):
+            d_v = max(rp[2].d_v for rp in rps)
+            d_h = max(rp[2].d_h for rp in rps)
+            return (
+                -(-ww // force["col_tile"]) * d_v * (1 + g_S)
+                + -(-gh // force["row_tile"]) * d_h * (2 * g_S + 6)
+            )
+
+        ok = [rp for rp in replans if rp[2] is not None]
+        ok.sort(key=lambda rp: rp[2].d_v + rp[2].d_h)
+        while len(ok) > 1 and group_est(ok) > 2 * op_budget:
+            _demote_to_gather(ok.pop()[0])
+        if len(ok) == 1 and group_est(ok) > 3 * op_budget:
+            _demote_to_gather(ok.pop()[0])
+        kept = {id(rp[0]) for rp in ok}
+        replans = [
+            rp
+            for rp in replans
+            if rp[2] is not None and id(rp[0]) in kept
+        ] + [rp for rp in replans if rp[2] is None]
+        if ok:
+            d_v = max(rp[2].d_v for rp in ok)
+            d_h = max(rp[2].d_h for rp in ok)
+            uniform = {
+                "n_samples": force["n_samples"],
+                "d_v": d_v,
+                "d_h": d_h,
+                "col_tile": force["col_tile"],
+                "row_tile": force["row_tile"],
+                "bits_v": max(rp[2].bits_v for rp in ok),
+                "bits_h": max(rp[2].bits_h for rp in ok),
+                "r_lo": min(
+                    min(0, int(rp[2].base_v.min())) for rp in ok
+                )
+                if force["use_shift_v"]
+                else 0,
+                "r_hi": max(
+                    max(0, int(rp[2].base_v.max()) + d_v - wh) for rp in ok
+                )
+                if force["use_shift_v"]
+                else 0,
+                "c_lo": min(
+                    min(0, int(rp[2].base_h.min())) for rp in ok
+                )
+                if force["use_shift_h"]
+                else 0,
+                "c_hi": max(
+                    max(0, int(rp[2].base_h.max()) + d_h - ww) for rp in ok
+                )
+                if force["use_shift_h"]
+                else 0,
+            }
+        members = []  # (r0, c0, j0, i0, statics) — the vmapped group
+        group_cfg = None
+        for desc, win2, plan2 in replans:
+            r0, r1, c0, c1 = desc[:4]
+            if plan2 is not None:
+                group_cfg, statics = make_esw_fn(
+                    plan2, interp_method, fill_value,
+                    return_parts="raw", uniform=uniform,
+                )
+                members.append((r0, c0, win2[0], win2[2], statics))
+            else:
+                # forced layout did not fit this piece: fall back to its
+                # own probe plan (costs one extra compile + dispatch)
+                kernel, statics = make_esw_fn(
+                    desc[6], interp_method, fill_value, return_parts=True
+                )
+                pieces.append((r0, r1, c0, c1, desc[5], kernel, statics))
+        if members:
+            vgroups.append((group_cfg, gh, gw, wh, ww, members))
+
+    for r0, r1, c0, c1, ixs, iys in gather_desc:
         win = None
         fr = _Fields(ixs, iys, None, step, src_h_g, src_w_g, r1 - r0, c1 - c0)
         w = _source_window_gm(source_gm, fr, margin=8)
@@ -766,50 +1103,88 @@ def make_esw_region_fn(
         )
         pieces.append((r0, r1, c0, c1, win, kernel, statics))
 
-    rb = (-(-out_h // base_split) + step - 1) // step * step
-    cb = (-(-out_w // base_split) + step - 1) // step * step
-    for bj in range(base_split):
-        for bi in range(base_split):
-            r0, r1 = bj * rb, min((bj + 1) * rb, out_h)
-            c0, c1 = bi * cb, min((bi + 1) * cb, out_w)
-            if r1 > r0 and c1 > c0:
-                build(r0, r1, c0, c1, 0)
-
-    if n_planned == 0:
-        return None
-
     import jax
     import jax.numpy as jnp
+    from functools import partial
 
-    # one jitted dispatch for the whole mosaic (per-piece eager calls would
-    # each pay a host->device round trip); every piece's static fields are
-    # passed as ARGUMENTS so the traced program stays small
-    flat_statics = []
-    specs = []
-    for r0, r1, c0, c1, win, piece_fn, statics in pieces:
-        specs.append((r0, r1, c0, c1, win, piece_fn, len(flat_statics), len(statics)))
-        flat_statics.extend(statics)
+    _, kernel_impl = _get_impls()
 
-    @jax.jit
-    def mosaic(src, *flat):
+    # one jitted program per GROUP: vmap the shared kernel over the
+    # group's pieces (window slicing via per-piece dynamic_slice starts)
+    # and scatter the stacked results into the canvas — a whole-mosaic
+    # jit would exceed what the XLA service will compile, while eager
+    # per-piece dispatch pays the host round trip dozens of times
+    group_fns = []
+    for group_cfg, gh, gw, wh, ww, members in vgroups:
+        stacked = tuple(
+            jnp.stack([m[4][k] for m in members])
+            if members[0][4][k] is not None
+            else None
+            for k in range(len(members[0][4]))
+        )
+        offs = jnp.asarray(
+            [[m[2], m[3]] for m in members], dtype=jnp.int32
+        )
+        starts_rc = [(m[0], m[1]) for m in members]
+        piece_kernel = partial(kernel_impl, cfg=group_cfg)
+
+        def make_group_fn(offs, stacked, starts_rc, piece_kernel, wh, ww):
+            n_st = len(stacked)
+            in_axes = (0,) + tuple(
+                0 if s is not None else None for s in stacked
+            )
+
+            @jax.jit
+            def run(src, out, offs, *stacked):
+                def one(off, *st):
+                    start = (0,) * (src.ndim - 2) + (off[0], off[1])
+                    win = jax.lax.dynamic_slice(
+                        src, start, src.shape[:-2] + (wh, ww)
+                    )
+                    return piece_kernel(win, *st)
+
+                out_stack = jax.vmap(one, in_axes=in_axes)(offs, *stacked)
+                for i, (r0, c0) in enumerate(starts_rc):
+                    out = jax.lax.dynamic_update_slice(
+                        out,
+                        out_stack[i],
+                        (0,) * (out.ndim - 2) + (r0, c0),
+                    )
+                return out
+
+            def group_fn(src, out):
+                return run(src, out, offs, *stacked)
+
+            return group_fn
+
+        group_fns.append(
+            make_group_fn(offs, stacked, starts_rc, piece_kernel, wh, ww)
+        )
+
+    set_piece = jax.jit(
+        lambda out, piece, r0, c0: jax.lax.dynamic_update_slice(
+            out, piece, (0,) * (out.ndim - 2) + (r0, c0)
+        ),
+        static_argnums=(2, 3),
+    )
+
+    def fn(src):
         src = jnp.asarray(src)
         out = jnp.full(
             src.shape[:-2] + (out_h, out_w),
             jnp.float32(fill_value),
             dtype=jnp.float32,
         )
-        for r0, r1, c0, c1, win, piece_fn, k, n in specs:
+        for group_fn in group_fns:
+            out = group_fn(src, out)
+        for r0, r1, c0, c1, win, piece_fn, statics in pieces:
             piece_src = (
                 src[..., win[0] : win[1], win[2] : win[3]]
                 if win is not None
                 else src
             )
-            out = out.at[..., r0:r1, c0:c1].set(
-                piece_fn(piece_src, *flat[k : k + n])
-            )
+            piece = piece_fn(piece_src, *statics)
+            out = set_piece(out, piece, r0, c0)
         return out
-
-    def fn(src):
-        return mosaic(src, *flat_statics)
 
     return fn

@@ -11,6 +11,7 @@ redundant enlarged-window gathering (reproject.py:405-423).
 from .mesh import make_mesh
 from .tiling import TileBatch, batch_tiles, untile
 from .halo import (
+    make_sharded_esw_step,
     make_sharded_regrid_step,
     make_sharded_srw_step,
     sharded_reproject,
@@ -20,6 +21,7 @@ __all__ = [
     "TileBatch",
     "batch_tiles",
     "make_mesh",
+    "make_sharded_esw_step",
     "make_sharded_regrid_step",
     "make_sharded_srw_step",
     "sharded_reproject",

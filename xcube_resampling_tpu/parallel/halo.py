@@ -454,6 +454,273 @@ def make_sharded_srw_step(
     return step_fn, (src_pad_h, out_h)
 
 
+def make_sharded_esw_step(
+    mesh,
+    source_gm: GridMapping,
+    target_gm: GridMapping,
+    axis_name: str = "bands",
+    interp_method: str = "bilinear",
+    fill_value: float = np.nan,
+    src_batch_dims: int = 0,
+    step: int = 16,
+    max_taps: int = 48,
+    tap_budget: int = 16,
+    max_samples: int = 10,
+):
+    """Sharded exact-separable-warp regrid: halo exchange + the exact
+    selection kernel of :mod:`..ops.esw`, band-aligned.
+
+    Reproduces the gather kernel built on the same grid mappings (bit-exact
+    nearest, <= 2 float32 ulp bilinear from lerp order) — no two-pass
+    fidelity gate, so rotation-heavy warps scale across the mesh too
+    (the aligned/hybrid gap of round 1).  The vertical pass selects S
+    consecutive source rows per (row, column) from the halo-extended band;
+    the horizontal pass is row-local.  Planning is band-aligned like
+    :func:`make_sharded_srw_step` (tiles never straddle band boundaries);
+    shift alignment is not used — vertical shifts would move data across
+    band boundaries (bigger halos), and the tap budget covers the
+    supported slopes without them.
+
+    Returns ``(step_fn, (src_pad_h, out_h))`` or None when the mapping is
+    unsuitable (non-monotone rows, or tap/sample counts out of budget).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.esw import _max_row_deviation
+
+    if interp_method not in ("bilinear", "nearest"):
+        return None
+    nearest = interp_method == "nearest"
+    n = mesh.shape[axis_name]
+    fields = _coarse_geometry(source_gm, target_gm, step)
+    if fields is None:
+        return None
+    ix64, iy64, iystar = fields.ix64, fields.iy64, fields.iystar64
+    src_h, src_w = fields.src_h, fields.src_w
+    out_h, out_w = fields.out_h, fields.out_w
+
+    margin = 0.35
+    dev = _max_row_deviation(fields)
+    S = max(3, int(np.ceil(2.0 * (dev + margin))) + 2)
+    if S > max_samples:
+        return None
+    half = (S - 2) / 2.0
+
+    band_h = -(-src_h // n)
+    src_pad_h = band_h * n - src_h
+    out_band_h = -(-out_h // n)
+    out_h_pad = out_band_h * n
+
+    # ---- vertical plan: per-(padded output row, column tile) bases with
+    # the S-sample margin
+    slope_v = float(np.nanmax(np.abs(np.diff(iystar, axis=1))) / step)
+    col_tile = _pick_tile(slope_v, tap_budget)
+    ncc = iystar.shape[1]
+    n_col_tiles = -(-src_w // col_tile)
+    iystar_rows = _interp_rows(iystar, out_h, step)
+    if out_h_pad > out_h:
+        iystar_rows = np.concatenate(
+            [iystar_rows, np.repeat(iystar_rows[-1:], out_h_pad - out_h, 0)]
+        )
+    base_v = np.zeros((out_h_pad, n_col_tiles), dtype=np.int32)
+    span_max = 0.0
+    for t in range(n_col_tiles):
+        c0 = t * col_tile
+        c1 = min((t + 1) * col_tile, src_w)
+        k0 = max(0, c0 // step - 1)
+        k1 = min(ncc, -(-c1 // step) + 1)
+        seg = iystar_rows[:, k0:k1]
+        m = seg.min(axis=1)
+        base_v[:, t] = np.floor(m - half).astype(np.int32) - 2
+        span_max = max(span_max, float((seg.max(axis=1) - m).max()))
+    d_v = int(np.ceil(span_max)) + S + 4
+    if d_v > max_taps:
+        return None
+
+    # ---- horizontal plan: per-(band, row tile) base, overlapping last
+    # tile so tiles never straddle bands
+    slope_h = float(np.nanmax(np.abs(np.diff(ix64, axis=0))) / step)
+    row_tile = min(_pick_tile(slope_h, tap_budget), out_band_h)
+    tiles_per_band = -(-out_band_h // row_tile)
+    tile_starts = [t * row_tile for t in range(tiles_per_band - 1)]
+    tile_starts.append(out_band_h - row_tile)
+    ix_cols = _interp_cols(ix64, out_w, step)
+    ncj = ix64.shape[0]
+    sample_rows = np.arange(ncj) * step
+    base_h = np.zeros((n * tiles_per_band, out_w), dtype=np.int32)
+    span_max_h = 0.0
+    for k in range(n):
+        for t, s0 in enumerate(tile_starts):
+            r0 = min(k * out_band_h + s0, out_h - 1)
+            r1 = min(r0 + row_tile, out_h)
+            k0 = max(0, int(np.searchsorted(sample_rows, r0)) - 1)
+            k1 = min(ncj, int(np.searchsorted(sample_rows, r1)) + 2)
+            seg = ix_cols[k0:k1, :]
+            m = seg.min(axis=0)
+            base_h[k * tiles_per_band + t, :] = (
+                np.floor(m).astype(np.int32) - 2
+            )
+            span_max_h = max(span_max_h, float((seg.max(axis=0) - m).max()))
+    d_h = int(np.ceil(span_max_h)) + 5
+    if d_h > max_taps:
+        return None
+
+    # ---- halo: worst-case deviation of any band's (globally clamped)
+    # vertical taps from its proportional source band
+    lo_tap = np.clip(base_v.min(axis=1), 0, src_h - 1)
+    hi_tap = np.clip(base_v.max(axis=1) + d_v - 1, 0, src_h - 1)
+    halo = 0
+    for k in range(n):
+        r0, r1 = k * out_band_h, (k + 1) * out_band_h
+        off = k * band_h
+        halo = max(
+            halo,
+            int(off - lo_tap[r0:r1].min()),
+            int(hi_tap[r0:r1].max() - (off + band_h - 1)),
+        )
+    halo = max(halo, 0)
+    halo = min(halo, (n - 1) * band_h)
+    use_halo = n > 1 and halo > 0
+
+    iystar_c = jnp.asarray(iystar.astype(np.float32))
+    ix_c = jnp.asarray(ix64.astype(np.float32))
+    iy_c = jnp.asarray(iy64.astype(np.float32))
+    bv_j = jnp.asarray(base_v)
+    bh_j = jnp.asarray(base_h)
+
+    # geometry-static per-pixel fields, materialized once at build time;
+    # sharding them over rows changes nothing numerically (the global row
+    # arange equals each band's local arange + offset bitwise)
+    @jax.jit
+    def _precompute(iystar_f, ix_f, iy_f):
+        rows_col = jnp.arange(out_h_pad, dtype=jnp.float32)[:, None]
+        cols_src = jnp.arange(src_w, dtype=jnp.float32)[None, :]
+        pos_v = _interp_field(iystar_f, rows_col, cols_src, step, jnp)
+        m = jnp.floor(pos_v - half)
+        cols = jnp.arange(out_w, dtype=jnp.float32)[None, :]
+        ix_full = _interp_field(ix_f, rows_col, cols, step, jnp)
+        iy_full = _interp_field(iy_f, rows_col, cols, step, jnp)
+        valid = (
+            (ix_full > -0.5)
+            & (ix_full < src_w - 0.5)
+            & (iy_full > -0.5)
+            & (iy_full < src_h - 0.5)
+        )
+        ix_cl = jnp.clip(ix_full, 0, src_w - 1)
+        iy_cl = jnp.clip(iy_full, 0, src_h - 1)
+        return m, ix_cl, iy_cl, valid
+
+    m_dev, ixc_dev, iyc_dev, valid_dev = _precompute(iystar_c, ix_c, iy_c)
+
+    def band_step(src_band, m_band, ixc_band, iyc_band, valid_band, bv_band, bh_band):
+        idx = lax.axis_index(axis_name)
+        if use_halo:
+            ext = _exchange_halo(
+                src_band, halo, band_h, n, axis_name, lax, jnp
+            )
+        else:
+            ext = src_band
+        ext = ext.astype(jnp.float32)
+        off = idx * band_h - (halo if use_halo else 0)
+        batch = src_band.shape[:-2]
+
+        # vertical pass: S sample fields per column tile, exact selection
+        v_tiles = [[] for _ in range(S)]
+        for t in range(n_col_tiles):
+            c0 = t * col_tile
+            c1 = min((t + 1) * col_tile, src_w)
+            tile_src = ext[..., c0:c1]
+            m_t = m_band[:, c0:c1]
+            base_t = bv_band[:, t]
+            accs = [
+                jnp.zeros(batch + (out_band_h, c1 - c0), jnp.float32)
+                for _ in range(S)
+            ]
+            for d in range(d_v):
+                idx_g = jnp.clip(base_t + d, 0, src_h - 1)
+                taken = jnp.take(tile_src, idx_g - off, axis=-2)
+                rid = (base_t + d).astype(jnp.float32)[:, None]
+                for s in range(S):
+                    accs[s] = jnp.where(m_t == rid - s, taken, accs[s])
+            for s in range(S):
+                v_tiles[s].append(accs[s])
+        fields_v = [jnp.concatenate(v_tiles[s], axis=-1) for s in range(S)]
+
+        # horizontal pass: row-local, per in-band row tile (the final
+        # overlapping tile contributes only its uncovered tail rows)
+        out_tiles = []
+        for t, s0 in enumerate(tile_starts):
+            base_t = bh_band[t]
+            ixc_t = ixc_band[s0 : s0 + row_tile, :]
+            iyc_t = iyc_band[s0 : s0 + row_tile, :]
+            m_rows = m_band[s0 : s0 + row_tile, :]
+            f_rows = [f[..., s0 : s0 + row_tile, :] for f in fields_v]
+            if nearest:
+                y0w = jnp.rint(iyc_t)
+                i0 = jnp.rint(ixc_t).astype(jnp.int32)
+            else:
+                y0w = jnp.floor(iyc_t)
+                fy = iyc_t - y0w
+                x0 = jnp.floor(ixc_t)
+                fx = ixc_t - x0
+                i0 = x0.astype(jnp.int32)
+            cv0 = jnp.zeros(batch + (row_tile, out_w), jnp.float32)
+            cv1 = cv0
+            for d in range(d_h):
+                idx2 = jnp.clip(base_t + d, 0, src_w - 1)
+                mg = jnp.take(m_rows, idx2, axis=-1)
+                s0_sel = jnp.clip(y0w - mg, 0, S - 1 if nearest else S - 2)
+                taken = [jnp.take(f, idx2, axis=-1) for f in f_rows]
+                a = taken[0]
+                bb = taken[1]
+                for s in range(1, S):
+                    a = jnp.where(s0_sel >= s - 0.5, taken[s], a)
+                    if s >= 2:
+                        bb = jnp.where(s0_sel >= s - 1.5, taken[s], bb)
+                colval = a if nearest else a + fy * (bb - a)
+                cv0 = jnp.where(i0 == base_t + d, colval, cv0)
+                if not nearest:
+                    cv1 = jnp.where(i0 + 1 == base_t + d, colval, cv1)
+            acc = cv0 if nearest else cv0 + fx * (cv1 - cv0)
+            if t == tiles_per_band - 1 and tiles_per_band > 1:
+                keep = out_band_h - (tiles_per_band - 1) * row_tile
+                acc = acc[..., row_tile - keep :, :]
+            out_tiles.append(acc)
+        out = jnp.concatenate(out_tiles, axis=-2)
+
+        return jnp.where(
+            valid_band, out, jnp.asarray(fill_value, out.dtype)
+        )
+
+    batch_spec = [None] * src_batch_dims
+    shard_map = _shard_map()
+    mapped = shard_map(
+        band_step,
+        mesh=mesh,
+        in_specs=(
+            P(*batch_spec, axis_name, None),
+            P(axis_name, None),
+            P(axis_name, None),
+            P(axis_name, None),
+            P(axis_name, None),
+            P(axis_name, None),
+            P(axis_name, None),
+        ),
+        out_specs=P(*batch_spec, axis_name, None),
+    )
+    jitted = jax.jit(mapped)
+
+    def step_fn(src):
+        return jitted(
+            src, m_dev, ixc_dev, iyc_dev, valid_dev, bv_j, bh_j
+        )
+
+    return step_fn, (src_pad_h, out_h)
+
+
 def sharded_reproject(
     src,
     source_gm: GridMapping,
@@ -468,8 +735,10 @@ def sharded_reproject(
     """Reproject *src* with its rows sharded over ``mesh[axis_name]``;
     returns the full target raster (rows sharded the same way).
 
-    Uses the gather-free sharded SRW kernel when the mapping admits a
-    tiled plan; falls back to the halo-exchange gather formulation."""
+    Engine tiers mirror the single-chip dispatch: the gather-free sharded
+    SRW kernel where its fidelity gate admits the mapping, the exact
+    sharded ESW kernel for rotation-heavy warps beyond the gate, and the
+    halo-exchange gather formulation as the final fallback."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -489,6 +758,16 @@ def sharded_reproject(
     built = None
     if use_srw:
         built = make_sharded_srw_step(
+            mesh,
+            source_gm,
+            target_gm,
+            axis_name=axis_name,
+            interp_method=interp_method,
+            fill_value=fill_value,
+            src_batch_dims=src.ndim - 2,
+        )
+    if built is None:
+        built = make_sharded_esw_step(
             mesh,
             source_gm,
             target_gm,

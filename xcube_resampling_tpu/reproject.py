@@ -197,27 +197,32 @@ def _reproject_on_device(data, source_gm, target_gm, interp_method, fill_value):
 
     from .ops.esw import make_esw_reproject_fn
     from .ops.reproject_ops import make_fused_reproject_fn
-    from .ops.srw import make_region_reproject_fn
+    from .ops.srw import make_region_reproject_fn, make_srw_reproject_fn
 
-    # default tier: the exact separable warp — direct-gather semantics
-    # (bit-exact nearest, <=2 ulp bilinear) at streaming speed, covering
-    # local rotation slopes up to ~4 px/px.  Faster than the two-pass SRW
-    # strategies on mild warps AND exact, so it subsumes the old gated
-    # default (ops/srw.py make_srw_reproject_fn remains available as an
-    # explicit API and for the sharded paths).
-    fn = make_esw_reproject_fn(
-        source_gm, target_gm, interp_method, fill_value
-    )
+    # Engine tiers (measured on one v5e chip, 4096^2 bilinear):
+    #   1. gated two-pass SRW   ~8 Gpix/s   positions <= ~0.05 px of direct
+    #      (mild warps only: the slope gate rejects rotation-heavy cases)
+    #   2. exact separable warp ~2.4 Gpix/s mild / ~0.8 Gpix/s severe —
+    #      reproduces the direct gather kernel (bit-exact nearest, <= 2
+    #      ulp bilinear), covers local rotation slopes to ~4 px/px
+    #   3. XLA gather           ~20 Mpix/s  exact, no planning constraints
+    # XRTPU_EXACT=1 skips tier 1 (exact semantics everywhere);
+    # XRTPU_FAST_EXTREME_WARP=1 adds the two-pass region mosaic beyond
+    # the gate (fastest, two-pass filter semantics).
+    fn = None
+    if os.environ.get("XRTPU_EXACT", "") != "1":
+        fn = make_srw_reproject_fn(
+            source_gm, target_gm, interp_method, fill_value
+        )
     if fn is None and os.environ.get("XRTPU_FAST_EXTREME_WARP", "") == "1":
-        # opt-in fast mode for domain-scale warps (projection singularities
-        # inside the target): per-region planned SRW kernels (two-pass
-        # filter semantics — see ops/srw.py)
         fn = make_region_reproject_fn(
             source_gm, target_gm, interp_method, fill_value
         )
     if fn is None:
-        # exact fallback: the XLA gather kernel (same semantics as ESW,
-        # no planning constraints)
+        fn = make_esw_reproject_fn(
+            source_gm, target_gm, interp_method, fill_value
+        )
+    if fn is None:
         fn = make_fused_reproject_fn(
             source_gm, target_gm, interp_method, fill_value
         )
@@ -290,6 +295,8 @@ def _downscale_source_dataset(
             crs=source_gm.crs,
             tile_size=source_gm.tile_size,
         )
+        old_names = source_gm.xy_var_names
+        old_dims = source_gm.xy_dim_names
         source_ds = affine_transform_dataset(
             source_ds,
             downscale_target_gm,
@@ -298,6 +305,27 @@ def _downscale_source_dataset(
             agg_methods=agg_methods,
             recover_nans=recover_nans,
         )
+        # the affine keeps variable dims from the source, but assigns
+        # coords under the downscale GM's default names — for e.g. a
+        # geographic dataset whose coords are named x/y the two diverge
+        # and the dataset would stop being self-consistent (vars silently
+        # skipped downstream).  Re-assign under the source's names.
+        new_names = downscale_target_gm.xy_var_names
+        if new_names != old_names:
+            source_ds = source_ds.drop_vars(
+                [n for n in new_names if n in source_ds.variables]
+            ).assign_coords(
+                {
+                    old_names[0]: DataArray(
+                        np.asarray(downscale_target_gm.x_coords.data),
+                        dims=(old_dims[0],),
+                    ),
+                    old_names[1]: DataArray(
+                        np.asarray(downscale_target_gm.y_coords.data),
+                        dims=(old_dims[1],),
+                    ),
+                }
+            )
         source_gm = GridMapping.from_dataset(source_ds)
 
     return source_ds, source_gm
