@@ -336,7 +336,13 @@ def bench_rectify(log):
 
     ds = create_olci_like_swath(width=1189, height=1890, tile_size=512)
 
-    # end-to-end single-band host path
+    # end-to-end single-band host path, with a warm re-run + breakdown
+    # (the first call pays one-time import/JIT/native-load costs that a
+    # multi-product pipeline amortizes away)
+    t0 = time.perf_counter()
+    out = rectify_dataset(ds, interp_methods=0)
+    _ = out.rad.values
+    dt_cold = time.perf_counter() - t0
     t0 = time.perf_counter()
     out = rectify_dataset(ds, interp_methods=0)
     _ = out.rad.values
@@ -344,7 +350,20 @@ def bench_rectify(log):
     npix = out.rad.shape[-2] * out.rad.shape[-1]
     log(
         f"rectify host single-band -> {out.rad.shape}: "
-        f"{npix / dt / 1e6:.1f} Mpix/s ({dt:.2f} s)"
+        f"{npix / dt / 1e6:.1f} Mpix/s ({dt:.2f} s warm, {dt_cold:.2f} s cold)"
+    )
+    # breakdown of the warm path
+    t0 = time.perf_counter()
+    gm_b = GridMapping.from_dataset(ds)
+    t_gm = time.perf_counter() - t0
+    tgt_b = gm_b.to_regular(tile_size=512)
+    t0 = time.perf_counter()
+    _ = _compute_target_source_ij(gm_b, tgt_b, UV_DELTA)
+    t_a = time.perf_counter() - t0
+    log(
+        f"  breakdown: gm inference {t_gm*1e3:.0f} ms, "
+        f"phase A {t_a*1e3:.0f} ms, phase B + assembly "
+        f"{max(0.0, dt - t_gm - t_a)*1e3:.0f} ms"
     )
 
     # Phase A once + device Phase B over a 16-band batch

@@ -236,20 +236,34 @@ def new_grid_mapping_from_coords(
 
         if not is_regular and xy_res is None:
             # The area-based estimate is rounded to 1 significant digit, so
-            # float32 is ample here and halves the memory traffic of this
-            # full-image scan.
+            # float32 is ample here; above ~0.25 Mpix the scan also samples
+            # a strided grid of ADJACENT pixel pairs (local diffs are
+            # preserved exactly; only the min/max search is subsampled,
+            # far inside the rounding granularity of the estimate).
+            stride = max(1, round(math.sqrt(height * width / 262144.0)))
             x32 = x.astype(np.float32)
             y32 = y.astype(np.float32)
-            x_x_diff = _abs_no_nan(np.diff(x32, axis=1))
-            x_y_diff = _abs_no_nan(np.diff(x32, axis=0))
-            y_x_diff = _abs_no_nan(np.diff(y32, axis=1))
-            y_y_diff = _abs_no_nan(np.diff(y32, axis=0))
+            if stride > 1:
+                ii = np.arange(0, height - 1, stride)
+                jj = np.arange(0, width - 1, stride)
+                x00 = x32[np.ix_(ii, jj)]
+                y00 = y32[np.ix_(ii, jj)]
+                x_x_diff_c = _abs_no_nan(x32[np.ix_(ii, jj + 1)] - x00)
+                x_y_diff_c = _abs_no_nan(x32[np.ix_(ii + 1, jj)] - x00)
+                y_x_diff_c = _abs_no_nan(y32[np.ix_(ii, jj + 1)] - y00)
+                y_y_diff_c = _abs_no_nan(y32[np.ix_(ii + 1, jj)] - y00)
+            else:
+                x_x_diff = _abs_no_nan(np.diff(x32, axis=1))
+                x_y_diff = _abs_no_nan(np.diff(x32, axis=0))
+                y_x_diff = _abs_no_nan(np.diff(y32, axis=1))
+                y_y_diff = _abs_no_nan(np.diff(y32, axis=0))
 
-            # Give diff arrays the original shape by doubling last rows/cols
-            x_x_diff_c = np.concatenate([x_x_diff, x_x_diff[:, -1:]], axis=1)
-            y_x_diff_c = np.concatenate([y_x_diff, y_x_diff[:, -1:]], axis=1)
-            x_y_diff_c = np.concatenate([x_y_diff, x_y_diff[-1:, :]], axis=0)
-            y_y_diff_c = np.concatenate([y_y_diff, y_y_diff[-1:, :]], axis=0)
+                # Give diff arrays the original shape by doubling last
+                # rows/cols
+                x_x_diff_c = np.concatenate([x_x_diff, x_x_diff[:, -1:]], axis=1)
+                y_x_diff_c = np.concatenate([y_x_diff, y_x_diff[:, -1:]], axis=1)
+                x_y_diff_c = np.concatenate([x_y_diff, x_y_diff[-1:, :]], axis=0)
+                y_y_diff_c = np.concatenate([y_y_diff, y_y_diff[-1:, :]], axis=0)
             # Find resolution via pixel area
             x_abs_diff = np.sqrt(np.square(x_x_diff_c) + np.square(x_y_diff_c))
             y_abs_diff = np.sqrt(np.square(y_x_diff_c) + np.square(y_y_diff_c))
