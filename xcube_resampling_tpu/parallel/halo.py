@@ -24,9 +24,13 @@ coordinate mapping.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 from ..gridmapping import GridMapping
+
+LOG = logging.getLogger("xcube.resampling")
 from ..ops.reproject_ops import _interp_field, coarse_coord_field, gather_interp
 from ..ops.srw import (
     _coarse_geometry,
@@ -91,31 +95,27 @@ def required_halo(
     _, iy_c, step = coord_fields
     band_h = -(-source_gm.height // n_bands)
     out_band_h = -(-target_gm.height // n_bands)
-    sample_rows = np.arange(iy_c.shape[0], dtype=np.float64) * step
     # evaluate the row mapping at every band's first and last target row
     # (linear interpolation of the coarse field — the same approximation
-    # the device kernel uses)
-    edges = []
-    for k in range(n_bands):
-        r0 = k * out_band_h
-        r1 = min((k + 1) * out_band_h - 1, target_gm.height - 1)
-        band_start = k * band_h
-        for r in (r0, r1):
-            iy_row = np.array(
-                [
-                    np.interp(r, sample_rows, iy_c[:, c])
-                    for c in range(iy_c.shape[1])
-                ]
-            )
-            finite = np.isfinite(iy_row)
-            if not finite.any():
-                continue
-            edges.append(float(np.max(band_start - iy_row[finite])))
-            edges.append(
-                float(np.max(iy_row[finite] - (band_start + band_h - 1)))
-            )
-    dev = max([0.0] + edges)
-    return int(np.ceil(dev)) + 2
+    # the device kernel uses), vectorized over bands x columns
+    ks = np.arange(n_bands)
+    r0s = ks * out_band_h
+    r1s = np.minimum((ks + 1) * out_band_h - 1, target_gm.height - 1)
+    rows = np.concatenate([r0s, r1s]).astype(np.float64)
+    band_starts = np.concatenate([ks, ks]).astype(np.float64) * band_h
+    rr = rows / step
+    j0 = np.clip(rr.astype(np.int64), 0, iy_c.shape[0] - 2)
+    fj = (rr - j0)[:, None]
+    iy_rows = iy_c[j0, :] * (1 - fj) + iy_c[j0 + 1, :] * fj  # (2n, ncols)
+    with np.errstate(invalid="ignore"):
+        above = np.nanmax(band_starts[:, None] - iy_rows, axis=1)
+        below = np.nanmax(
+            iy_rows - (band_starts + band_h - 1)[:, None], axis=1
+        )
+    edges = np.concatenate([above, below])
+    edges = edges[np.isfinite(edges)]
+    dev = float(edges.max()) if edges.size else 0.0
+    return int(np.ceil(max(0.0, dev))) + 2
 
 
 def make_sharded_regrid_step(
@@ -149,8 +149,17 @@ def make_sharded_regrid_step(
     src_pad_h = band_h * n - src_h
 
     fields = coarse_coord_field(source_gm, target_gm, step)
+    need = required_halo(source_gm, target_gm, n, fields)
     if halo is None:
-        halo = required_halo(source_gm, target_gm, n, fields)
+        halo = need
+    elif halo < min(need, (n - 1) * band_h):
+        LOG.warning(
+            "sharded regrid halo=%d is smaller than the %d rows the "
+            "row mapping requires: pixels whose source rows fall outside "
+            "the exchanged band resolve to the fill value",
+            halo,
+            need,
+        )
     halo = min(halo, (n - 1) * band_h)
     ix_c = jnp.asarray(fields[0])
     iy_c = jnp.asarray(fields[1])
