@@ -64,7 +64,7 @@ for (src_h, w, out_h, scale, tilt) in [(512, 4096, 4096, 0.118, 0.002)]:
     pos = scale * rr + tilt * cc
     base = np.clip((scale * np.arange(out_h)).astype(np.int32) - 2, -4, src_h)
     d_taps = 2 + int(np.ceil(tilt * w)) + 4
-    fn, win_h = build_block_taps(src.shape, pos.shape, base, d_taps)
+    fn, win_h = build_block_taps(src.shape, pos.shape, base, d_taps, row_block=128)
     t0 = time.time()
     out = np.asarray(fn(jnp.asarray(src), jnp.asarray(pos)))
     print(f"[{out_h}x{w}] compile+first {time.time()-t0:.1f}s win_h {win_h} d_taps {d_taps} "

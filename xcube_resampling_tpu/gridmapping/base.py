@@ -13,7 +13,6 @@ from __future__ import annotations
 import abc
 import copy
 import math
-import threading
 from collections.abc import Callable, Mapping
 from typing import Any
 
@@ -101,8 +100,6 @@ class GridMapping(abc.ABC):
         x_res, y_res = _normalize_number_pair(xy_res, name="xy_res")
         assert_true(x_res > 0 and y_res > 0, "invalid xy_res")
 
-        self._lock = threading.RLock()
-
         self._size = width, height
         self._tile_size = tile_width, tile_height
         self._xy_bbox = x_min, y_min, x_max, y_max
@@ -140,17 +137,16 @@ class GridMapping(abc.ABC):
             tile_size = tile_width, tile_height
             if other.tile_size != tile_size:
                 other._tile_size = tile_width, tile_height
-                with self._lock:
-                    if other._xy_coords is None:
-                        _ = other.xy_coords
-                    other._xy_coords = other._xy_coords.chunk(
-                        {
-                            dim: size
-                            for (dim, size) in zip(
-                                other._xy_coords.dims, other.xy_coords_chunks
-                            )
-                        }
-                    )
+                if other._xy_coords is None:
+                    _ = other.xy_coords
+                other._xy_coords = other._xy_coords.chunk(
+                    {
+                        dim: size
+                        for (dim, size) in zip(
+                            other._xy_coords.dims, other.xy_coords_chunks
+                        )
+                    }
+                )
         if is_j_axis_up is not None and is_j_axis_up != other._is_j_axis_up:
             other._is_j_axis_up = is_j_axis_up
             if other._y_coords is not None:
@@ -268,17 +264,15 @@ class GridMapping(abc.ABC):
         """Create new coordinate array of shape (2, height, width)."""
 
     def _get_computed_attribute(self, name: str, computer: Callable[[], Any]) -> Any:
-        """Double-checked-locking lazy attribute computation."""
+        """Lazy attribute computation.  (No locking: unlike the reference,
+        whose dask graphs touch grid mappings from worker threads, nothing
+        in this framework computes grid-mapping attributes concurrently —
+        jax dispatch happens from the host thread.)"""
         value = getattr(self, name)
-        if value is not None:
-            return value
-        with self._lock:
-            value = getattr(self, name)
-            if value is not None:
-                return value
+        if value is None:
             value = computer()
             setattr(self, name, value)
-            return value
+        return value
 
     @property
     def xy_var_names(self) -> tuple[str, str]:

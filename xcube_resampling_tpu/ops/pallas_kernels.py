@@ -1,26 +1,35 @@
 """Pallas TPU kernels for the hottest resampling inner loops.
 
 The XLA formulation of the SRW vertical pass (:mod:`.srw`) re-reads the
-source array once per tap (d_v full HBM streams).  The kernel below
-DMAs each output-row-block's source window into VMEM once and performs all
-taps from on-chip memory: per output row, the needed source rows are a
-*contiguous* window (``base[j] .. base[j]+D``), so the tap reduction is a
-scalar-started dynamic slice (``pl.ds``) of the VMEM scratch — no hardware
-gather involved, and the HBM traffic drops from d_v streams to ~1.
+source array once per tap (d_v full HBM streams).  The kernel below DMAs
+each output-row-block's source window into VMEM once and performs all taps
+from on-chip memory.
+
+**Block-static taps** are the design that made Mosaic win: every row of
+the block accumulates over EVERY row of the block's shared source window
+with *static* indices — no per-row or per-group dynamic slices, no
+``fori_loop``, just ``win_h`` unrolled (row_block, W) VPU FMAs.  Rows
+outside a pixel's hat support contribute zero weight, so the extra
+arithmetic is pure VPU headroom in exchange for perfect vectorization.
+
+Hardware status (v5e, 2026-08, round 2): **7.5 Gpix/s** steady-state on a
+4096x4096 bilinear vertical pass (win_h 40) vs **5.5 Gpix/s** for the XLA
+tap formulation of the same pass — bit-exact against the numpy reference
+(maxerr 0.0 on hardware).  The round-1 formulation (per-8-row-group
+dynamic slices inside ``fori_loop``) ran at 16-25 Mpix/s: data-dependent
+VMEM slicing defeats Mosaic's vectorizer; block-static indexing is the
+fix.  Caveats that keep XLA the *default* tier: Mosaic compiles of the
+unrolled loop take minutes through this environment's remote XLA service
+(seconds locally), and ``win_h`` inflates toward uneconomical sizes when
+the per-block base span is large (strong rotation) — the planner's
+row_block shrink bounds VMEM, not FLOPs.  Callers opt in via
+``XRTPU_PALLAS=1`` where the geometry suits (mild warps, reused
+geometry).
 
 Pattern per the TPU Pallas playbook: scalar-prefetched per-block window
 offsets, ``pltpu.ANY``-space source with an explicit
 ``pltpu.make_async_copy`` windowed DMA, VMEM scratch + DMA semaphore,
-8-aligned dynamic slices (Mosaic requires provable sublane alignment),
-and a VMEM-budgeted row block.
-
-Hardware status (v5e, 2026-08): compiles via Mosaic and reproduces the
-reference bit-exactly (maxerr 0.0 on hardware), but runs ~16-25 Mpix/s:
-the data-dependent per-group dynamic slices inside ``fori_loop`` defeat
-Mosaic's vectorizer even in the 8-row-group formulation, while the XLA
-tap formulation of the same pass streams at 4-16 Gpix/s.  The XLA path
-therefore remains the default; this kernel stands as the validated
-windowed-DMA building block.
+8-aligned window origins, and a VMEM-budgeted row block.
 """
 
 from __future__ import annotations
@@ -33,12 +42,13 @@ def srw_vertical_pallas(
     pos,
     base,
     d_taps: int,
-    row_block: int = 256,
+    row_block: int = 128,
     interpret: bool = False,
 ):
     """Vertical multi-tap resample:
     ``out[j, c] = sum_d hat(pos[j, c] - (base[j] + d)) * src[base[j] + d, c]``
-    with clamp-to-edge source reads.
+    with clamp-to-edge source reads, via block-static taps (see module
+    docstring).
 
     Args:
         src: (src_h, W) float32 source.
@@ -46,7 +56,8 @@ def srw_vertical_pallas(
         base: (out_h,) int32 per-output-row first tap (may be out of range;
             reads clamp to the source edge, weights keep true positions).
         d_taps: static tap count.
-        row_block: output rows per grid step.
+        row_block: output rows per grid step (auto-shrunk to the VMEM
+            budget).
         interpret: run in interpreter mode (CPU testing).
 
     Returns:
@@ -59,121 +70,79 @@ def srw_vertical_pallas(
 
     src = jnp.asarray(src, jnp.float32)
     pos = jnp.asarray(pos, jnp.float32)
-    base = jnp.asarray(base, jnp.int32)
+    base_np = np.asarray(base, np.int32)
     src_h, w = src.shape
     out_h = pos.shape[0]
 
-    # auto-shrink the row block to the ~12 MB scoped-VMEM budget: the
+    # auto-shrink the row block to the VMEM budget: the double-buffered
     # working set is the pos and out blocks plus the source window, whose
-    # height grows with the per-block base span (~ proportional to
-    # row_block for smooth warps)
-    base_np = np.asarray(base)
+    # height grows with the per-block base span
+    def _layout(rb):
+        nb = -(-out_h // rb)
+        padded = np.pad(base_np, (0, nb * rb - out_h), mode="edge")
+        blocks = padded.reshape(nb, rb)
+        m_top_ = max(0, -int(padded.min()))
+        shifted = blocks + m_top_
+        ws = (shifted.min(axis=1) // 8) * 8
+        span = int((shifted.max(axis=1) - ws).max())
+        wh = -(-(span + d_taps) // 8) * 8
+        return nb, padded, m_top_, shifted, ws, wh
+
+    row_block = max(8, min(row_block, -(-out_h // 8) * 8))
     while row_block > 8:
-        nb = -(-out_h // row_block)
-        padded = np.pad(base_np, (0, nb * row_block - out_h), mode="edge")
-        blocks = padded.reshape(nb, row_block)
-        span_est = int((blocks.max(axis=1) - blocks.min(axis=1)).max())
-        win_est = span_est + d_taps + 32
-        if (2 * row_block + win_est) * w * 4 <= 12 * 2**20:
+        nb, padded, m_top, shifted, win_start, win_h = _layout(row_block)
+        if (2 * 2 * row_block + 2 * win_h) * w * 4 <= 12 * 2**20:
             break
         row_block //= 2
+    else:
+        nb, padded, m_top, shifted, win_start, win_h = _layout(row_block)
 
-    n_blocks = -(-out_h // row_block)
+    n_blocks = nb
     pad_rows = n_blocks * row_block - out_h
     if pad_rows:
         pos = jnp.pad(pos, ((0, pad_rows), (0, 0)))
-        base = jnp.pad(base, (0, pad_rows))
 
-    # edge-pad the source so base+d always reads a real row (clamp-to-edge
-    # values, true-position weights — identical to the XLA path)
-    m_top = int(max(0, -int(jnp.min(base))))
-    m_bot = int(max(0, int(jnp.max(base)) + d_taps - src_h))
+    m_bot = max(0, int(padded.max()) + d_taps - src_h)
+    pad_h = src_h + m_top + m_bot
+    extra = max(0, int(win_start.max()) + win_h - pad_h)
+    # edge-pad the source so every window row reads a real row (clamp-to-
+    # edge values, true-position weights — identical to the XLA path)
     src_pad = jnp.concatenate(
         [
             jnp.repeat(src[:1], m_top, axis=0),
             src,
-            jnp.repeat(src[-1:], m_bot, axis=0),
+            jnp.repeat(src[-1:], m_bot + extra, axis=0),
         ],
         axis=0,
     )
-    base_sh = base + m_top  # >= 0, base_sh + d_taps <= padded height
+    ws_j = jnp.asarray(win_start, jnp.int32)
 
-    base_blocks = base_sh.reshape(n_blocks, row_block)
-    # 8-aligned window origins: Mosaic requires provable sublane alignment
-    # on both the HBM->VMEM DMA offset and the per-row VMEM slices
-    win_start = (jnp.min(base_blocks, axis=1) // 8) * 8
-    span = int(jnp.max(jnp.max(base_blocks, axis=1) - win_start))
-    # per-row VMEM slices must start at a multiple of 8 sublanes (Mosaic
-    # can't prove alignment of arbitrary dynamic offsets): the kernel
-    # rounds each row's offset down to 8 and reads a padded tap window,
-    # so the scratch needs room for the alignment slack
-    d_pad = -(-(d_taps + 7) // 8) * 8
-    win_h = -(-(span + d_taps) // 8) * 8 + d_pad + 8
-    # bottom padding so every window [win_start, win_start+win_h) is in range
-    extra = int(
-        max(0, int(jnp.max(win_start)) + win_h - src_pad.shape[0])
-    )
-    if extra:
-        src_pad = jnp.concatenate(
-            [src_pad, jnp.repeat(src_pad[-1:], extra, axis=0)], axis=0
-        )
-
-    # 8-row groups: each group shares one 8-aligned tap window so all its
-    # arithmetic runs on full (8, W) sublane tiles instead of single rows
-    n_groups_total = (n_blocks * row_block) // 8
-    groups = base_sh.reshape(n_groups_total, 8)
-    gmin8 = (jnp.min(groups, axis=1) // 8) * 8  # per-group aligned start
-    gspan = int(jnp.max(jnp.max(groups, axis=1) - gmin8))
-    d_grp = -(-(gspan + d_taps + 7) // 8) * 8  # shared window height
-    win_h = max(win_h, int(jnp.max(gmin8 - win_start.repeat(row_block // 8)))
-                + d_grp + 8)
-    extra2 = int(max(0, int(jnp.max(win_start)) + win_h - src_pad.shape[0]))
-    if extra2:
-        src_pad = jnp.concatenate(
-            [src_pad, jnp.repeat(src_pad[-1:], extra2, axis=0)], axis=0
-        )
-
-    def kernel(
-        win_start_ref, gmin8_ref, src_ref, pos_ref, out_ref, win, sem
-    ):
+    def kernel(ws_ref, src_ref, pos_ref, out_ref, win, sem):
         blk = pl.program_id(0)
-        w0 = pl.multiple_of(win_start_ref[blk], 8)
-        dma = pltpu.make_async_copy(
-            src_ref.at[pl.ds(w0, win_h), :], win, sem
-        )
+        w0 = pl.multiple_of(ws_ref[blk], 8)
+        dma = pltpu.make_async_copy(src_ref.at[pl.ds(w0, win_h), :], win, sem)
         dma.start()
         dma.wait()
-        groups_per_block = row_block // 8
-
-        def group_body(g, _):
-            g_global = blk * groups_per_block + g
-            gm = gmin8_ref[g_global]
-            s8 = pl.multiple_of(gm - w0, 8)  # multiple of 8 by construction
-            window = win[pl.ds(s8, d_grp), :]  # (d_grp, W) in VMEM
-            r0 = pl.multiple_of(g * 8, 8)
-            p = pos_ref[pl.ds(r0, 8), :]  # (8, W)
-            k0 = (gm - m_top).astype(jnp.float32)
-            acc = jnp.zeros((8, w), jnp.float32)
-            for d in range(d_grp):
-                wgt = jnp.maximum(0.0, 1.0 - jnp.abs(p - (k0 + d)))
-                acc = acc + wgt * window[d, :][None, :]
-            out_ref[pl.ds(r0, 8), :] = acc
-            return 0
-
-        jax.lax.fori_loop(0, groups_per_block, group_body, 0)
+        p = pos_ref[:]  # (row_block, W)
+        k0 = (w0 - m_top).astype(jnp.float32)
+        acc = jnp.zeros((row_block, w), jnp.float32)
+        for d in range(win_h):
+            wgt = jnp.maximum(0.0, 1.0 - jnp.abs(p - (k0 + d)))
+            acc = acc + wgt * win[d, :][None, :]
+        out_ref[:] = acc
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # win_start, gmin8
+        num_scalar_prefetch=1,  # win_start
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # src stays off-chip
             pl.BlockSpec(
-                (row_block, w), lambda blk, ws, ba: (blk, 0),
+                (row_block, w), lambda blk, ws: (blk, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (row_block, w), lambda blk, ws, ba: (blk, 0),
+            (row_block, w), lambda blk, ws: (blk, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -187,7 +156,7 @@ def srw_vertical_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks * row_block, w), jnp.float32),
         interpret=interpret,
-    )(win_start, gmin8, src_pad, pos)
+    )(ws_j, src_pad, pos)
     return out[:out_h]
 
 
