@@ -116,10 +116,12 @@ def grid_gather_separable(array, yy, xx, order: int, fill_value, xp=None):
         and yy.shape[1] == 1
         and xx.shape[0] == 1
     )
-    if separable and xp is not np:
+    if separable:
         # axis-aligned sampling (affine upscale): factorize the four-tap
         # gather into row-takes + lane-shared column-takes, which stream at
-        # memory bandwidth on TPU (a 2D gather would serialize)
+        # memory bandwidth on TPU (a 2D gather would serialize) and save
+        # the four full-size broadcast gathers on the host (~3x less work
+        # and no (H, W) index temporaries)
         r0 = xp.take(array, y0[:, 0], axis=-2).astype(out_dtype)
         r1 = xp.take(array, y1[:, 0], axis=-2).astype(out_dtype)
         ry0 = r0 * (1 - fy) + r1 * fy
