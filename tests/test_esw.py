@@ -204,3 +204,22 @@ def test_default_device_path_exact_beyond_gate(monkeypatch):
     b = np.asarray(gat(jnp.asarray(data)))
     a = np.asarray(out.band.values, dtype=np.float32)
     _assert_exact(a, b, bilinear=True)
+
+
+def test_default_device_path_mosaic_for_singular_warp(monkeypatch):
+    """Domain-scale warp with the projection singularity inside the
+    target: the DEFAULT device path now builds the exact region mosaic
+    (round 1 fell back to the 40x-slower whole-target gather) and must
+    match the gather kernel at lerp-order tolerance."""
+    from xcube_resampling_tpu.reproject import reproject_dataset
+
+    monkeypatch.delenv("XRTPU_EXACT", raising=False)
+    monkeypatch.delenv("XRTPU_FAST_EXTREME_WARP", raising=False)
+    monkeypatch.delenv("XRTPU_NO_EXACT_MOSAIC", raising=False)
+    source_gm, target_gm = _extreme_case()
+    data = _rand((source_gm.height, source_gm.width), seed=6)
+    out = reproject_dataset(_severe_ds(source_gm, data), target_gm)
+    gat = make_fused_reproject_fn(source_gm, target_gm, "bilinear", np.nan)
+    b = np.asarray(gat(jnp.asarray(data)))
+    a = np.asarray(out.band.values, dtype=np.float32)
+    _assert_exact(a, b, bilinear=True)

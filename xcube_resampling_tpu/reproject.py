@@ -19,6 +19,7 @@ import numpy as np
 
 from .affine import affine_transform_dataset
 from .constants import (
+    LOG,
     SCALE_LIMIT,
     AggMethods,
     FillValues,
@@ -205,10 +206,15 @@ def _reproject_on_device(data, source_gm, target_gm, interp_method, fill_value):
     #   2. exact separable warp ~2.4 Gpix/s mild / ~0.8 Gpix/s severe —
     #      reproduces the direct gather kernel (bit-exact nearest, <= 2
     #      ulp bilinear), covers local rotation slopes to ~4 px/px
-    #   3. XLA gather           ~20 Mpix/s  exact, no planning constraints
+    #   3. exact region mosaic  ~120 Mpix/s — domain-scale warps with a
+    #      projection singularity inside the target; same exact
+    #      semantics, one-time multi-kernel compile per geometry
+    #   4. XLA gather           ~20 Mpix/s  exact, no planning constraints
     # XRTPU_EXACT=1 skips tier 1 (exact semantics everywhere);
-    # XRTPU_FAST_EXTREME_WARP=1 adds the two-pass region mosaic beyond
-    # the gate (fastest, two-pass filter semantics).
+    # XRTPU_FAST_EXTREME_WARP=1 swaps tier 3 for the two-pass region
+    # mosaic (fastest extreme-warp mode, two-pass filter semantics);
+    # XRTPU_NO_EXACT_MOSAIC=1 skips tier 3 (gather instead — avoids the
+    # one-time compile for throwaway geometries).
     fn = None
     if os.environ.get("XRTPU_EXACT", "") != "1":
         fn = make_srw_reproject_fn(
@@ -221,6 +227,15 @@ def _reproject_on_device(data, source_gm, target_gm, interp_method, fill_value):
     if fn is None:
         fn = make_esw_reproject_fn(
             source_gm, target_gm, interp_method, fill_value
+        )
+    if fn is None and os.environ.get("XRTPU_NO_EXACT_MOSAIC", "") != "1":
+        LOG.info(
+            "reproject: domain-scale warp, building the exact region "
+            "mosaic (one-time planning + compilation per geometry; set "
+            "XRTPU_NO_EXACT_MOSAIC=1 to use the plain gather kernel)"
+        )
+        fn = make_region_reproject_fn(
+            source_gm, target_gm, interp_method, fill_value, exact=True
         )
     if fn is None:
         fn = make_fused_reproject_fn(
