@@ -27,7 +27,7 @@ row_block shrink bounds VMEM, not FLOPs.  Callers opt in via
 geometry).
 
 Pattern per the TPU Pallas playbook: scalar-prefetched per-block window
-offsets, ``pltpu.ANY``-space source with an explicit
+offsets, ``pl.ANY``-space source with an explicit
 ``pltpu.make_async_copy`` windowed DMA, VMEM scratch + DMA semaphore,
 8-aligned window origins, and a VMEM-budgeted row block.
 """
@@ -135,7 +135,7 @@ def srw_vertical_pallas(
         num_scalar_prefetch=1,  # win_start
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # src stays off-chip
+            pl.BlockSpec(memory_space=pl.ANY),  # src stays off-chip
             pl.BlockSpec(
                 (row_block, w), lambda blk, ws: (blk, 0),
                 memory_space=pltpu.VMEM,
