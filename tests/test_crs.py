@@ -357,3 +357,67 @@ def test_grs80_wgs84_ellipsoid_constants():
     assert GRS80.inverse_flattening == pytest.approx(298.257222101)
     assert abs(WGS84.b - 6356752.3142) < 1e-4
     assert abs(GRS80.b - 6356752.3141) < 1e-4
+
+
+def test_sinusoidal_modis_sphere():
+    """MODIS land grid (+proj=sinu +R=6371007.181): spherical sinusoidal
+    is analytic — x = R dlam cos(phi), y = R phi."""
+    crs = CRS.from_user_input(
+        "+proj=sinu +R=6371007.181 +lon_0=0 +x_0=0 +y_0=0 +units=m +no_defs"
+    )
+    fwd, inv = crs.projection()
+    R = 6371007.181
+    x, y = fwd(np.float64(10.0), np.float64(45.0), np)
+    np.testing.assert_allclose(
+        [x, y],
+        [R * np.radians(10.0) * np.cos(np.radians(45.0)), R * np.radians(45.0)],
+        rtol=1e-12,
+    )
+    lon2, lat2 = inv(x, y, np)
+    np.testing.assert_allclose([lon2, lat2], [10.0, 45.0], atol=1e-9)
+    # pole: inverse longitude is defined as lon_0
+    xp_, yp_ = fwd(np.float64(33.0), np.float64(90.0), np)
+    lonp, latp = inv(xp_, yp_, np)
+    np.testing.assert_allclose(latp, 90.0, atol=1e-9)
+
+
+def test_sinusoidal_wgs84_meridian_arc():
+    """Ellipsoidal sinusoidal: y(90 deg) is the WGS84 quarter meridian
+    (10001965.7293 m); forward/inverse round-trips over the globe."""
+    fwd, inv = CRS.from_proj4("+proj=sinu +ellps=WGS84 +lon_0=0").projection()
+    _, yq = fwd(np.float64(0.0), np.float64(90.0), np)
+    assert abs(float(yq) - 10001965.7293) < 0.01
+    lons = np.linspace(-179.0, 179.0, 41)
+    lats = np.linspace(-89.0, 89.0, 41)
+    x, y = fwd(lons, lats, np)
+    lon2, lat2 = inv(x, y, np)
+    np.testing.assert_allclose(lon2, lons, atol=1e-6)
+    np.testing.assert_allclose(lat2, lats, atol=1e-7)
+
+
+def test_sinusoidal_wkt_and_cf_inputs():
+    wkt = (
+        'PROJCS["MODIS Sinusoidal",GEOGCS["Unknown datum based upon the '
+        'custom spheroid",DATUM["Not specified",'
+        'SPHEROID["Custom spheroid",6371007.181,0]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],PROJECTION["Sinusoidal"],'
+        'PARAMETER["longitude_of_center",0],PARAMETER["false_easting",0],'
+        'PARAMETER["false_northing",0],UNIT["metre",1]]'
+    )
+    c_wkt = CRS.from_user_input(wkt)
+    c_p4 = CRS.from_proj4("+proj=sinu +R=6371007.181 +lon_0=0")
+    c_cf = CRS.from_cf(
+        {
+            "grid_mapping_name": "sinusoidal",
+            "longitude_of_projection_origin": 0.0,
+            "false_easting": 0.0,
+            "false_northing": 0.0,
+            "semi_major_axis": 6371007.181,
+            "inverse_flattening": 0.0,
+        }
+    )
+    pt = (np.float64(-7.3), np.float64(52.5))
+    ref = CRS.from_user_input("+proj=sinu +R=6371007.181").projection()[0](*pt, np)
+    for c in (c_wkt, c_p4, c_cf):
+        got = c.projection()[0](*pt, np)
+        np.testing.assert_allclose(got, ref, rtol=1e-12)

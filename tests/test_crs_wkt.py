@@ -145,9 +145,9 @@ def test_wkt_unsupported_method_raises():
     wkt = """PROJCS["x", GEOGCS["WGS 84", DATUM["WGS_1984",
         SPHEROID["WGS 84",6378137,298.257223563]],
         PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
-        PROJECTION["Sinusoidal"],
+        PROJECTION["Orthographic"],
         PARAMETER["central_meridian",0], UNIT["metre",1]]"""
-    with pytest.raises(CRSError, match="[Ss]inusoidal"):
+    with pytest.raises(CRSError, match="[Oo]rthographic"):
         CRS.from_wkt(wkt)
 
 
@@ -196,7 +196,7 @@ def test_proj4_tmerc_explicit():
 
 def test_proj4_unsupported_raises():
     with pytest.raises(CRSError):
-        CRS.from_proj4("+proj=sinu +lon_0=0")
+        CRS.from_proj4("+proj=ortho +lon_0=0")
 
 
 def test_urn_form():

@@ -55,6 +55,7 @@ _PROJ = {
     "aea": "albers_conical_equal_area",
     "stere": "polar_stereographic",
     "cea": "lambert_cylindrical_equal_area",
+    "sinu": "sinusoidal",
     "ob_tran": "rotated_latitude_longitude",
 }
 

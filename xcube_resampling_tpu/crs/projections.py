@@ -643,6 +643,74 @@ def make_lambert_cylindrical_equal_area(params: dict, ell: Ellipsoid):
     return forward, inverse
 
 
+def make_sinusoidal(params: dict, ell: Ellipsoid):
+    """Sinusoidal (Sanson-Flamsteed) projection, ellipsoidal (Snyder
+    SS30) — the projection of the MODIS land grid
+    (``+proj=sinu +R=6371007.181``).
+
+    ``x = a dlam cos(phi)/sqrt(1 - e^2 sin^2 phi)``, ``y = M(phi)`` the
+    meridional arc; the inverse recovers ``phi`` from the rectifying
+    latitude by the standard Snyder series (exact for the sphere, where
+    ``y = a phi``)."""
+    lon0 = float(
+        params.get(
+            "longitude_of_projection_origin",
+            params.get("longitude_of_central_meridian", 0.0),
+        )
+    )
+    fe = float(params.get("false_easting", 0.0))
+    fn = float(params.get("false_northing", 0.0))
+    a, e2 = ell.a, ell.e2
+    e4, e6 = e2 * e2, e2 ** 3
+    lam0 = math.radians(lon0)
+    m0 = 1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256
+    m2 = 3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024
+    m4 = 15 * e4 / 256 + 45 * e6 / 1024
+    m6 = 35 * e6 / 3072
+
+    def forward(lon, lat, xp):
+        lam = _d2r(xp, lon)
+        phi = _d2r(xp, lat)
+        dlam = (lam - lam0 + math.pi) % (2 * math.pi) - math.pi
+        x = a * dlam * xp.cos(phi) / xp.sqrt(1 - e2 * xp.sin(phi) ** 2)
+        y = a * (
+            m0 * phi
+            - m2 * xp.sin(2 * phi)
+            + m4 * xp.sin(4 * phi)
+            - m6 * xp.sin(6 * phi)
+        )
+        return fe + x, fn + y
+
+    sqrt1me2 = math.sqrt(1 - e2)
+    e1 = (1 - sqrt1me2) / (1 + sqrt1me2)
+    e1_2, e1_3, e1_4 = e1 * e1, e1 ** 3, e1 ** 4
+    p2 = 3 * e1 / 2 - 27 * e1_3 / 32
+    p4 = 21 * e1_2 / 16 - 55 * e1_4 / 32
+    p6 = 151 * e1_3 / 96
+    p8 = 1097 * e1_4 / 512
+
+    def inverse(x, y, xp):
+        mu = (y - fn) / (a * m0)
+        phi = (
+            mu
+            + p2 * xp.sin(2 * mu)
+            + p4 * xp.sin(4 * mu)
+            + p6 * xp.sin(6 * mu)
+            + p8 * xp.sin(8 * mu)
+        )
+        cosphi = xp.cos(phi)
+        # meridians converge at the poles: dlam is indeterminate there
+        polar = xp.abs(cosphi) < 1e-12
+        denom = a * xp.where(polar, 1.0, cosphi) / xp.sqrt(
+            1 - e2 * xp.sin(phi) ** 2
+        )
+        dlam = xp.where(polar, 0.0, (x - fe) / denom)
+        lam = (lam0 + dlam + math.pi) % (2 * math.pi) - math.pi
+        return _r2d(xp, lam), _r2d(xp, phi)
+
+    return forward, inverse
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -656,6 +724,7 @@ PROJECTION_FACTORIES = {
     "albers_conical_equal_area": make_albers_conical_equal_area,
     "polar_stereographic": make_polar_stereographic,
     "lambert_cylindrical_equal_area": make_lambert_cylindrical_equal_area,
+    "sinusoidal": make_sinusoidal,
 }
 
 

@@ -199,6 +199,7 @@ _METHODS = {
     "lambert_cylindrical_equal_area": "lambert_cylindrical_equal_area",
     "lambert_cylindrical_equal_area_spherical": "lambert_cylindrical_equal_area",
     "cylindrical_equal_area": "lambert_cylindrical_equal_area",
+    "sinusoidal": "sinusoidal",
     "rotated_latitude_longitude": "rotated_latitude_longitude",
 }
 
@@ -334,6 +335,12 @@ def build_projected_params(family: str, g: dict) -> tuple[str, dict]:
         return "lambert_cylindrical_equal_area", {
             "standard_parallel": float(sp1 if sp1 is not None else 0.0),
             "longitude_of_central_meridian": lon_0,
+            "false_easting": x_0,
+            "false_northing": y_0,
+        }
+    if family == "sinusoidal":
+        return "sinusoidal", {
+            "longitude_of_projection_origin": lon_0,
             "false_easting": x_0,
             "false_northing": y_0,
         }
