@@ -421,3 +421,39 @@ def test_sinusoidal_wkt_and_cf_inputs():
     for c in (c_wkt, c_p4, c_cf):
         got = c.projection()[0](*pt, np)
         np.testing.assert_allclose(got, ref, rtol=1e-12)
+
+
+def test_ob_tran_proj4_matches_cf_rotated_pole():
+    """+proj=ob_tran pole longitude: PROJ defines lon_0 = 180 + the CF
+    grid_north_pole_longitude, so parsing must recover lon_0 - 180 (a sign
+    error here only cancels when lon_0 is a multiple of 180)."""
+    p4 = CRS.from_proj4(
+        "+proj=ob_tran +o_proj=longlat +o_lat_p=39.25 +o_lon_p=0 "
+        "+lon_0=18 +ellps=WGS84"
+    )
+    cf = CRS.from_cf(
+        dict(
+            grid_mapping_name="rotated_latitude_longitude",
+            grid_north_pole_longitude=-162.0,
+            grid_north_pole_latitude=39.25,
+            semi_major_axis=WGS84.a,
+            inverse_flattening=WGS84.inverse_flattening,
+        )
+    )
+    lon, lat = _scatter((-40, 60), (20, 75))
+    for f_p4, f_cf in zip(p4.projection(), cf.projection()):
+        a = f_p4(lon, lat, np)
+        b = f_cf(lon, lat, np)
+        np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_datumless_proj4_does_not_acquire_helmert_shift():
+    """'+proj=utm +zone=28 +ellps=intl' has no datum: matching it to the
+    ED50 EPSG entry would silently apply the -87,-98,-121 m shift.  PROJ
+    treats a datum-less CRS as an unshifted ballpark frame."""
+    crs = CRS.from_proj4("+proj=utm +zone=28 +ellps=intl")
+    assert crs.to_epsg() != 23028
+    from xcube_resampling_tpu.crs.transformer import _effective_towgs84
+
+    t = _effective_towgs84(crs)
+    assert t is None or not any(t)

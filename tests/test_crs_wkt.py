@@ -302,3 +302,57 @@ def test_boundcrs_wkt2():
     crs = CRS.from_wkt(wkt)
     assert crs.is_geographic
     assert _effective_towgs84(crs) == (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)
+
+
+def test_boundcrs_abridged_scale_difference_is_a_ratio():
+    """WKT2 ABRIDGEDTRANSFORMATION expresses 'Scale difference' as the
+    ratio 1 + ds*1e-6 (PROJ emits 0.999979511 for the OSGB36 -20.489 ppm);
+    the parser must convert it back to ppm for the towgs84 slot."""
+    wkt = """BOUNDCRS[
+        SOURCECRS[
+            GEOGCRS["OSGB36",
+                DATUM["Ordnance Survey of Great Britain 1936",
+                    ELLIPSOID["Airy 1830",6377563.396,299.3249646,
+                        LENGTHUNIT["metre",1]]],
+                CS[ellipsoidal,2],
+                AXIS["latitude",north], AXIS["longitude",east],
+                ANGLEUNIT["degree",0.0174532925199433]]],
+        TARGETCRS[
+            GEOGCRS["WGS 84",
+                DATUM["World Geodetic System 1984",
+                    ELLIPSOID["WGS 84",6378137,298.257223563]],
+                CS[ellipsoidal,2],
+                AXIS["latitude",north], AXIS["longitude",east],
+                ANGLEUNIT["degree",0.0174532925199433]]],
+        ABRIDGEDTRANSFORMATION["OSGB36 to WGS 84 (9)",
+            METHOD["Position Vector transformation (geog2D domain)"],
+            PARAMETER["X-axis translation",446.448],
+            PARAMETER["Y-axis translation",-125.157],
+            PARAMETER["Z-axis translation",542.06],
+            PARAMETER["X-axis rotation",0.15],
+            PARAMETER["Y-axis rotation",0.247],
+            PARAMETER["Z-axis rotation",0.842],
+            PARAMETER["Scale difference",0.999979511]]]"""
+    crs = CRS.from_wkt(wkt)
+    t = crs.towgs84
+    assert t is not None
+    np.testing.assert_allclose(
+        t,
+        (446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489),
+        atol=1e-6,
+    )
+
+
+def test_truncated_crs_wkt_falls_back_to_cf_attrs():
+    """A truncated crs_wkt attribute must not crash from_cf with a bare
+    IndexError; the CF grid-mapping attributes take over (reference parity:
+    pyproj-backed cfconv falls back the same way)."""
+    crs = CRS.from_cf(
+        {
+            "crs_wkt": 'PROJCRS["broken", BASEGEOGCRS["WGS 84", DATUM[',
+            "grid_mapping_name": "latitude_longitude",
+            "semi_major_axis": 6378137.0,
+            "inverse_flattening": 298.257223563,
+        }
+    )
+    assert crs.is_geographic

@@ -760,7 +760,19 @@ def _match_epsg(crs: CRS) -> int | None:
     anonymous = canonical_datum_key(crs._datum_name).startswith("unknown")
     for code in candidates:
         known = _epsg(code)
-        if known is not None and known._key(with_datum=not anonymous) == crs._key(
+        if known is None:
+            continue
+        if anonymous:
+            # a datum-less CRS is an unshifted "ballpark" frame (PROJ
+            # semantics): only promote it to registry entries whose datum
+            # carries no Helmert shift, so the match can never introduce
+            # an implicit datum transform the input never asked for
+            from .datum import towgs84_for_datum
+
+            shift = towgs84_for_datum(known._datum_name)
+            if shift is not None and any(shift):
+                continue
+        if known._key(with_datum=not anonymous) == crs._key(
             with_datum=not anonymous
         ):
             return code

@@ -188,7 +188,9 @@ def crs_from_proj4(text: str):
                 "longlat", "latlong", "lonlat",
             ):
                 raise ValueError("+proj=ob_tran only supports o_proj=longlat")
-            generic["pole_lon"] = 180.0 - float(kv.get("lon_0", 0.0))
+            # PROJ convention: lon_0 = 180 + grid_north_pole_longitude,
+            # so the CF pole longitude is lon_0 - 180 (not 180 - lon_0)
+            generic["pole_lon"] = float(kv.get("lon_0", 0.0)) - 180.0
             generic.pop("lon_0", None)
 
     proj_name, params = build_projected_params(family, generic)

@@ -100,6 +100,8 @@ def parse_wkt_tree(text: str) -> Node:
         closer = "]" if toks[pos] == ("punct", "[") else ")"
         pos += 1
         while True:
+            if pos >= len(toks):
+                raise ValueError("WKT: premature end of input")
             kind, val = toks[pos]
             if kind == "punct" and val == closer:
                 pos += 1
@@ -453,7 +455,11 @@ def crs_from_wkt(text: str):
             )
             if vals:
                 t = [float(vals.get(k, 0.0)) for k in order]
-                # abridged scale difference is (1+s)*1e6 - 1e6 = s in ppm
+                # WKT2 abridged form carries the scale difference as the
+                # ratio 1 + ds*1e-6 (e.g. 0.999979511 for -20.489 ppm);
+                # convert back to ppm for the towgs84 slot
+                if "scale_difference" in vals:
+                    t[6] = (float(vals["scale_difference"]) - 1.0) * 1e6
                 towgs84 = tuple(t)
         root = inner[0]
 
