@@ -320,6 +320,7 @@ def test_transform_xy_res():
     assert ("x", "y") == transformed_gm_regular.xy_dim_names
 
 
+@pytest.mark.slow
 def test_to_regular():
     gm = _TestGridMapping(
         **kwargs(

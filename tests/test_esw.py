@@ -122,6 +122,7 @@ def test_esw_rejects_triangular():
 
 
 @pytest.mark.parametrize("interp", ["bilinear", "nearest"])
+@pytest.mark.slow
 def test_esw_region_mosaic_matches_gather(interp):
     """Quadtree mosaic over the singular extreme case: every planned piece
     and every gather-fallback piece reproduces direct gather semantics, so
@@ -206,6 +207,7 @@ def test_default_device_path_exact_beyond_gate(monkeypatch):
     _assert_exact(a, b, bilinear=True)
 
 
+@pytest.mark.slow
 def test_default_device_path_mosaic_for_singular_warp(monkeypatch):
     """Domain-scale warp with the projection singularity inside the
     target: the DEFAULT device path now builds the exact region mosaic

@@ -22,6 +22,9 @@ from xcube_resampling_tpu.ops.reproject_ops import make_fused_reproject_fn
 from tests.test_fuzz_srw import CRS_POOL, _rand_gm
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_fuzz_esw_exactness():
     rng = np.random.default_rng(20260817)
     planned = 0

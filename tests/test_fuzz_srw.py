@@ -27,6 +27,9 @@ _CENTERS = {
 }
 
 
+pytestmark = pytest.mark.slow
+
+
 def _rand_gm(rng, crs):
     if crs == "epsg:4326":
         w = int(rng.integers(64, 400))

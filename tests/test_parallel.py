@@ -214,6 +214,7 @@ def test_sharded_srw_nearest_and_batched():
     assert np.isin(out[0][valid], src_vals).all()
 
 
+@pytest.mark.slow
 def test_sharded_reproject_crops_source_columns():
     """A target covering a longitude subset of a wide source must still be
     correct with the sharded column-cropping path active."""
@@ -265,6 +266,7 @@ def _severe_sharded_case():
     return source_gm, data, target_gm
 
 
+@pytest.mark.slow
 def test_sharded_esw_matches_gather_beyond_gate():
     """Sharded ESW reproduces the gather kernel on the same grid mappings
     (bit-exact nearest, lerp-order-only for bilinear) where the SRW gate
@@ -303,6 +305,7 @@ def test_sharded_esw_matches_gather_beyond_gate():
             assert d.max() <= 4 * 2.0**-24, f"max abs diff {d.max():.3e}"
 
 
+@pytest.mark.slow
 def test_sharded_reproject_routes_esw_beyond_gate():
     """End-to-end sharded_reproject on a beyond-gate warp: results match
     the gather kernel on the cropped window at lerp-order tolerance."""

@@ -434,3 +434,54 @@ def test_rectify_different_crs_chunked():
             dtype=target_ds.rad.dtype,
         ),
     )
+
+
+def test_rectify_device_phase_a_matches_goldens(monkeypatch):
+    """Forcing the device Phase A tier (XRTPU_PHASEA=device) on the CPU
+    backend must reproduce the 13x13 nearest golden bit-for-bit — the
+    whole-image scatter-min kernel picks the same first-writer-wins quad
+    per pixel as the tiled host path."""
+    monkeypatch.setenv("XRTPU_PHASEA", "device")
+    source_ds = create_2x2_dataset_with_irregular_coords()
+    target_gm = GridMapping.regular(
+        size=(13, 13), xy_min=(-0.25, 49.75), xy_res=0.5, crs=CRS_WGS84
+    )
+    target_ds = rectify_dataset(source_ds, target_gm=target_gm, interp_methods=0)
+    lon, lat, rad = _assert_shape_and_dim(target_ds, (13, 13))
+    np.testing.assert_almost_equal(rad.values, expected_rad_13x13(rad.dtype))
+
+    # j-axis-up flips the offset/scale handed to the device kernel
+    target_gm_up = GridMapping.regular(
+        size=(13, 13), xy_min=(-0.25, 49.75), xy_res=0.5, crs=CRS_WGS84,
+        is_j_axis_up=True,
+    )
+    target_up = rectify_dataset(
+        source_ds, target_gm=target_gm_up, interp_methods=0
+    )
+    np.testing.assert_almost_equal(
+        target_up.rad.values, expected_rad_13x13(target_up.rad.dtype)[::-1]
+    )
+
+
+def test_rectify_device_phase_a_matches_host_map_olci(monkeypatch):
+    """Device vs host Phase A on a realistic irregular swath: identical
+    winners and fractional coordinates (both tiers run float64 on CPU)."""
+    from tests.sampledata import create_olci_like_swath
+
+    from xcube_resampling_tpu.constants import UV_DELTA
+    from xcube_resampling_tpu.rectify import _compute_target_source_ij
+
+    ds = create_olci_like_swath(width=160, height=200, tile_size=64)
+    source_gm = GridMapping.from_dataset(ds)
+    target_gm = source_gm.to_regular(tile_size=64)
+
+    monkeypatch.setenv("XRTPU_PHASEA", "host")
+    host_map = _compute_target_source_ij(source_gm, target_gm, UV_DELTA)
+    monkeypatch.setenv("XRTPU_PHASEA", "device")
+    dev_map = _compute_target_source_ij(source_gm, target_gm, UV_DELTA)
+
+    assert np.array_equal(np.isnan(host_map), np.isnan(dev_map))
+    # atol covers pure rounding noise of the grid-unit solve near u/v = 0
+    np.testing.assert_allclose(
+        dev_map, host_map, rtol=1e-9, atol=1e-9, equal_nan=True
+    )

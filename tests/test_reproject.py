@@ -249,6 +249,7 @@ def test_reproject_raise_not_implemented():
     )
 
 
+@pytest.mark.slow
 def test_engine_fast_extreme_warp_env(monkeypatch):
     """XRTPU_FAST_EXTREME_WARP=1 routes device-backed extreme warps through
     the region-decomposed SRW path inside the engine."""

@@ -270,6 +270,7 @@ def test_hybrid_nearest_produces_source_values():
     assert np.isin(got[valid], np.arange(50, dtype=np.float32)).all()
 
 
+@pytest.mark.slow
 def test_region_reproject_extreme_case_vs_exact():
     """Region decomposition covers the full extreme case at direct-bilinear
     accuracy: high-curvature regions are routed to the gather kernel by the
@@ -295,6 +296,7 @@ def test_region_reproject_extreme_case_vs_exact():
         assert (np.isnan(got) != np.isnan(truth)).mean() < 0.01
 
 
+@pytest.mark.slow
 def test_region_reproject_nearest_and_batched():
     from xcube_resampling_tpu.ops.srw import make_region_reproject_fn
 

@@ -27,6 +27,7 @@ from .constants import (
     RecoverNans,
 )
 from .gridmapping import GridMapping
+from .profiling import GLOBAL_TIMER as TIMER
 from .ops import coarsen_ops, gather
 from .utils import (
     _can_apply_affine_transform,
@@ -108,15 +109,18 @@ def resample_dataset(
         if data_array.dims[-2:] == tuple(yx_dims):
             array = data_array.data
             output_shape = tuple(array.shape[:-2]) + (target_size[1], target_size[0])
-            resampled_array = _resample_array(
-                array,
-                affine_matrix,
-                output_shape,
-                _get_interp_method_int(interp_methods, var_name, data_array),
-                _get_agg_method(agg_methods, var_name, data_array),
-                _get_recover_nan(recover_nans, var_name, data_array),
-                _get_fill_value(fill_values, var_name, data_array),
-            )
+            with TIMER("affine.resample"):
+                resampled_array = _resample_array(
+                    array,
+                    affine_matrix,
+                    output_shape,
+                    _get_interp_method_int(
+                        interp_methods, var_name, data_array
+                    ),
+                    _get_agg_method(agg_methods, var_name, data_array),
+                    _get_recover_nan(recover_nans, var_name, data_array),
+                    _get_fill_value(fill_values, var_name, data_array),
+                )
             chunks = _output_chunks(
                 data_array, output_shape, target_tile_size
             )

@@ -298,59 +298,47 @@ def _accept_quad(
     return accept, src_if, src_jf
 
 
-def inverse_ij_map_jax(
-    src_x,
-    src_y,
-    src_i_min: int,
-    src_j_min: int,
-    dst_shape: tuple[int, int],
-    dst_x_offset: float,
-    dst_y_offset: float,
-    dst_x_scale: float,
-    dst_y_scale: float,
-    uv_delta: float,
-    r_i: int = 4,
-    r_j: int = 4,
-):
-    """XLA/device variant of :func:`inverse_ij_map` (jit-compatible, static
-    shapes).  Same candidate-enumeration + scatter-min algorithm; the quad
-    set is kept dense (dead quads carry an infinite rank) and the candidate
-    rectangle is bounded by the static (r_j, r_i) — callers size it from
-    host metadata (after pre-downscaling a quad covers only a few target
-    pixels, reference rectify.py:136-143 guarantees this).
-    """
+def _phase_a_scan(gx, gy, uv_delta, dst_h, dst_w, r_i, n_off):
+    """Device Phase A over coordinates already normalized to destination
+    grid units (pixel center of dst pixel (j, i) is at (i+0.5, j+0.5)).
+
+    Two `lax.fori_loop` passes over the (r_j, r_i) candidate-offset
+    rectangle keep the HLO small (the round-2 unrolled form compiled for
+    minutes through the remote XLA service): pass 1 scatter-mins each
+    accepting quad's row-major rank per destination pixel — exactly the
+    quad the reference's sequential first-writer-wins loop
+    (/root/reference/xcube_resampling/rectify.py:544-576) would have
+    written first — pass 2 rewrites the winners' fractional coordinates.
+    The barycentric (u, v) of the two triangle solves are affine-invariant,
+    so working in grid units changes no acceptance decision in exact
+    arithmetic while keeping all magnitudes small enough for float32 on
+    the TPU."""
     import jax.numpy as jnp
+    from jax import lax
 
-    dst_h, dst_w = dst_shape
-    src_h, src_w = src_x.shape
-    nq = (src_h - 1) * (src_w - 1)
+    src_h, src_w = gx.shape
+    nqi = src_w - 1
     size = dst_h * dst_w
+    ftype = gx.dtype
 
-    p0x = src_x[:-1, :-1].reshape(-1)
-    p1x = src_x[:-1, 1:].reshape(-1)
-    p2x = src_x[1:, :-1].reshape(-1)
-    p3x = src_x[1:, 1:].reshape(-1)
-    p0y = src_y[:-1, :-1].reshape(-1)
-    p1y = src_y[:-1, 1:].reshape(-1)
-    p2y = src_y[1:, :-1].reshape(-1)
-    p3y = src_y[1:, 1:].reshape(-1)
+    p0x = gx[:-1, :-1].reshape(-1)
+    p1x = gx[:-1, 1:].reshape(-1)
+    p2x = gx[1:, :-1].reshape(-1)
+    p3x = gx[1:, 1:].reshape(-1)
+    p0y = gy[:-1, :-1].reshape(-1)
+    p1y = gy[:-1, 1:].reshape(-1)
+    p2y = gy[1:, :-1].reshape(-1)
+    p3y = gy[1:, 1:].reshape(-1)
 
-    qj = jnp.repeat(jnp.arange(src_h - 1), src_w - 1)
-    qi = jnp.tile(jnp.arange(src_w - 1), src_h - 1)
-
-    pi = jnp.floor(
-        (jnp.stack([p0x, p1x, p2x, p3x]) - dst_x_offset) / dst_x_scale
-    )
-    pj = jnp.floor(
-        (jnp.stack([p0y, p1y, p2y, p3y]) - dst_y_offset) / dst_y_scale
-    )
-    nan_rect = jnp.isnan(pi).any(axis=0) | jnp.isnan(pj).any(axis=0)
-    pi = jnp.nan_to_num(pi, nan=-(10.0**9))
-    pj = jnp.nan_to_num(pj, nan=-(10.0**9))
-    i_lo = pi.min(axis=0)
-    i_hi = pi.max(axis=0)
-    j_lo = pj.min(axis=0)
-    j_hi = pj.max(axis=0)
+    fi = jnp.floor(jnp.stack([p0x, p1x, p2x, p3x]))
+    fj = jnp.floor(jnp.stack([p0y, p1y, p2y, p3y]))
+    nan_rect = jnp.isnan(fi).any(axis=0) | jnp.isnan(fj).any(axis=0)
+    fi = jnp.nan_to_num(fi, nan=-(10.0**9))
+    fj = jnp.nan_to_num(fj, nan=-(10.0**9))
+    i_lo = fi.min(axis=0)
+    i_hi = fi.max(axis=0)
+    j_lo = fj.min(axis=0)
+    j_hi = fj.max(axis=0)
 
     det_a = jnp.nan_to_num(_fdet(p0x, p0y, p1x, p1y, p2x, p2y), nan=0.0)
     det_b = jnp.nan_to_num(_fdet(p3x, p3y, p2x, p2y, p1x, p1y), nan=0.0)
@@ -369,49 +357,868 @@ def inverse_ij_map_jax(
     j_lo_q = jnp.clip(j_lo, 0, dst_h - 1).astype(jnp.int32)
     j_hi_q = jnp.clip(j_hi, 0, dst_h - 1).astype(jnp.int32)
 
-    u_min = v_min = -uv_delta
+    nq = nqi * (src_h - 1)
+    qj = (jnp.arange(nq, dtype=jnp.int32) // nqi).astype(jnp.int32)
+    qi = (jnp.arange(nq, dtype=jnp.int32) % nqi).astype(jnp.int32)
+    inf_rank = jnp.iinfo(jnp.int32).max
+    rank = jnp.where(alive, qj * nqi + qi, inf_rank)
+
+    u_min = -uv_delta
     uv_max = 1.0 + 2 * uv_delta
-    q = dict(
-        p0x=p0x, p0y=p0y, p1x=p1x, p1y=p1y,
-        p2x=p2x, p2y=p2y, p3x=p3x, p3y=p3y,
-        det_a=det_a, det_b=det_b,
+    qif = qi.astype(ftype)
+    qjf = qj.astype(ftype)
+
+    def candidates(k):
+        dj = (k // r_i).astype(jnp.int32)
+        di = (k % r_i).astype(jnp.int32)
+        pixel_j = j_lo_q + dj
+        pixel_i = i_lo_q + di
+        in_rect = (pixel_j <= j_hi_q) & (pixel_i <= i_hi_q)
+        dst_x = pixel_i.astype(ftype) + ftype.type(0.5)
+        dst_y = pixel_j.astype(ftype) + ftype.type(0.5)
+
+        safe_a = jnp.where(det_a == 0.0, 1.0, det_a)
+        ua = _fu(dst_x, dst_y, p0x, p0y, p2x, p2y) / safe_a
+        va = _fv(dst_x, dst_y, p0x, p0y, p1x, p1y) / safe_a
+        ok_a = (
+            (det_a != 0.0) & (ua >= u_min) & (va >= u_min)
+            & (ua + va <= uv_max)
+        )
+        safe_b = jnp.where(det_b == 0.0, 1.0, det_b)
+        ub = _fu(dst_x, dst_y, p3x, p3y, p1x, p1y) / safe_b
+        vb = _fv(dst_x, dst_y, p3x, p3y, p2x, p2y) / safe_b
+        ok_b = (
+            (det_b != 0.0) & (ub >= u_min) & (vb >= u_min)
+            & (ub + vb <= uv_max)
+        )
+
+        use_b = ~ok_a & ok_b
+        src_if = jnp.where(
+            use_b,
+            (qif + 1) - jnp.clip(ub, 0.0, 1.0),
+            qif + jnp.clip(ua, 0.0, 1.0),
+        )
+        src_jf = jnp.where(
+            use_b,
+            (qjf + 1) - jnp.clip(vb, 0.0, 1.0),
+            qjf + jnp.clip(va, 0.0, 1.0),
+        )
+        ok = (ok_a | ok_b) & in_rect & alive
+        flat = jnp.where(ok, pixel_j * dst_w + pixel_i, size)
+        return ok, flat, src_if, src_jf
+
+    def claim_body(k, c):
+        ok, flat, _, _ = candidates(k)
+        return c.at[flat].min(jnp.where(ok, rank, inf_rank))
+
+    claim = lax.fori_loop(
+        0, n_off, claim_body,
+        jnp.full((size + 1,), inf_rank, dtype=jnp.int32),
     )
 
-    inf_rank = jnp.iinfo(jnp.int32).max
-    rank = jnp.where(alive, (qj * (src_w - 1) + qi).astype(jnp.int32), inf_rank)
-    claim = jnp.full((size + 1,), inf_rank, dtype=jnp.int32)
-
-    candidates = []
-    for dj in range(r_j):
-        for di in range(r_i):
-            pixel_j = j_lo_q + dj
-            pixel_i = i_lo_q + di
-            in_rect = (pixel_j <= j_hi_q) & (pixel_i <= i_hi_q)
-            accept, src_if, src_jf = _accept_quad(
-                q, qi, qj, pixel_i, pixel_j,
-                dst_x_offset, dst_y_offset, dst_x_scale, dst_y_scale,
-                u_min, v_min, uv_max, xp=jnp,
-            )
-            ok = accept & in_rect & alive
-            flat = jnp.where(ok, pixel_j * dst_w + pixel_i, size)
-            claim = claim.at[flat].min(jnp.where(ok, rank, inf_rank))
-            candidates.append((ok, flat, src_if, src_jf))
-
-    out_i = jnp.full((size + 1,), jnp.nan, dtype=src_x.dtype)
-    out_j = jnp.full((size + 1,), jnp.nan, dtype=src_x.dtype)
-    for ok, flat, src_if, src_jf in candidates:
+    def write_body(k, outs):
+        out_i, out_j = outs
+        ok, flat, src_if, src_jf = candidates(k)
         win = ok & (claim[flat] == rank)
         slot = jnp.where(win, flat, size)
-        out_i = out_i.at[slot].set(
-            jnp.where(win, src_i_min + src_if, out_i[slot]), mode="drop"
-        )
-        out_j = out_j.at[slot].set(
-            jnp.where(win, src_j_min + src_jf, out_j[slot]), mode="drop"
-        )
+        # each real pixel has exactly one winner (ranks are unique), so
+        # scatter order cannot matter; losers land in the crop slot
+        out_i = out_i.at[slot].set(jnp.where(win, src_if, jnp.nan))
+        out_j = out_j.at[slot].set(jnp.where(win, src_jf, jnp.nan))
+        return out_i, out_j
 
+    out_i, out_j = lax.fori_loop(
+        0, n_off, write_body,
+        (
+            jnp.full((size + 1,), jnp.nan, dtype=ftype),
+            jnp.full((size + 1,), jnp.nan, dtype=ftype),
+        ),
+    )
     return jnp.stack(
         [out_i[:size].reshape(dst_h, dst_w), out_j[:size].reshape(dst_h, dst_w)]
     )
+
+
+_PHASE_A_JIT = None
+
+
+def _phase_a_jit():
+    global _PHASE_A_JIT
+    if _PHASE_A_JIT is None:
+        import jax
+
+        _PHASE_A_JIT = jax.jit(
+            _phase_a_scan,
+            static_argnames=("dst_h", "dst_w", "r_i", "n_off"),
+        )
+    return _PHASE_A_JIT
+
+
+def inverse_ij_map_jax(
+    src_x,
+    src_y,
+    src_i_min: int,
+    src_j_min: int,
+    dst_shape: tuple[int, int],
+    dst_x_offset: float,
+    dst_y_offset: float,
+    dst_x_scale: float,
+    dst_y_scale: float,
+    uv_delta: float,
+    r_i: int = 4,
+    r_j: int = 4,
+):
+    """XLA/device variant of :func:`inverse_ij_map` (jit-compatible, static
+    shapes).  Candidate-enumeration + scatter-min with the candidate
+    rectangle bounded by the static (r_j, r_i) — callers size it from host
+    metadata (after pre-downscaling a quad covers only a few target pixels,
+    reference rectify.py:136-143 guarantees this).  Coordinates are
+    normalized to destination grid units before the solve."""
+    import jax.numpy as jnp
+
+    gx = (src_x - dst_x_offset) / dst_x_scale
+    gy = (src_y - dst_y_offset) / dst_y_scale
+    out = _phase_a_jit()(
+        gx, gy, uv_delta,
+        dst_h=dst_shape[0], dst_w=dst_shape[1],
+        r_i=r_i, n_off=r_i * r_j,
+    )
+    if src_i_min or src_j_min:
+        out = out + jnp.asarray(
+            [[[float(src_i_min)]], [[float(src_j_min)]]], dtype=out.dtype
+        )
+    return out
+
+
+def _ceil_pow2(n: int, cap: int) -> int:
+    r = 1
+    while r < n and r < cap:
+        r *= 2
+    return r
+
+
+def _inverse_ij_map_device_scatter(
+    src_x: np.ndarray,
+    src_y: np.ndarray,
+    src_i_min: int,
+    src_j_min: int,
+    dst_shape: tuple[int, int],
+    dst_x_offset: float,
+    dst_y_offset: float,
+    dst_x_scale: float,
+    dst_y_scale: float,
+    uv_delta: float,
+    max_span: int = 16,
+    pad_multiple: int = 128,
+) -> np.ndarray | None:
+    """Whole-image device Phase A: the production TPU tier of
+    :func:`inverse_ij_map`.
+
+    Host work is limited to a single float64 normalization of the swath
+    coordinates into destination grid units plus a corner min/max sweep
+    that sizes the static candidate rectangle; everything O(quads x
+    candidates) — the reference's numba hot loop
+    (/root/reference/xcube_resampling/rectify.py:424-576) — runs on the
+    device.  Shapes are padded to ``pad_multiple`` buckets (NaN coords =
+    dead quads) so repeated geometries of similar size reuse one compile.
+
+    Returns None when the geometry is outside the kernel's envelope (a
+    quad spans more than ``max_span`` destination pixels — e.g. an
+    antimeridian-wrapping swath — or the problem exceeds device memory
+    guards); callers then fall back to the tiled host path."""
+    import jax.numpy as jnp
+
+    dst_h, dst_w = dst_shape
+    gx = (np.asarray(src_x, dtype=np.float64) - dst_x_offset) / dst_x_scale
+    gy = (np.asarray(src_y, dtype=np.float64) - dst_y_offset) / dst_y_scale
+    src_h, src_w = gx.shape
+    if src_h < 2 or src_w < 2:
+        return np.full((2, dst_h, dst_w), np.nan, dtype=np.float64)
+
+    pad = pad_multiple
+    dst_h_p = -(-dst_h // pad) * pad
+    dst_w_p = -(-dst_w // pad) * pad
+
+    # corner min/max sweep (cheap, vectorized) sizes the candidate rect
+    with np.errstate(invalid="ignore"):
+        ci = np.floor(gx)
+        cj = np.floor(gy)
+        i_lo = np.minimum(
+            np.minimum(ci[:-1, :-1], ci[:-1, 1:]),
+            np.minimum(ci[1:, :-1], ci[1:, 1:]),
+        )
+        i_hi = np.maximum(
+            np.maximum(ci[:-1, :-1], ci[:-1, 1:]),
+            np.maximum(ci[1:, :-1], ci[1:, 1:]),
+        )
+        j_lo = np.minimum(
+            np.minimum(cj[:-1, :-1], cj[:-1, 1:]),
+            np.minimum(cj[1:, :-1], cj[1:, 1:]),
+        )
+        j_hi = np.maximum(
+            np.maximum(cj[:-1, :-1], cj[:-1, 1:]),
+            np.maximum(cj[1:, :-1], cj[1:, 1:]),
+        )
+        alive = (
+            np.isfinite(i_lo) & np.isfinite(j_lo)
+            & (i_hi >= 0) & (j_hi >= 0)
+            & (i_lo < dst_w_p) & (j_lo < dst_h_p)
+        )
+    if not alive.any():
+        return np.full((2, dst_h, dst_w), np.nan, dtype=np.float64)
+    span_i = (
+        np.clip(i_hi[alive], 0, dst_w_p - 1)
+        - np.clip(i_lo[alive], 0, dst_w_p - 1)
+    )
+    span_j = (
+        np.clip(j_hi[alive], 0, dst_h_p - 1)
+        - np.clip(j_lo[alive], 0, dst_h_p - 1)
+    )
+    r_i = int(span_i.max()) + 1
+    r_j = int(span_j.max()) + 1
+    if r_i > max_span or r_j > max_span:
+        return None
+    r_i = _ceil_pow2(r_i, max_span)
+    r_j = _ceil_pow2(r_j, max_span)
+
+    # memory guards (f32 working set ~ tens of bytes per quad/pixel)
+    src_h_p = -(-src_h // pad) * pad
+    src_w_p = -(-src_w // pad) * pad
+    if (src_h_p - 1) * (src_w_p - 1) > 32_000_000 or dst_h_p * dst_w_p > 64_000_000:
+        return None
+
+    gx_p = np.full((src_h_p, src_w_p), np.nan, dtype=np.float64)
+    gy_p = np.full((src_h_p, src_w_p), np.nan, dtype=np.float64)
+    gx_p[:src_h, :src_w] = gx
+    gy_p[:src_h, :src_w] = gy
+
+    import jax
+
+    # float64 on CPU double-precision backends (bit-comparable to the host
+    # tier under tests), float32 on TPU (magnitudes are grid units)
+    if jax.config.read("jax_enable_x64") and jax.default_backend() == "cpu":
+        dt = jnp.float64
+    else:
+        dt = jnp.float32
+    out = _phase_a_jit()(
+        jnp.asarray(gx_p, dtype=dt),
+        jnp.asarray(gy_p, dtype=dt),
+        dt(uv_delta),
+        dst_h=dst_h_p,
+        dst_w=dst_w_p,
+        r_i=r_i,
+        n_off=r_i * r_j,
+    )
+    out_np = np.asarray(out, dtype=np.float64)[:, :dst_h, :dst_w]
+    if src_i_min or src_j_min:
+        out_np[0] += src_i_min
+        out_np[1] += src_j_min
+    return out_np
+
+
+def _phase_a_tiled(gx, gy, tjs, tis, base_j, base_i, uv_delta, tile, win, nqi):
+    """Tiled-window device Phase A: each (tile x tile) destination tile
+    tests all quads of one statically-sized source window against its
+    pixels — a dense broadcast + min-rank reduction, no scatter and no
+    per-element gather (the round-2 scatter-min formulation ran seconds on
+    the TPU: XLA serializes colliding scatters).
+
+    ``base_j``/``base_i`` are per-tile window origins (host-planned from an
+    exact coarse solve).  Winner selection re-derives the reference's
+    first-writer-wins order (/root/reference/xcube_resampling/rectify.py:
+    544-576) as a min over global row-major quad rank; the payload is
+    recovered by a second fused pass (rank == best), so nothing larger
+    than one tile's (pixels x quads) block ever materializes."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    ftype = gx.dtype
+    src_h, src_w = gx.shape
+    nq = (win - 1) * (win - 1)
+    inf = jnp.iinfo(jnp.int32).max
+
+    iota_t = jnp.arange(tile, dtype=jnp.int32)
+    q_dj = jnp.repeat(jnp.arange(win - 1, dtype=jnp.int32), win - 1)
+    q_di = jnp.tile(jnp.arange(win - 1, dtype=jnp.int32), win - 1)
+    u_min = -uv_delta
+    uv_max = 1.0 + 2 * uv_delta
+
+    def per_tile(tj, ti, bj, bi):
+        wx = lax.dynamic_slice(gx, (bj, bi), (win, win))
+        wy = lax.dynamic_slice(gy, (bj, bi), (win, win))
+        p0x = wx[:-1, :-1].reshape(nq)
+        p1x = wx[:-1, 1:].reshape(nq)
+        p2x = wx[1:, :-1].reshape(nq)
+        p3x = wx[1:, 1:].reshape(nq)
+        p0y = wy[:-1, :-1].reshape(nq)
+        p1y = wy[:-1, 1:].reshape(nq)
+        p2y = wy[1:, :-1].reshape(nq)
+        p3y = wy[1:, 1:].reshape(nq)
+
+        det_a = jnp.nan_to_num(_fdet(p0x, p0y, p1x, p1y, p2x, p2y), nan=0.0)
+        det_b = jnp.nan_to_num(_fdet(p3x, p3y, p2x, p2y, p1x, p1y), nan=0.0)
+        safe_a = jnp.where(det_a == 0.0, 1.0, det_a)
+        safe_b = jnp.where(det_b == 0.0, 1.0, det_b)
+
+        # pixel centers of this tile in grid units: (P, 1) vs quads (1, Q)
+        px = (ti * tile + iota_t).astype(ftype) + ftype.type(0.5)
+        py = (tj * tile + iota_t).astype(ftype) + ftype.type(0.5)
+        dst_x = jnp.broadcast_to(px[None, :], (tile, tile)).reshape(-1, 1)
+        dst_y = jnp.broadcast_to(py[:, None], (tile, tile)).reshape(-1, 1)
+
+        # pass 1 (O(P*Q)): acceptance + min global rank only
+        ua = _fu(dst_x, dst_y, p0x, p0y, p2x, p2y) / safe_a
+        va = _fv(dst_x, dst_y, p0x, p0y, p1x, p1y) / safe_a
+        ok_a = (
+            (det_a != 0.0) & (ua >= u_min) & (va >= u_min)
+            & (ua + va <= uv_max)
+        )
+        ub = _fu(dst_x, dst_y, p3x, p3y, p1x, p1y) / safe_b
+        vb = _fv(dst_x, dst_y, p3x, p3y, p2x, p2y) / safe_b
+        ok_b = (
+            (det_b != 0.0) & (ub >= u_min) & (vb >= u_min)
+            & (ub + vb <= uv_max)
+        )
+        accept = ok_a | ok_b
+        rank = ((bj + q_dj) * nqi + (bi + q_di))[None, :]
+        best = jnp.min(jnp.where(accept, rank, inf), axis=1)
+
+        # pass 2 (O(P)): re-solve the winner quad only.  `best` IS the
+        # global row-major quad id, so the local window offset falls out
+        found = best < inf
+        b = jnp.where(found, best, 0)
+        dqj = jnp.clip(b // nqi - bj, 0, win - 2)
+        dqi = jnp.clip(b % nqi - bi, 0, win - 2)
+        wf = dqj * win + dqi
+        wx_f = wx.reshape(-1)
+        wy_f = wy.reshape(-1)
+        w0x = jnp.take(wx_f, wf)
+        w1x = jnp.take(wx_f, wf + 1)
+        w2x = jnp.take(wx_f, wf + win)
+        w3x = jnp.take(wx_f, wf + win + 1)
+        w0y = jnp.take(wy_f, wf)
+        w1y = jnp.take(wy_f, wf + 1)
+        w2y = jnp.take(wy_f, wf + win)
+        w3y = jnp.take(wy_f, wf + win + 1)
+        dx = dst_x[:, 0]
+        dy = dst_y[:, 0]
+        wdet_a = jnp.nan_to_num(
+            _fdet(w0x, w0y, w1x, w1y, w2x, w2y), nan=0.0
+        )
+        wdet_b = jnp.nan_to_num(
+            _fdet(w3x, w3y, w2x, w2y, w1x, w1y), nan=0.0
+        )
+        wsafe_a = jnp.where(wdet_a == 0.0, 1.0, wdet_a)
+        wsafe_b = jnp.where(wdet_b == 0.0, 1.0, wdet_b)
+        wua = _fu(dx, dy, w0x, w0y, w2x, w2y) / wsafe_a
+        wva = _fv(dx, dy, w0x, w0y, w1x, w1y) / wsafe_a
+        wok_a = (
+            (wdet_a != 0.0) & (wua >= u_min) & (wva >= u_min)
+            & (wua + wva <= uv_max)
+        )
+        wub = _fu(dx, dy, w3x, w3y, w1x, w1y) / wsafe_b
+        wvb = _fv(dx, dy, w3x, w3y, w2x, w2y) / wsafe_b
+        gi = (bi + dqi).astype(ftype)
+        gj = (bj + dqj).astype(ftype)
+        src_if = jnp.where(
+            wok_a,
+            gi + jnp.clip(wua, 0.0, 1.0),
+            (gi + 1) - jnp.clip(wub, 0.0, 1.0),
+        )
+        src_jf = jnp.where(
+            wok_a,
+            gj + jnp.clip(wva, 0.0, 1.0),
+            (gj + 1) - jnp.clip(wvb, 0.0, 1.0),
+        )
+        out_i = jnp.where(found, src_if, jnp.nan)
+        out_j = jnp.where(found, src_jf, jnp.nan)
+        return out_i.reshape(tile, tile), out_j.reshape(tile, tile)
+
+    out_i, out_j = jax.vmap(per_tile)(tjs, tis, base_j, base_i)
+    return out_i, out_j  # (T, tile, tile) each
+
+
+_PHASE_A_TILED_JIT = None
+
+
+def _phase_a_tiled_jit():
+    global _PHASE_A_TILED_JIT
+    if _PHASE_A_TILED_JIT is None:
+        import jax
+
+        _PHASE_A_TILED_JIT = jax.jit(
+            _phase_a_tiled,
+            static_argnames=("tile", "win", "nqi"),
+        )
+    return _PHASE_A_TILED_JIT
+
+
+def _dilate1(m: np.ndarray) -> np.ndarray:
+    """8-connected binary dilation by one cell."""
+    out = m.copy()
+    out[1:, :] |= m[:-1, :]
+    out[:-1, :] |= m[1:, :]
+    out[:, 1:] |= m[:, :-1]
+    out[:, :-1] |= m[:, 1:]
+    out[1:, 1:] |= m[:-1, :-1]
+    out[1:, :-1] |= m[:-1, 1:]
+    out[:-1, 1:] |= m[1:, :-1]
+    out[:-1, :-1] |= m[1:, 1:]
+    return out
+
+
+def _fill_nan_extrapolate(a: np.ndarray, max_iters: int = 8) -> np.ndarray:
+    """Fill NaN cells of a (2, h, w) field by linear extrapolation from
+    valid neighbours (2*v1 - v2 along each axis direction, averaged over
+    available directions), falling back to nearest-copy when only one
+    neighbour exists.  Used to extend the coarse seed field past the swath
+    footprint so edge tiles get usable window origins.  Cells farther than
+    ``max_iters`` from the footprint are filled with the nearest valid
+    value in one vectorized pass — they can hold no coverage, their seeds
+    only need to be in-bounds."""
+    a = a.copy()
+    for _ in range(max_iters):
+        nan = np.isnan(a[0])
+        if not nan.any():
+            break
+        est = np.zeros_like(a)
+        cnt = np.zeros(a.shape[1:], dtype=np.int32)
+        for axis, sign in ((1, 1), (1, -1), (2, 1), (2, -1)):
+            v1 = np.roll(a, sign, axis=axis)
+            v2 = np.roll(a, 2 * sign, axis=axis)
+            # roll wraps: kill the wrapped border band
+            ax = axis - 1
+            v1_ok = ~np.isnan(v1[0])
+            v2_ok = ~np.isnan(v2[0])
+            border = np.zeros_like(v1_ok)
+            idx = [slice(None)] * 2
+            idx[ax] = slice(0, sign) if sign > 0 else slice(sign, None)
+            border[tuple(idx)] = True
+            v1_ok &= ~border
+            idx[ax] = slice(0, 2 * sign) if sign > 0 else slice(2 * sign, None)
+            border2 = np.zeros_like(v1_ok)
+            border2[tuple(idx)] = True
+            v2_ok &= ~border2
+            take = nan & v1_ok
+            lin = take & v2_ok
+            contrib = np.where(lin, 2 * v1 - v2, v1)
+            est[:, take] += contrib[:, take]
+            cnt[take] += 1
+        filled = nan & (cnt > 0)
+        a[:, filled] = est[:, filled] / cnt[filled]
+    nan = np.isnan(a[0])
+    if nan.any():
+        from scipy.ndimage import distance_transform_edt
+
+        _, (jj, ii) = distance_transform_edt(nan, return_indices=True)
+        a[:, nan] = a[:, jj[nan], ii[nan]]
+    return a
+
+
+class PhaseAPlan:
+    """Host-side plan for the device Phase A (see
+    :func:`plan_phase_a_device`).  Holds the padded grid-unit coordinate
+    arrays, per-class tile lists / window origins, and any host-computed
+    exception blocks.  ``apply`` runs entirely on the device and returns
+    the (2, Hp, Wp) fractional source-index map as a device array (crop to
+    ``dst_shape`` at consumption) — nothing crosses the host boundary, so
+    Phase B can gather straight through it."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+    def device_args(self):
+        """The padded grid-unit coordinate arrays as device arrays (staged
+        once per geometry; callers may keep them resident)."""
+        import jax.numpy as jnp
+
+        return (
+            jnp.asarray(self.gx_p, dtype=self.dtype),
+            jnp.asarray(self.gy_p, dtype=self.dtype),
+        )
+
+    def apply(self, gx_d, gy_d):
+        """Device Phase A: all tile classes + on-device assembly."""
+        import jax.numpy as jnp
+
+        kernel = _phase_a_tiled_jit()
+        dt = self.dtype
+
+        def run(cls):
+            return kernel(
+                gx_d, gy_d,
+                cls["tjs"], cls["tis"], cls["bjs"], cls["bis"],
+                dt(self.uv_delta),
+                tile=self.tile, win=cls["win"], nqi=self.nqi,
+            )
+
+        o_i, o_j = run(self.cls_all)
+        if self.cls_band is not None:
+            b_i, b_j = run(self.cls_band)
+            sel = self.cls_band["sel"]
+            n = self.cls_band["n_real"]
+            o_i = o_i.at[sel[:n]].set(b_i[:n])
+            o_j = o_j.at[sel[:n]].set(b_j[:n])
+        if self.host_blocks is not None:
+            sel, blocks = self.host_blocks
+            o_i = o_i.at[sel].set(blocks[0])
+            o_j = o_j.at[sel].set(blocks[1])
+        # (T, t, t) -> (2, Hp, Wp)
+        t = self.tile
+        o_i = o_i.reshape(self.n_tj, self.n_ti, t, t).transpose(0, 2, 1, 3)
+        o_j = o_j.reshape(self.n_tj, self.n_ti, t, t).transpose(0, 2, 1, 3)
+        hp, wp = self.n_tj * t, self.n_ti * t
+        return jnp.stack([o_i.reshape(hp, wp), o_j.reshape(hp, wp)])
+
+    def as_numpy(self, out_d) -> np.ndarray:
+        """Fetch + crop + restore absolute indices (float64)."""
+        out_np = np.array(out_d, dtype=np.float64)[
+            :, : self.dst_h, : self.dst_w
+        ]
+        if self.src_i_min or self.src_j_min:
+            out_np[0] += self.src_i_min
+            out_np[1] += self.src_j_min
+        return out_np
+
+
+def plan_phase_a_device(
+    src_x: np.ndarray,
+    src_y: np.ndarray,
+    src_i_min: int,
+    src_j_min: int,
+    dst_shape: tuple[int, int],
+    dst_x_offset: float,
+    dst_y_offset: float,
+    dst_x_scale: float,
+    dst_y_scale: float,
+    uv_delta: float,
+    tile: int = 8,
+    max_win: int = 48,
+):
+    """Host planning for the device Phase A tier.
+
+    Normalizes the swath coordinates to destination grid units (float64),
+    solves Phase A exactly on a coarse grid whose samples sit on the
+    destination tile corners (1/tile^2 of the pixels, through the
+    multithreaded C++ / numpy host kernel), extends the seed field past
+    the footprint, and derives per-tile source-window origins in three
+    classes: interior (all 4 corner seeds exact, tight windows), boundary
+    band (mixed/extrapolated seeds or node presence without seeds, larger
+    windows scaled by the seed-field roughness and the extrapolation
+    distance), and host-exception tiles (window requirement beyond the
+    device cap — solved exactly by the host kernel and injected).  Tiles
+    provably beyond the footprint (no source node within the dilation
+    radius) are emitted as NaN without any work.
+
+    Returns a :class:`PhaseAPlan`, a ready (2, dst_h, dst_w) float64 map
+    (degenerate cases solved entirely on the host), or None when the
+    geometry is outside the device envelope (callers fall back to the
+    tiled host path).  Plan quality contract: the device map equals the
+    host map bit-for-bit in float64 and to ~2e-3 px in float32, with the
+    same NaN coverage (tests/test_rectify.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..profiling import GLOBAL_TIMER as _T
+
+    dst_h, dst_w = dst_shape
+    with _T("phase_a.plan.normalize"):
+        gx = (
+            np.asarray(src_x, dtype=np.float64) - dst_x_offset
+        ) / dst_x_scale
+        gy = (
+            np.asarray(src_y, dtype=np.float64) - dst_y_offset
+        ) / dst_y_scale
+    src_h, src_w = gx.shape
+    if src_h < 2 or src_w < 2:
+        return np.full((2, dst_h, dst_w), np.nan, dtype=np.float64)
+
+    n_tj = -(-dst_h // tile)
+    n_ti = -(-dst_w // tile)
+    # coarse samples on tile corners: sample (cj, ci) at fine pixel
+    # (tile*cj, tile*ci), i.e. grid-unit position tile*cj + 0.5
+    ch, cw = n_tj + 1, n_ti + 1
+    off = 0.5 - 0.5 * tile
+    with _T("phase_a.plan.coarse_solve"):
+        seed = inverse_ij_map(
+            gx, gy, 0, 0, (ch, cw),
+            off, off, float(tile), float(tile), uv_delta,
+        )
+    valid = np.isfinite(seed[0])
+
+    # forward node presence (exactness guard): every destination tile
+    # that any source grid node lands in — dilated by the largest quad
+    # edge length — might contain covered pixels.  The coarse sampling
+    # can miss coverage slivers thinner than a tile; presence-flagged
+    # tiles without solved seeds join the boundary band (or the host
+    # exception list when their windows blow up).
+    n_t = n_tj * n_ti
+    _presence_t = _T("phase_a.plan.presence")
+    _presence_t.__enter__()
+    with np.errstate(invalid="ignore"):
+        node_i_px = np.nan_to_num(np.floor(gx), nan=-1.0)
+        node_j_px = np.nan_to_num(np.floor(gy), nan=-1.0)
+        inb = (
+            (node_i_px >= 0) & (node_i_px < n_ti * tile)
+            & (node_j_px >= 0) & (node_j_px < n_tj * tile)
+        )
+        edge_len = 0.0
+        for arr in (gx, gy):
+            for ax in (0, 1):
+                d = np.abs(np.diff(arr, axis=ax))
+                if np.isfinite(d).any():
+                    edge_len = max(edge_len, float(np.nanmax(d)))
+    presence = np.zeros(n_t, dtype=bool)
+    if inb.any():
+        t_ids = (
+            (node_j_px[inb].astype(np.int64) // tile) * n_ti
+            + node_i_px[inb].astype(np.int64) // tile
+        )
+        presence[:] = np.bincount(t_ids, minlength=n_t) > 0
+    presence = presence.reshape(n_tj, n_ti)
+    dil = int(np.ceil(edge_len / tile)) + 1
+    if dil > 8:
+        return None
+    needed = presence
+    for _ in range(dil):
+        needed = _dilate1(needed)
+    _presence_t.__exit__(None, None, None)
+
+    if not valid.any():
+        if presence.any():
+            return None
+        return np.full((2, dst_h, dst_w), np.nan, dtype=np.float64)
+
+    # seed-field roughness: max |difference| between adjacent coarse
+    # samples (quads per tile step) decides the extrapolation margins
+    with np.errstate(invalid="ignore"):
+        dji = np.abs(np.diff(seed, axis=2))
+        djj = np.abs(np.diff(seed, axis=1))
+    rough = max(
+        float(np.nanmax(dji)) if np.isfinite(dji).any() else 1.0,
+        float(np.nanmax(djj)) if np.isfinite(djj).any() else 1.0,
+    )
+    margin = 2
+    with _T("phase_a.plan.fill"):
+        seed_f = _fill_nan_extrapolate(seed)
+    if np.isnan(seed_f[0]).any():
+        return None
+
+    # per-tile window: origin = floor(min corner seed) - margins,
+    # extent = corner-seed spread + margins
+    c_i = seed_f[0]
+    c_j = seed_f[1]
+    t_i_min = np.minimum(
+        np.minimum(c_i[:-1, :-1], c_i[:-1, 1:]),
+        np.minimum(c_i[1:, :-1], c_i[1:, 1:]),
+    )
+    t_i_max = np.maximum(
+        np.maximum(c_i[:-1, :-1], c_i[:-1, 1:]),
+        np.maximum(c_i[1:, :-1], c_i[1:, 1:]),
+    )
+    t_j_min = np.minimum(
+        np.minimum(c_j[:-1, :-1], c_j[:-1, 1:]),
+        np.minimum(c_j[1:, :-1], c_j[1:, 1:]),
+    )
+    t_j_max = np.maximum(
+        np.maximum(c_j[:-1, :-1], c_j[:-1, 1:]),
+        np.maximum(c_j[1:, :-1], c_j[1:, 1:]),
+    )
+    v4 = (
+        valid[:-1, :-1] & valid[:-1, 1:] & valid[1:, :-1] & valid[1:, 1:]
+    )
+    # extrapolated seeds carry error that grows with the distance to the
+    # nearest solved sample (in coarse cells, via EDT).  The linear
+    # extrapolation in _fill_nan_extrapolate captures the field's first
+    # order exactly, so its error is second order: ~ curvature * d^2.
+    # Cells beyond the extrapolation range carry nearest-copy values with
+    # first-order error (roughness * d) instead.
+    from scipy.ndimage import distance_transform_edt
+
+    with np.errstate(invalid="ignore"):
+        curv = 1e-3
+        for dd in (np.diff(seed, 2, axis=2), np.diff(seed, 2, axis=1)):
+            if np.isfinite(dd).any():
+                curv = max(curv, float(np.nanmax(np.abs(dd))))
+    dist_c = distance_transform_edt(~valid)
+    d4 = np.maximum(
+        np.maximum(dist_c[:-1, :-1], dist_c[:-1, 1:]),
+        np.maximum(dist_c[1:, :-1], dist_c[1:, 1:]),
+    )
+    extrapolated = d4 <= 8.0  # _fill_nan_extrapolate max_iters
+    err = np.where(
+        extrapolated,
+        curv * (d4 + 1.0) ** 2,
+        max(rough, 1.0) * (d4 + 1.0),
+    )
+    extra = np.where(v4, 0.0, np.ceil(err) + 3.0)
+    spread = np.maximum(t_i_max - t_i_min, t_j_max - t_j_min) + 2 * extra
+
+    band = (_dilate1(mixed := (valid[:-1, :-1] | valid[:-1, 1:]
+                               | valid[1:, :-1] | valid[1:, 1:]) & ~v4)
+            | mixed | (needed & ~v4))
+
+    base_i_all = (np.floor(t_i_min - extra) - margin).reshape(-1)
+    base_j_all = (np.floor(t_j_min - extra) - margin).reshape(-1)
+    req = np.ceil(spread).astype(np.int64).reshape(-1) + 2 * margin + 3
+
+    def _win_of(req_max: int) -> int:
+        return -(-max(int(req_max), 4) // 4) * 4
+
+    flat_v4 = v4.reshape(-1)
+    flat_band = (band & ~v4).reshape(-1)
+    win_int = _win_of(req[flat_v4].max()) if flat_v4.any() else 4
+    if win_int > max_win:
+        return None
+
+    # pad source so every window slice is in-bounds after clipping
+    pad = 64
+    src_h_p = -(-max(src_h, 2 * max_win) // pad) * pad
+    src_w_p = -(-max(src_w, 2 * max_win) // pad) * pad
+
+    if jax.config.read("jax_enable_x64") and jax.default_backend() == "cpu":
+        dt = jnp.float64
+        np_dt = np.float64
+    else:
+        dt = jnp.float32
+        np_dt = np.float32
+    with _T("phase_a.plan.pad"):
+        gx_p = np.full((src_h_p, src_w_p), np.nan, dtype=np_dt)
+        gy_p = np.full((src_h_p, src_w_p), np.nan, dtype=np_dt)
+        gx_p[:src_h, :src_w] = gx
+        gy_p[:src_h, :src_w] = gy
+
+    tj_grid = np.repeat(np.arange(n_tj, dtype=np.int32), n_ti)
+    ti_grid = np.tile(np.arange(n_ti, dtype=np.int32), n_tj)
+
+    def make_class(sel, win, bucket=256):
+        n_s = len(sel)
+        n_p = -(-n_s // bucket) * bucket
+        sel_p = np.concatenate(
+            [sel, np.full(n_p - n_s, sel[-1], dtype=sel.dtype)]
+        )
+        return dict(
+            sel=jnp.asarray(sel_p.astype(np.int32)),
+            n_real=n_s,
+            win=win,
+            tjs=jnp.asarray(tj_grid[sel_p]),
+            tis=jnp.asarray(ti_grid[sel_p]),
+            bjs=jnp.asarray(
+                np.clip(base_j_all[sel_p], 0, src_h_p - win).astype(np.int32)
+            ),
+            bis=jnp.asarray(
+                np.clip(base_i_all[sel_p], 0, src_w_p - win).astype(np.int32)
+            ),
+        )
+
+    # class 1 runs every tile at the interior window (far-outside tiles
+    # produce NaN cheaply and assembly stays a pure reshape)
+    cls_all = dict(
+        sel=None,
+        n_real=n_t,
+        win=win_int,
+        tjs=jnp.asarray(tj_grid),
+        tis=jnp.asarray(ti_grid),
+        bjs=jnp.asarray(
+            np.clip(base_j_all, 0, src_h_p - win_int).astype(np.int32)
+        ),
+        bis=jnp.asarray(
+            np.clip(base_i_all, 0, src_w_p - win_int).astype(np.int32)
+        ),
+    )
+
+    cls_band = None
+    host_blocks = None
+    sel_band = np.nonzero(flat_band)[0]
+    if len(sel_band):
+        win_band = _win_of(req[sel_band].max())
+        host_tiles = np.array([], dtype=np.int64)
+        if win_band > 2 * max_win:
+            over = req[sel_band] > 2 * max_win
+            host_tiles = sel_band[over]
+            sel_band = sel_band[~over]
+            win_band = (
+                _win_of(req[sel_band].max()) if len(sel_band) else 0
+            )
+        if len(sel_band) and win_band > win_int:
+            cls_band = make_class(sel_band, win_band)
+        if len(host_tiles) > 1024:
+            return None
+        if len(host_tiles):
+            hb_i = np.empty((len(host_tiles), tile, tile), dtype=np.float64)
+            hb_j = np.empty_like(hb_i)
+            for k, t in enumerate(host_tiles):
+                tj, ti = divmod(int(t), n_ti)
+                w = int(min(req[t], 8 * max_win))
+                bj = int(np.clip(base_j_all[t], 0, max(src_h - 2, 0)))
+                bi = int(np.clip(base_i_all[t], 0, max(src_w - 2, 0)))
+                j1 = min(bj + w, src_h)
+                i1 = min(bi + w, src_w)
+                blk = inverse_ij_map(
+                    gx[bj:j1, bi:i1], gy[bj:j1, bi:i1], bi, bj,
+                    (tile, tile),
+                    float(ti * tile), float(tj * tile), 1.0, 1.0,
+                    uv_delta,
+                )
+                hb_i[k] = blk[0]
+                hb_j[k] = blk[1]
+            host_blocks = (
+                jnp.asarray(host_tiles.astype(np.int32)),
+                (
+                    jnp.asarray(hb_i, dtype=dt),
+                    jnp.asarray(hb_j, dtype=dt),
+                ),
+            )
+
+    return PhaseAPlan(
+        gx_p=gx_p,
+        gy_p=gy_p,
+        dtype=dt,
+        uv_delta=uv_delta,
+        tile=tile,
+        nqi=src_w_p - 1,
+        n_tj=n_tj,
+        n_ti=n_ti,
+        dst_h=dst_h,
+        dst_w=dst_w,
+        src_i_min=src_i_min,
+        src_j_min=src_j_min,
+        cls_all=cls_all,
+        cls_band=cls_band,
+        host_blocks=host_blocks,
+    )
+
+
+def inverse_ij_map_device(
+    src_x: np.ndarray,
+    src_y: np.ndarray,
+    src_i_min: int,
+    src_j_min: int,
+    dst_shape: tuple[int, int],
+    dst_x_offset: float,
+    dst_y_offset: float,
+    dst_x_scale: float,
+    dst_y_scale: float,
+    uv_delta: float,
+    tile: int = 8,
+    max_win: int = 48,
+) -> np.ndarray | None:
+    """Whole-image device Phase A: the production TPU tier of
+    :func:`inverse_ij_map` (plan on host via :func:`plan_phase_a_device`,
+    run the tiled stencil kernel on device, fetch the float64 map).
+
+    Returns None when the geometry is outside the device envelope;
+    callers fall back to the tiled host path."""
+    plan = plan_phase_a_device(
+        src_x, src_y, src_i_min, src_j_min, dst_shape,
+        dst_x_offset, dst_y_offset, dst_x_scale, dst_y_scale,
+        uv_delta, tile=tile, max_win=max_win,
+    )
+    if plan is None or isinstance(plan, np.ndarray):
+        return plan
+    gx_d, gy_d = plan.device_args()
+    return plan.as_numpy(plan.apply(gx_d, gy_d))
 
 
 def make_device_var_image_fn(

@@ -13,6 +13,7 @@ test_rectify.py:295-388).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Hashable, Iterable
 
 import numpy as np
@@ -32,6 +33,7 @@ from .constants import (
 from .crs import Transformer
 from .gridmapping import GridMapping
 from .ops import rectify_ops
+from .profiling import GLOBAL_TIMER as TIMER
 from .utils import (
     _get_fill_value,
     _get_interp_method_str,
@@ -57,32 +59,38 @@ def rectify_dataset(
     """Rectify a dataset with non-regular (2D) spatial coordinates to a
     regular target grid.  Option semantics follow the reference
     (rectify.py:54-118)."""
-    if source_gm is None:
-        source_gm = GridMapping.from_dataset(source_ds)
-    source_ds = normalize_grid_mapping(source_ds, source_gm)
+    with TIMER("rectify.gm_inference"):
+        if source_gm is None:
+            source_gm = GridMapping.from_dataset(source_ds)
+        source_ds = normalize_grid_mapping(source_ds, source_gm)
 
-    if target_gm is None:
-        target_gm = source_gm.to_regular(tile_size=tile_size)
+        if target_gm is None:
+            target_gm = source_gm.to_regular(tile_size=tile_size)
 
     # transform the 2D source coordinates into the target CRS if needed
     if not _is_equal_crs(source_gm, target_gm):
-        source_ds = _transform_coords(source_ds, source_gm, target_gm)
-        source_gm = GridMapping.from_dataset(source_ds)
+        with TIMER("rectify.coord_transform"):
+            source_ds = _transform_coords(source_ds, source_gm, target_gm)
+            source_gm = GridMapping.from_dataset(source_ds)
 
     source_ds = _select_variables(source_ds, variables)
 
     # If source resolution is finer than the target's, downscale first
-    source_ds, source_gm = _downscale_source_dataset(
-        source_ds,
-        source_gm,
-        target_gm,
-        interp_methods,
-        agg_methods,
-        recover_nans,
-    )
+    with TIMER("rectify.pre_downscale"):
+        source_ds, source_gm = _downscale_source_dataset(
+            source_ds,
+            source_gm,
+            target_gm,
+            interp_methods,
+            agg_methods,
+            recover_nans,
+        )
 
     # PHASE A: per-target-pixel fractional source indices
-    target_source_ij = _compute_target_source_ij(source_gm, target_gm, UV_DELTA)
+    with TIMER("rectify.phase_a"):
+        target_source_ij = _compute_target_source_ij(
+            source_gm, target_gm, UV_DELTA
+        )
 
     # assemble target dataset
     x_name, y_name = source_gm.xy_var_names
@@ -99,24 +107,28 @@ def rectify_dataset(
     target_ds = Dataset(coords=coords, attrs=dict(source_ds.attrs))
 
     yx_dims = (source_gm.xy_dim_names[1], source_gm.xy_dim_names[0])
-    for var_name, data_array in source_ds.data_vars.items():
-        if data_array.dims[-2:] == yx_dims:
-            assert len(data_array.dims) in (
-                2,
-                3,
-            ), f"Data variable {var_name} has {len(data_array.dims)} dimensions."
+    with TIMER("rectify.phase_b"):
+        for var_name, data_array in source_ds.data_vars.items():
+            if data_array.dims[-2:] == yx_dims:
+                assert len(data_array.dims) in (
+                    2,
+                    3,
+                ), f"Data variable {var_name} has {len(data_array.dims)} dimensions."
 
-            target_ds[var_name] = _rectify_data_array(
-                data_array,
-                var_name,
-                target_gm,
-                target_source_ij,
-                interp_methods,
-                fill_values,
-            )
+                target_ds[var_name] = _rectify_data_array(
+                    data_array,
+                    var_name,
+                    target_gm,
+                    target_source_ij,
+                    interp_methods,
+                    fill_values,
+                )
 
-        elif yx_dims[0] not in data_array.dims and yx_dims[1] not in data_array.dims:
-            target_ds[var_name] = data_array
+            elif (
+                yx_dims[0] not in data_array.dims
+                and yx_dims[1] not in data_array.dims
+            ):
+                target_ds[var_name] = data_array
 
     return target_ds
 
@@ -217,10 +229,46 @@ def _compute_target_source_ij(
         min(0.5 * (dst_x_max - dst_x_min), 0.5 * (dst_y_max - dst_y_min)),
     )
 
-    dst_xy_bboxes = output_geom.xy_bboxes
-    src_ij_bboxes = src_geo_coding.ij_bboxes_from_xy_bboxes(
-        dst_xy_bboxes, xy_border=xy_border, ij_border=1
-    )
+    # tiered dispatch: when a JAX accelerator is present (or the device
+    # tier is forced), the whole map is computed in one device kernel —
+    # the reference's numba hot loop stays on the TPU, the host only
+    # normalizes coordinates and sizes the candidate rectangle.  The
+    # tiled host path (multithreaded C++ / vectorized numpy) remains the
+    # fallback for geometries outside the device kernel's envelope.
+    mode = os.environ.get("XRTPU_PHASEA", "auto")
+    use_device = mode == "device"
+    if mode == "auto":
+        try:
+            import jax
+
+            use_device = jax.default_backend() not in ("cpu",)
+        except Exception:  # noqa: BLE001
+            use_device = False
+    if use_device:
+        with TIMER("rectify.phase_a_device"):
+            src_xy = np.asarray(
+                src_geo_coding.xy_coords.data, dtype=np.float64
+            )
+            device_map = rectify_ops.inverse_ij_map_device(
+                src_xy[0],
+                src_xy[1],
+                0,
+                0,
+                (dst_height, dst_width),
+                dst_x_min,
+                dst_y_min if dst_is_j_axis_up else dst_y_max,
+                dst_x_res,
+                dst_y_res if dst_is_j_axis_up else -dst_y_res,
+                uv_delta,
+            )
+        if device_map is not None:
+            return device_map
+
+    with TIMER("rectify.phase_a_bbox_scan"):
+        dst_xy_bboxes = output_geom.xy_bboxes
+        src_ij_bboxes = src_geo_coding.ij_bboxes_from_xy_bboxes(
+            dst_xy_bboxes, xy_border=xy_border, ij_border=1
+        )
 
     return compute_array_from_func(
         _compute_target_source_ij_block,

@@ -28,6 +28,7 @@ from .constants import (
 )
 from .crs import Transformer
 from .gridmapping import GridMapping
+from .profiling import GLOBAL_TIMER as TIMER
 from .ops import gather
 from .utils import (
     _get_fill_value,
@@ -53,41 +54,45 @@ def reproject_dataset(
     """Reproject a dataset's 2D spatial variables into the CRS and grid of
     *target_gm*.  Per-variable interpolation/aggregation/fill options follow
     the reference semantics (reproject.py:51-111)."""
-    if source_gm is None:
-        source_gm = GridMapping.from_dataset(source_ds)
-    if source_gm.is_j_axis_up:
-        v_var = source_gm.xy_var_names[1]
-        source_ds = source_ds.isel({v_var: slice(None, None, -1)})
-        source_gm = GridMapping.from_dataset(source_ds)
+    with TIMER("reproject.gm_inference"):
+        if source_gm is None:
+            source_gm = GridMapping.from_dataset(source_ds)
+        if source_gm.is_j_axis_up:
+            v_var = source_gm.xy_var_names[1]
+            source_ds = source_ds.isel({v_var: slice(None, None, -1)})
+            source_gm = GridMapping.from_dataset(source_ds)
 
-    source_ds = normalize_grid_mapping(source_ds, source_gm)
+        source_ds = normalize_grid_mapping(source_ds, source_gm)
 
-    source_ds = _select_variables(source_ds, variables)
+        source_ds = _select_variables(source_ds, variables)
 
-    transformer = Transformer.from_crs(
-        target_gm.crs, source_gm.crs, always_xy=True
-    )
+        transformer = Transformer.from_crs(
+            target_gm.crs, source_gm.crs, always_xy=True
+        )
 
     # If the source resolution is finer than the target's, downscale first
-    source_ds, source_gm = _downscale_source_dataset(
-        source_ds,
-        source_gm,
-        target_gm,
-        transformer,
-        interp_methods,
-        agg_methods,
-        recover_nans,
-    )
+    with TIMER("reproject.pre_downscale"):
+        source_ds, source_gm = _downscale_source_dataset(
+            source_ds,
+            source_gm,
+            target_gm,
+            transformer,
+            interp_methods,
+            agg_methods,
+            recover_nans,
+        )
 
     # Per target tile: source pixel window (uniformized to the largest) and
     # window origin coordinates; plus source padding for windows that poke
     # outside the source extent
-    scr_ij_bboxes, x_coords, y_coords, pad_width = _get_scr_bboxes_indices(
-        transformer, source_gm, target_gm
-    )
+    with TIMER("reproject.plan"):
+        scr_ij_bboxes, x_coords, y_coords, pad_width = _get_scr_bboxes_indices(
+            transformer, source_gm, target_gm
+        )
 
-    # Inverse-transform the target pixel-center grid into source coordinates
-    source_xx, source_yy = _transform_gridpoints(transformer, target_gm)
+        # Inverse-transform the target pixel-center grid into source
+        # coordinates
+        source_xx, source_yy = _transform_gridpoints(transformer, target_gm)
 
     # Assemble the target dataset
     x_name, y_name = source_gm.xy_var_names
@@ -161,22 +166,28 @@ def _reproject_data_array(
         # and run through the fused kernels (SRW when the mapping allows,
         # XLA gather otherwise); results use the approximate coordinate
         # field (sub-1e-2 px), see ops/reproject_ops
-        out = _reproject_on_device(
-            data_array.data, source_gm, target_gm, interp_method, fill_value
-        )
+        with TIMER("reproject.device"):
+            out = _reproject_on_device(
+                data_array.data, source_gm, target_gm, interp_method,
+                fill_value,
+            )
         return _finish_reprojected(
             data_array, out, target_gm, data_array_expanded
         )
 
     array = np.asarray(data_array.data)
-    data_in = np.pad(array, pad_width, mode="constant", constant_values=fill_value)
+    with TIMER("reproject.host_gather"):
+        data_in = np.pad(
+            array, pad_width, mode="constant", constant_values=fill_value
+        )
 
     num_tiles_y, num_tiles_x = scr_ij_bboxes.shape[1], scr_ij_bboxes.shape[2]
     tile_h, tile_w = target_gm.tile_height, target_gm.tile_width
     out_h, out_w = target_gm.height, target_gm.width
     out = np.empty(array.shape[:-2] + (out_h, out_w), dtype=array.dtype)
 
-    for tj in range(num_tiles_y):
+    with TIMER("reproject.host_kernel"):
+      for tj in range(num_tiles_y):
         for ti in range(num_tiles_x):
             j0, j1 = tj * tile_h, min((tj + 1) * tile_h, out_h)
             i0, i1 = ti * tile_w, min((ti + 1) * tile_w, out_w)
