@@ -11,7 +11,6 @@ from xcube_resampling_tpu.gridmapping.cfconv import (
     GridCoords,
     GridMappingProxy,
     _find_potential_coord_vars,
-    _is_potential_coord_var,
     add_spatial_ref,
     get_dataset_grid_mapping_proxies,
 )
@@ -251,7 +250,12 @@ def test_var_not_in_dataset():
             "lat": DataArray(np.linspace(0, 5, 5), dims="lat"),
         }
     )
-    assert not _is_potential_coord_var(dataset, set(), "missing_var")
+    # names in the CF global "coordinates" attribute that are absent from
+    # the dataset must be ignored
+    dataset.attrs["coordinates"] = "missing_var lon"
+    result = _find_potential_coord_vars(dataset)
+    assert "missing_var" not in result
+    assert result[0] == "lon"
 
 
 class TestAddSpatialRef:

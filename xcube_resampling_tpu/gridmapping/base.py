@@ -1,24 +1,30 @@
-"""GridMapping — image grid <-> Earth coordinate mapping (thread-safe ABC).
+"""GridMapping — the image-grid <-> Earth-coordinate model.
 
-Behavioural port of the reference's GridMapping
-(/root/reference/xcube_resampling/gridmapping/base.py:59-913) onto the
-TPU-native stack: coordinates are eager numpy-backed xrlite DataArrays with
-chunk *metadata* (no dask); the per-tile bbox scan runs as a vectorized
-masked reduction (:mod:`.bboxes`) instead of a numba loop; CRS objects come
-from the native :mod:`xcube_resampling_tpu.crs` engine.
+API and semantics track the reference's ``GridMapping``
+(/root/reference/xcube_resampling/gridmapping/base.py:59-913, see NOTICE),
+re-expressed for this framework: all scalar grid state lives in one
+immutable :class:`_GridSpec` record, coordinates are eager numpy-backed
+xrlite DataArrays carrying chunk *metadata* (no dask), tile bboxes are
+computed by vectorized numpy (no per-block Python loop), and the per-tile
+coordinate-image scan is the vectorized masked reduction in
+:mod:`.bboxes` (replacing the reference's numba prange kernel).
+
+No locking: unlike the reference, whose dask graphs touch grid mappings
+from worker threads, nothing here computes grid-mapping attributes
+concurrently — jax dispatch happens on the host thread.
 """
 
 from __future__ import annotations
 
 import abc
 import copy
+import dataclasses
 import math
-from collections.abc import Callable, Mapping
+from collections.abc import Mapping
 from typing import Any
 
 import numpy as np
 
-from ..chunk import get_block_iterators, get_chunk_sizes
 from ..constants import AffineTransformMatrix, FloatInt
 from ..crs import CRS, CRS_CRS84, CRS_WGS84
 from ..xrlite import DataArray
@@ -40,17 +46,34 @@ CRS84 = "OGC:CRS84"
 DEFAULT_TOLERANCE = 1.0e-5
 
 
+@dataclasses.dataclass(frozen=True)
+class _GridSpec:
+    """The scalar state of a grid mapping, validated once at construction."""
+
+    size: tuple[int, int]
+    tile_size: tuple[int, int]
+    xy_bbox: tuple[FloatInt, FloatInt, FloatInt, FloatInt]
+    xy_res: tuple[FloatInt, FloatInt]
+    crs: CRS
+    xy_var_names: tuple[str, str]
+    xy_dim_names: tuple[str, str]
+    is_regular: bool | None
+    is_lon_360: bool | None
+    is_j_axis_up: bool | None
+
+
+def _tile_starts_stops(total: int, step: int) -> tuple[np.ndarray, np.ndarray]:
+    starts = np.arange(0, total, step, dtype=np.int64)
+    return starts, np.minimum(starts + step, total)
+
+
 class GridMapping(abc.ABC):
-    """An abstract base class for grid mappings that define an image grid and
-    a transformation from image pixel coordinates to spatial Earth
-    coordinates defined in a well-known coordinate reference system (CRS).
+    """Defines an image grid and the mapping from pixel coordinates to
+    spatial Earth coordinates in a well-known CRS.
 
-    Construct instances through the factory classmethods
-    :meth:`regular`, :meth:`from_dataset`, :meth:`from_coords`; derive new
-    instances with :meth:`derive`, :meth:`scale`, :meth:`transform`,
-    :meth:`to_regular`.
-
-    This class is thread-safe.
+    Construct through the factory classmethods :meth:`regular`,
+    :meth:`from_dataset`, :meth:`from_coords`; derive new instances with
+    :meth:`derive`, :meth:`scale`, :meth:`transform`, :meth:`to_regular`.
     """
 
     def __init__(
@@ -71,48 +94,46 @@ class GridMapping(abc.ABC):
     ):
         width, height = _normalize_int_pair(size, name="size")
         assert_true(width > 1 and height > 1, "invalid size")
-
-        tile_width, tile_height = _normalize_int_pair(
-            tile_size, default=(width, height)
-        )
-        assert_true(tile_width > 1 and tile_height > 1, "invalid tile_size")
+        tile_w, tile_h = _normalize_int_pair(tile_size, default=(width, height))
+        assert_true(tile_w > 1 and tile_h > 1, "invalid tile_size")
 
         assert_given(xy_bbox, name="xy_bbox")
         assert_given(xy_res, name="xy_res")
         _assert_valid_xy_names(xy_var_names, name="xy_var_names")
         _assert_valid_xy_names(xy_dim_names, name="xy_dim_names")
         assert_instance(crs, CRS, name="crs")
-
-        if x_coords is not None:
-            assert_instance(x_coords, DataArray, name="x_coords")
-            assert_true(
-                x_coords.ndim in (1, 2),
-                message=f"x_coords.ndim must be 1 or 2, was {x_coords.ndim}",
-            )
-        if y_coords is not None:
-            assert_instance(y_coords, DataArray, name="y_coords")
-            assert_true(
-                y_coords.ndim in (1, 2),
-                message=f"y_coords.ndim must be 1 or 2, was {y_coords.ndim}",
-            )
-
-        x_min, y_min, x_max, y_max = xy_bbox
         x_res, y_res = _normalize_number_pair(xy_res, name="xy_res")
         assert_true(x_res > 0 and y_res > 0, "invalid xy_res")
 
-        self._size = width, height
-        self._tile_size = tile_width, tile_height
-        self._xy_bbox = x_min, y_min, x_max, y_max
-        self._xy_res = x_res, y_res
-        self._crs = crs
-        self._xy_var_names = xy_var_names
-        self._xy_dim_names = xy_dim_names
-        self._is_regular = is_regular
-        self._is_lon_360 = is_lon_360
-        self._is_j_axis_up = is_j_axis_up
+        for label, arr in (("x_coords", x_coords), ("y_coords", y_coords)):
+            if arr is not None:
+                assert_instance(arr, DataArray, name=label)
+                assert_true(
+                    arr.ndim in (1, 2),
+                    message=f"{label}.ndim must be 1 or 2, was {arr.ndim}",
+                )
+
+        self._spec = _GridSpec(
+            size=(width, height),
+            tile_size=(tile_w, tile_h),
+            xy_bbox=tuple(xy_bbox),
+            xy_res=(x_res, y_res),
+            crs=crs,
+            xy_var_names=tuple(xy_var_names),
+            xy_dim_names=tuple(xy_dim_names),
+            is_regular=is_regular,
+            is_lon_360=is_lon_360,
+            is_j_axis_up=is_j_axis_up,
+        )
+        # coordinate caches, filled lazily; subclasses read these directly
         self._x_coords = x_coords
         self._y_coords = y_coords
         self._xy_coords = None
+
+    def _replace_spec(self, **changes) -> None:
+        self._spec = dataclasses.replace(self._spec, **changes)
+
+    # -- derivation ---------------------------------------------------------
 
     def derive(
         self,
@@ -122,311 +143,286 @@ class GridMapping(abc.ABC):
         tile_size: int | tuple[int, int] = None,
         is_j_axis_up: bool = None,
     ) -> "GridMapping":
-        """Derive a new grid mapping from this one with some properties
-        changed (new names, tile size, or j-axis orientation)."""
+        """A copy of this grid mapping with new coordinate names, tile
+        size, and/or j-axis orientation."""
         other = copy.copy(self)
         if xy_var_names is not None:
             _assert_valid_xy_names(xy_var_names, name="xy_var_names")
-            other._xy_var_names = xy_var_names
+            other._replace_spec(xy_var_names=tuple(xy_var_names))
         if xy_dim_names is not None:
             _assert_valid_xy_names(xy_dim_names, name="xy_dim_names")
-            other._xy_dim_names = xy_dim_names
+            other._replace_spec(xy_dim_names=tuple(xy_dim_names))
         if tile_size is not None:
-            tile_width, tile_height = _normalize_int_pair(tile_size, name="tile_size")
-            assert_true(tile_width > 1 and tile_height > 1, "invalid tile_size")
-            tile_size = tile_width, tile_height
-            if other.tile_size != tile_size:
-                other._tile_size = tile_width, tile_height
-                if other._xy_coords is None:
-                    _ = other.xy_coords
-                other._xy_coords = other._xy_coords.chunk(
-                    {
-                        dim: size
-                        for (dim, size) in zip(
-                            other._xy_coords.dims, other.xy_coords_chunks
-                        )
-                    }
-                )
-        if is_j_axis_up is not None and is_j_axis_up != other._is_j_axis_up:
-            other._is_j_axis_up = is_j_axis_up
+            tile_w, tile_h = _normalize_int_pair(tile_size, name="tile_size")
+            assert_true(tile_w > 1 and tile_h > 1, "invalid tile_size")
+            if (tile_w, tile_h) != other.tile_size:
+                other._replace_spec(tile_size=(tile_w, tile_h))
+                # materialize + re-chunk the coordinate image metadata
+                _ = other.xy_coords
+                other._xy_coords = other._rechunked_xy(other._xy_coords)
+        if is_j_axis_up is not None and is_j_axis_up != other.is_j_axis_up:
+            other._replace_spec(is_j_axis_up=is_j_axis_up)
+            # flipping the j axis reverses the row order of cached coords
             if other._y_coords is not None:
                 other._y_coords = other._y_coords[::-1]
             if other._xy_coords is not None:
-                other._xy_coords = other._xy_coords[:, ::-1, :]
-                other._xy_coords = other._xy_coords.chunk(
-                    {
-                        dim: size
-                        for (dim, size) in zip(
-                            other._xy_coords.dims, other.xy_coords_chunks
-                        )
-                    }
+                other._xy_coords = other._rechunked_xy(
+                    other._xy_coords[:, ::-1, :]
                 )
-
         return other
+
+    def _rechunked_xy(self, xy: DataArray) -> DataArray:
+        return xy.chunk(dict(zip(xy.dims, self.xy_coords_chunks)))
 
     def scale(
         self,
         xy_scale: FloatInt | tuple[FloatInt, FloatInt],
         tile_size: int | tuple[int, int] | None = None,
     ) -> "GridMapping":
-        """Derive a scaled version of this regular grid mapping.  Factors > 1
-        up-scale (finer pixels), factors < 1 down-scale."""
+        """A regular grid mapping over the same origin with the pixel
+        count scaled by *xy_scale* (> 1 = finer pixels)."""
         self._assert_regular()
-        x_scale, y_scale = _normalize_number_pair(xy_scale)
+        scales = _normalize_number_pair(xy_scale)
         new_xy_res, new_size = scale_xy_res_and_size(
-            self.xy_res, self.size, (x_scale, y_scale)
+            self.xy_res, self.size, scales
         )
         if tile_size is not None:
-            tile_width, tile_height = _normalize_int_pair(tile_size, name="tile_size")
+            tile_w, tile_h = _normalize_int_pair(tile_size, name="tile_size")
         else:
-            tile_width, tile_height = self.tile_size
-        tile_width = min(new_size[0], tile_width)
-        tile_height = min(new_size[1], tile_height)
+            tile_w, tile_h = self.tile_size
         return self.regular(
             new_size,
             (self.x_min, self.y_min),
             new_xy_res,
             self.crs,
-            tile_size=(tile_width, tile_height),
+            tile_size=(min(new_size[0], tile_w), min(new_size[1], tile_h)),
             is_j_axis_up=self.is_j_axis_up,
-        ).derive(xy_dim_names=self.xy_dim_names, xy_var_names=self.xy_var_names)
+        ).derive(
+            xy_dim_names=self.xy_dim_names, xy_var_names=self.xy_var_names
+        )
+
+    # -- scalar properties --------------------------------------------------
 
     @property
     def size(self) -> tuple[int, int]:
-        """Image size (width, height) in pixels."""
-        return self._size
+        """(width, height) in pixels."""
+        return self._spec.size
 
     @property
     def width(self) -> int:
-        """Image width in pixels."""
-        return self.size[0]
+        """Pixels along the x axis."""
+        return self._spec.size[0]
 
     @property
     def height(self) -> int:
-        """Image height in pixels."""
-        return self.size[1]
+        """Pixels along the y axis."""
+        return self._spec.size[1]
 
     @property
     def tile_size(self) -> tuple[int, int]:
-        """Image tile size (width, height) in pixels."""
-        return self._tile_size
+        """(tile_width, tile_height) in pixels."""
+        return self._spec.tile_size
 
     @property
     def is_tiled(self) -> bool:
-        """Whether the image is tiled."""
-        return self.size != self.tile_size
+        """True when tiles are smaller than the image."""
+        return self._spec.size != self._spec.tile_size
 
     @property
     def tile_width(self) -> int:
-        """Image tile width in pixels."""
-        return self.tile_size[0]
+        """Tile extent along the x axis."""
+        return self._spec.tile_size[0]
 
     @property
     def tile_height(self) -> int:
-        """Image tile height in pixels."""
-        return self.tile_size[1]
-
-    @property
-    def x_coords(self) -> DataArray:
-        """The 1D or 2D x-coordinate array of shape (width,) or
-        (height, width)."""
-        return self._get_computed_attribute("_x_coords", self._new_x_coords)
-
-    @abc.abstractmethod
-    def _new_x_coords(self) -> DataArray:
-        """Create new 1D or 2D x-coordinate array."""
-
-    @property
-    def y_coords(self) -> DataArray:
-        """The 1D or 2D y-coordinate array of shape (height,) or
-        (height, width)."""
-        return self._get_computed_attribute("_y_coords", self._new_y_coords)
-
-    @abc.abstractmethod
-    def _new_y_coords(self) -> DataArray:
-        """Create new 1D or 2D y-coordinate array."""
-
-    @property
-    def xy_coords(self) -> DataArray:
-        """The x,y coordinates as data array of shape (2, height, width) in
-        units of the CRS."""
-        xy_coords = self._get_computed_attribute("_xy_coords", self._new_xy_coords)
-        _assert_valid_xy_coords(xy_coords)
-        return xy_coords
-
-    @property
-    def xy_coords_chunks(self) -> tuple[int, int, int]:
-        """Chunks for the *xy_coords* array."""
-        return 2, self.tile_height, self.tile_width
-
-    @abc.abstractmethod
-    def _new_xy_coords(self) -> DataArray:
-        """Create new coordinate array of shape (2, height, width)."""
-
-    def _get_computed_attribute(self, name: str, computer: Callable[[], Any]) -> Any:
-        """Lazy attribute computation.  (No locking: unlike the reference,
-        whose dask graphs touch grid mappings from worker threads, nothing
-        in this framework computes grid-mapping attributes concurrently —
-        jax dispatch happens from the host thread.)"""
-        value = getattr(self, name)
-        if value is None:
-            value = computer()
-            setattr(self, name, value)
-        return value
+        """Tile extent along the y axis."""
+        return self._spec.tile_size[1]
 
     @property
     def xy_var_names(self) -> tuple[str, str]:
-        """Variable names of the x,y coordinates (x_var_name, y_var_name)."""
-        return self._xy_var_names
+        """(x, y) coordinate variable names."""
+        return self._spec.xy_var_names
 
     @property
     def xy_dim_names(self) -> tuple[str, str]:
-        """Dimension names of the x,y coordinates (x_dim_name, y_dim_name)."""
-        return self._xy_dim_names
+        """(x, y) dimension names."""
+        return self._spec.xy_dim_names
 
     @property
     def xy_bbox(self) -> tuple[float, float, float, float]:
-        """The image's bounding box in CRS coordinates."""
-        return self._xy_bbox
+        """(x_min, y_min, x_max, y_max) in CRS units."""
+        return self._spec.xy_bbox
 
     @property
     def x_min(self) -> FloatInt:
-        """Minimum x-coordinate in CRS units."""
-        return self._xy_bbox[0]
+        return self._spec.xy_bbox[0]
 
     @property
     def y_min(self) -> FloatInt:
-        """Minimum y-coordinate in CRS units."""
-        return self._xy_bbox[1]
+        return self._spec.xy_bbox[1]
 
     @property
     def x_max(self) -> FloatInt:
-        """Maximum x-coordinate in CRS units."""
-        return self._xy_bbox[2]
+        return self._spec.xy_bbox[2]
 
     @property
     def y_max(self) -> FloatInt:
-        """Maximum y-coordinate in CRS units."""
-        return self._xy_bbox[3]
+        return self._spec.xy_bbox[3]
 
     @property
     def xy_res(self) -> tuple[FloatInt, FloatInt]:
-        """Pixel size in x and y direction."""
-        return self._xy_res
+        """(x_res, y_res) pixel sizes in CRS units."""
+        return self._spec.xy_res
 
     @property
     def x_res(self) -> FloatInt:
-        """Pixel size in CRS units per pixel in x-direction."""
-        return self._xy_res[0]
+        return self._spec.xy_res[0]
 
     @property
     def y_res(self) -> FloatInt:
-        """Pixel size in CRS units per pixel in y-direction."""
-        return self._xy_res[1]
+        return self._spec.xy_res[1]
 
     @property
     def crs(self) -> CRS:
         """The coordinate reference system."""
-        return self._crs
+        return self._spec.crs
 
     @property
     def spatial_unit_name(self) -> str:
-        return self._crs.axis_info[0].unit_name
+        return self._spec.crs.axis_info[0].unit_name
 
     @property
     def is_lon_360(self) -> bool | None:
-        """Whether *x_max* is greater than 180 degrees, i.e. the range
-        crosses the anti-meridian (geographic CRSs only)."""
-        return self._is_lon_360
+        """True when x_max crosses the antimeridian (> 180°); geographic
+        CRSs only; None if undetermined."""
+        return self._spec.is_lon_360
 
     @property
     def is_regular(self) -> bool | None:
-        """Whether the x,y coordinates form a regular grid (constant deltas
-        in both directions); None if undetermined."""
-        return self._is_regular
+        """True when pixel deltas are constant along both axes; None if
+        undetermined."""
+        return self._spec.is_regular
 
     @property
     def is_j_axis_up(self) -> bool | None:
-        """Whether the positive image j-axis points up; None if
-        undetermined.  By default it points down."""
-        return self._is_j_axis_up
+        """True when increasing image row index means increasing y
+        coordinate (default is j-down); None if undetermined."""
+        return self._spec.is_j_axis_up
+
+    # -- coordinate arrays --------------------------------------------------
+
+    @property
+    def x_coords(self) -> DataArray:
+        """x coordinates: shape (width,) or (height, width)."""
+        if self._x_coords is None:
+            self._x_coords = self._new_x_coords()
+        return self._x_coords
+
+    @abc.abstractmethod
+    def _new_x_coords(self) -> DataArray:
+        """Build the x-coordinate array."""
+
+    @property
+    def y_coords(self) -> DataArray:
+        """y coordinates: shape (height,) or (height, width)."""
+        if self._y_coords is None:
+            self._y_coords = self._new_y_coords()
+        return self._y_coords
+
+    @abc.abstractmethod
+    def _new_y_coords(self) -> DataArray:
+        """Build the y-coordinate array."""
+
+    @property
+    def xy_coords(self) -> DataArray:
+        """The coordinate image of shape (2, height, width) in CRS units."""
+        if self._xy_coords is None:
+            self._xy_coords = self._new_xy_coords()
+        _assert_valid_xy_coords(self._xy_coords)
+        return self._xy_coords
+
+    @property
+    def xy_coords_chunks(self) -> tuple[int, int, int]:
+        """Chunk sizes of the coordinate image."""
+        return 2, self.tile_height, self.tile_width
+
+    @abc.abstractmethod
+    def _new_xy_coords(self) -> DataArray:
+        """Build the (2, height, width) coordinate image."""
+
+    # -- affine transforms (regular grids) ----------------------------------
 
     @property
     def ij_to_xy_transform(self) -> AffineTransformMatrix:
-        """Affine transformation matrix from image to CRS coordinates.
-        Defined only for regular grid mappings."""
+        """2x3 affine matrix from pixel to CRS coordinates (regular grids
+        only)."""
         self._assert_regular()
         if self.is_j_axis_up:
-            return (
-                (self.x_res, 0.0, self.x_min),
-                (0.0, self.y_res, self.y_min),
-            )
+            y_row = (0.0, self.y_res, self.y_min)
         else:
-            return (
-                (self.x_res, 0.0, self.x_min),
-                (0.0, -self.y_res, self.y_max),
-            )
+            y_row = (0.0, -self.y_res, self.y_max)
+        return (self.x_res, 0.0, self.x_min), y_row
 
     @property
     def xy_to_ij_transform(self) -> AffineTransformMatrix:
-        """Affine transformation matrix from CRS to image coordinates.
-        Defined only for regular grid mappings."""
+        """2x3 affine matrix from CRS to pixel coordinates (regular grids
+        only)."""
         self._assert_regular()
         return _from_affine(~_to_affine(self.ij_to_xy_transform))
 
     def ij_transform_to(self, other: "GridMapping") -> AffineTransformMatrix:
-        """Affine matrix transforming image coordinates of *other* into
-        image coordinates of this grid mapping."""
+        """Affine matrix mapping *other*'s pixel coordinates into this
+        grid's pixel coordinates."""
         self._assert_regular()
         self.assert_regular(other, name="other")
-        a = _to_affine(self.ij_to_xy_transform)
-        b = _to_affine(other.xy_to_ij_transform)
-        return _from_affine(b * a)
+        own = _to_affine(self.ij_to_xy_transform)
+        into_other = _to_affine(other.xy_to_ij_transform)
+        return _from_affine(into_other * own)
 
     def ij_transform_from(self, other: "GridMapping") -> AffineTransformMatrix:
-        """Affine matrix transforming image coordinates of this grid mapping
-        into image coordinates of *other*."""
+        """Affine matrix mapping this grid's pixel coordinates into
+        *other*'s pixel coordinates."""
         self._assert_regular()
         self.assert_regular(other, name="other")
-        a = _to_affine(self.ij_transform_to(other))
-        return _from_affine(~a)
+        return _from_affine(~_to_affine(self.ij_transform_to(other)))
+
+    # -- tile bbox math ------------------------------------------------------
 
     @property
     def ij_bbox(self) -> tuple[int, int, int, int]:
-        """The image's bounding box in pixel coordinates."""
+        """The full image extent as (0, 0, width, height)."""
         return 0, 0, self.width, self.height
 
     @property
     def ij_bboxes(self) -> np.ndarray:
-        """The image tiles' bounding boxes in image pixel coordinates."""
-        chunk_sizes = get_chunk_sizes(
-            (self.height, self.width), (self.tile_height, self.tile_width)
-        )
-        _, _, block_slices = get_block_iterators(chunk_sizes)
-        block_slices = tuple(block_slices)
-        n = len(block_slices)
-        ij_bboxes = np.ndarray((n, 4), dtype=np.int64)
-        for i in range(n):
-            y_slice, x_slice = block_slices[i]
-            ij_bboxes[i, 0] = x_slice.start
-            ij_bboxes[i, 1] = y_slice.start
-            ij_bboxes[i, 2] = x_slice.stop
-            ij_bboxes[i, 3] = y_slice.stop
-        return ij_bboxes
+        """Per-tile pixel bboxes [[i0, j0, i1, j1], ...], row-major over
+        tiles (stops exclusive)."""
+        i0, i1 = _tile_starts_stops(self.width, self.tile_width)
+        j0, j1 = _tile_starts_stops(self.height, self.tile_height)
+        n_i = len(i0)
+        n_j = len(j0)
+        out = np.empty((n_j * n_i, 4), dtype=np.int64)
+        out[:, 0] = np.tile(i0, n_j)
+        out[:, 1] = np.repeat(j0, n_i)
+        out[:, 2] = np.tile(i1, n_j)
+        out[:, 3] = np.repeat(j1, n_i)
+        return out
 
     @property
     def xy_bboxes(self) -> np.ndarray:
-        """The image tiles' bounding boxes in CRS coordinates."""
+        """Per-tile CRS bboxes [[x_min, y_min, x_max, y_max], ...] in the
+        same tile order as :attr:`ij_bboxes`."""
+        ij = self.ij_bboxes
+        out = np.empty(ij.shape, dtype=np.float64)
+        out[:, 0] = self.x_min + self.x_res * ij[:, 0]
+        out[:, 2] = self.x_min + self.x_res * ij[:, 2]
         if self.is_j_axis_up:
-            xy_offset = np.array([self.x_min, self.y_min, self.x_min, self.y_min])
-            xy_scale = np.array([self.x_res, self.y_res, self.x_res, self.y_res])
-            xy_bboxes = xy_offset + xy_scale * self.ij_bboxes
+            out[:, 1] = self.y_min + self.y_res * ij[:, 1]
+            out[:, 3] = self.y_min + self.y_res * ij[:, 3]
         else:
-            xy_offset = np.array([self.x_min, self.y_max, self.x_min, self.y_max])
-            xy_scale = np.array([self.x_res, -self.y_res, self.x_res, -self.y_res])
-            xy_bboxes = xy_offset + xy_scale * self.ij_bboxes
-            xy_bboxes[:, [1, 3]] = xy_bboxes[:, [3, 1]]
-        return xy_bboxes
+            out[:, 1] = self.y_max - self.y_res * ij[:, 3]
+            out[:, 3] = self.y_max - self.y_res * ij[:, 1]
+        return out
 
     def ij_bbox_from_xy_bbox(
         self,
@@ -434,15 +430,15 @@ class GridMapping(abc.ABC):
         xy_border: float = 0.0,
         ij_border: int = 0,
     ) -> tuple[int, int, int, int]:
-        """Compute the (i_min, j_min, i_max, j_max) pixel bounding box
-        covering *xy_bbox*; (-1, -1, -1, -1) if nothing intersects."""
-        xy_bboxes = np.array([xy_bbox], dtype=np.float64)
-        ij_bboxes = np.full_like(xy_bboxes, -1, dtype=np.int64)
-        self.ij_bboxes_from_xy_bboxes(
-            xy_bboxes, xy_border=xy_border, ij_border=ij_border, ij_bboxes=ij_bboxes
+        """The (i_min, j_min, i_max, j_max) pixel bbox covering *xy_bbox*,
+        or (-1, -1, -1, -1) when nothing intersects."""
+        result = self.ij_bboxes_from_xy_bboxes(
+            np.array([xy_bbox], dtype=np.float64),
+            xy_border=xy_border,
+            ij_border=ij_border,
         )
         # noinspection PyTypeChecker
-        return tuple(map(int, ij_bboxes[0]))
+        return tuple(map(int, result[0]))
 
     def ij_bboxes_from_xy_bboxes(
         self,
@@ -451,29 +447,31 @@ class GridMapping(abc.ABC):
         ij_border: int = 0,
         ij_bboxes: np.ndarray = None,
     ) -> np.ndarray:
-        """Compute pixel bounding boxes [[i_min, j_min, i_max, j_max], ...]
-        covering the given x,y bounding boxes; i_max/j_max are exclusive so
-        the results can be used as array index slices.
+        """Pixel bboxes [[i_min, j_min, i_max, j_max], ...] covering the
+        given CRS bboxes (stops exclusive, usable as slices; -1 rows mean
+        no intersection).
 
-        This is the halo/overlap discovery step of rectify — implemented as a
-        vectorized masked min/max reduction over the coordinate image
-        (replacing the reference's numba prange scan, bboxes.py:28-106)."""
+        This is rectify's halo/overlap discovery — a vectorized masked
+        min/max reduction over the coordinate image (:mod:`.bboxes`),
+        replacing the reference's numba prange scan (bboxes.py:28-106)."""
         if ij_bboxes is None:
             ij_bboxes = np.full_like(xy_bboxes, -1, dtype=np.int64)
         else:
             ij_bboxes[:, :] = -1
         from .bboxes import compute_ij_bboxes
 
-        xy_coords = self.xy_coords
+        xy = self.xy_coords
         compute_ij_bboxes(
-            np.asarray(xy_coords.data[0]),
-            np.asarray(xy_coords.data[1]),
+            np.asarray(xy.data[0]),
+            np.asarray(xy.data[1]),
             np.asarray(xy_bboxes, dtype=np.float64),
             xy_border,
             ij_border,
             ij_bboxes,
         )
         return ij_bboxes
+
+    # -- factories & conversion ---------------------------------------------
 
     def to_coords(
         self,
@@ -482,8 +480,8 @@ class GridMapping(abc.ABC):
         exclude_bounds: bool = False,
         reuse_coords: bool = False,
     ) -> Mapping[str, DataArray]:
-        """Get CF-compliant axis coordinate variables and cell boundary
-        coordinate variables.  Defined only for regular grid mappings."""
+        """CF axis coordinate variables (+ cell bounds) for this regular
+        grid mapping."""
         self._assert_regular()
         from .coords import grid_mapping_to_coords
 
@@ -504,8 +502,8 @@ class GridMapping(abc.ABC):
         xy_var_names: tuple[str, str] = None,
         tolerance: float = DEFAULT_TOLERANCE,
     ) -> "GridMapping":
-        """Transform this grid mapping into another *crs* (yields an
-        irregular 2D-coords grid mapping)."""
+        """This grid mapping re-expressed in another *crs* (an irregular
+        2D-coords grid mapping)."""
         from .transform import transform_grid_mapping
 
         return transform_grid_mapping(
@@ -528,7 +526,7 @@ class GridMapping(abc.ABC):
         tile_size: int | tuple[int, int] = None,
         is_j_axis_up: bool = False,
     ) -> "GridMapping":
-        """Create a new regular grid mapping."""
+        """A new regular grid mapping."""
         from .regular import new_regular_grid_mapping
 
         return new_regular_grid_mapping(
@@ -541,9 +539,12 @@ class GridMapping(abc.ABC):
         )
 
     def to_regular(
-        self, tile_size: int | tuple[int, int] | None = None, is_j_axis_up: bool = False
+        self,
+        tile_size: int | tuple[int, int] | None = None,
+        is_j_axis_up: bool = False,
     ) -> "GridMapping":
-        """Transform this grid mapping into one that is regular."""
+        """The regular grid mapping covering this (possibly irregular)
+        one."""
         from .regular import to_regular_grid_mapping
 
         return to_regular_grid_mapping(
@@ -562,7 +563,7 @@ class GridMapping(abc.ABC):
         emit_warnings: bool = False,
         tolerance: float = DEFAULT_TOLERANCE,
     ) -> "GridMapping":
-        """Create a grid mapping for the given dataset (CF inference)."""
+        """Infer a grid mapping from a dataset's CF metadata."""
         from .dataset import new_grid_mapping_from_dataset
 
         return new_grid_mapping_from_dataset(
@@ -585,7 +586,7 @@ class GridMapping(abc.ABC):
         tile_size: int | tuple[int, int] | None = None,
         tolerance: float = DEFAULT_TOLERANCE,
     ) -> "GridMapping":
-        """Create a grid mapping from x/y coordinate variables and a CRS."""
+        """A grid mapping built from x/y coordinate variables and a CRS."""
         from .coords import new_grid_mapping_from_coords
 
         return new_grid_mapping_from_coords(
@@ -596,40 +597,45 @@ class GridMapping(abc.ABC):
             tolerance=tolerance,
         )
 
+    # -- comparison & assertions ---------------------------------------------
+
     def is_close(
         self, other: "GridMapping", tolerance: float = DEFAULT_TOLERANCE
     ) -> bool:
-        """Whether this grid mapping is approximately equal to *other*."""
+        """Whether *other* describes the same grid up to *tolerance* in
+        resolution and bbox (flags, size, tiling and CRS must match
+        exactly)."""
         if self is other:
             return True
-        if (
-            self.is_j_axis_up == other.is_j_axis_up
-            and self.is_lon_360 == other.is_lon_360
-            and self.is_regular == other.is_regular
-            and self.size == other.size
-            and self.tile_size == other.tile_size
-            and self.crs == other.crs
-        ):
-            sxr, syr = self.xy_res
-            oxr, oyr = other.xy_res
-            if math.isclose(sxr, oxr, abs_tol=tolerance) and math.isclose(
-                syr, oyr, abs_tol=tolerance
-            ):
-                sx1, sy1, sx2, sy2 = self.xy_bbox
-                ox1, oy1, ox2, oy2 = other.xy_bbox
-                return (
-                    math.isclose(sx1, ox1, abs_tol=tolerance)
-                    and math.isclose(sy1, oy1, abs_tol=tolerance)
-                    and math.isclose(sx2, ox2, abs_tol=tolerance)
-                    and math.isclose(sy2, oy2, abs_tol=tolerance)
-                )
-        return False
+        discrete_equal = (
+            self.is_j_axis_up,
+            self.is_lon_360,
+            self.is_regular,
+            self.size,
+            self.tile_size,
+        ) == (
+            other.is_j_axis_up,
+            other.is_lon_360,
+            other.is_regular,
+            other.size,
+            other.tile_size,
+        )
+        if not discrete_equal or self.crs != other.crs:
+            return False
+        mine = (*self.xy_res, *self.xy_bbox)
+        theirs = (*other.xy_res, *other.xy_bbox)
+        return all(
+            math.isclose(a, b, abs_tol=tolerance)
+            for a, b in zip(mine, theirs)
+        )
 
     @classmethod
     def assert_regular(cls, value: Any, name: str = None):
         assert_instance(value, GridMapping, name=name)
         if not value.is_regular:
-            raise ValueError(f"{name or 'value'} must be a regular grid mapping")
+            raise ValueError(
+                f"{name or 'value'} must be a regular grid mapping"
+            )
 
     def _assert_regular(self):
         if not self.is_regular:
@@ -638,26 +644,26 @@ class GridMapping(abc.ABC):
             )
 
     def _repr_markdown_(self) -> str:
-        """Generate an IPython Notebook Markdown representation."""
-        is_regular = self.is_regular if self.is_regular is not None else "_unknown_"
-        is_j_axis_up = (
-            self.is_j_axis_up if self.is_j_axis_up is not None else "_unknown_"
+        """IPython notebook Markdown representation."""
+
+        def show(flag):
+            return "_unknown_" if flag is None else flag
+
+        xy_res = repr(self.xy_res) + (
+            "" if self.is_regular else "  _estimated_"
         )
-        is_lon_360 = self.is_lon_360 if self.is_lon_360 is not None else "_unknown_"
-        xy_res = repr(self.xy_res) + ("" if self.is_regular else "  _estimated_")
-        return "\n".join(
-            [
-                f"class: **{self.__class__.__name__}**",
-                f"* is_regular: {is_regular}",
-                f"* is_j_axis_up: {is_j_axis_up}",
-                f"* is_lon_360: {is_lon_360}",
-                f"* crs: {self.crs}",
-                f"* xy_res: {xy_res}",
-                f"* xy_bbox: {self.xy_bbox}",
-                f"* ij_bbox: {self.ij_bbox}",
-                f"* xy_dim_names: {self.xy_dim_names}",
-                f"* xy_var_names: {self.xy_var_names}",
-                f"* size: {self.size}",
-                f"* tile_size: {self.tile_size}",
-            ]
-        )
+        lines = [
+            f"class: **{self.__class__.__name__}**",
+            f"* is_regular: {show(self.is_regular)}",
+            f"* is_j_axis_up: {show(self.is_j_axis_up)}",
+            f"* is_lon_360: {show(self.is_lon_360)}",
+            f"* crs: {self.crs}",
+            f"* xy_res: {xy_res}",
+            f"* xy_bbox: {self.xy_bbox}",
+            f"* ij_bbox: {self.ij_bbox}",
+            f"* xy_dim_names: {self.xy_dim_names}",
+            f"* xy_var_names: {self.xy_var_names}",
+            f"* size: {self.size}",
+            f"* tile_size: {self.tile_size}",
+        ]
+        return "\n".join(lines)

@@ -1,7 +1,13 @@
-"""Grid mapping inference from datasets (reference gridmapping/dataset.py:31-102).
+"""Grid-mapping inference from datasets.
 
-Builds candidate grid mappings from all CF proxies found in a dataset and
-resolves preferences (``prefer_crs`` / ``prefer_is_regular``).
+Semantics track the reference's ``gridmapping/dataset.py:31-102`` (see
+NOTICE): every CF grid-mapping proxy found in the dataset becomes a
+candidate ``GridMapping``, and the caller's preferences select among
+them.  The preference cascade is expressed here as a single ranking
+function rather than the reference's sequence of loops:
+
+    crs+regularity match > geographic+regularity > crs match >
+    geographic match > regularity match > first candidate found
 """
 
 from __future__ import annotations
@@ -14,6 +20,39 @@ from .coords import new_grid_mapping_from_coords
 from .helpers import _normalize_crs
 
 
+def _preference_rank(
+    gm: GridMapping, want_crs: CRS | None, want_regular: bool | None
+) -> int:
+    """Rank a candidate against the caller's preferences (higher wins).
+
+    Mirrors the reference's loop cascade exactly: an exact-CRS +
+    regularity match outranks a both-geographic + regularity match,
+    which outranks CRS-only, geographic-only, and regularity-only
+    matches, in that order.
+    """
+    crs_hit = want_crs is not None and gm.crs == want_crs
+    geo_hit = (
+        want_crs is not None
+        and gm.crs.is_geographic
+        and want_crs.is_geographic
+    )
+    reg_hit = (
+        want_regular is not None and bool(gm.is_regular) == want_regular
+    )
+    if want_regular is not None and want_crs is not None:
+        if crs_hit and reg_hit:
+            return 5
+        if geo_hit and reg_hit:
+            return 4
+    if crs_hit:
+        return 3
+    if geo_hit:
+        return 2
+    if reg_hit:
+        return 1
+    return 0
+
+
 def new_grid_mapping_from_dataset(
     dataset: Dataset,
     *,
@@ -24,62 +63,37 @@ def new_grid_mapping_from_dataset(
     emit_warnings: bool = False,
     tolerance: float = DEFAULT_TOLERANCE,
 ) -> GridMapping:
-    # `crs` forces a CRS when it is known in advance; `prefer_crs` picks
-    # among multiple discovered CRSs.  If only `crs` is given they coincide.
-    if crs is not None:
-        crs = _normalize_crs(crs)
-    if prefer_crs is not None:
-        prefer_crs = _normalize_crs(prefer_crs)
-    else:
-        prefer_crs = crs
+    # ``crs`` supplies a CRS for proxies that lack one; ``prefer_crs``
+    # breaks ties between multiple discovered CRSs and defaults to ``crs``.
+    forced_crs = _normalize_crs(crs) if crs is not None else None
+    want_crs = (
+        _normalize_crs(prefer_crs) if prefer_crs is not None else forced_crs
+    )
 
-    grid_mapping_proxies = get_dataset_grid_mapping_proxies(
+    proxies = get_dataset_grid_mapping_proxies(
         dataset,
         emit_warnings=emit_warnings,
-        missing_projected_crs=crs,
-        missing_rotated_latitude_longitude_crs=crs,
-        missing_latitude_longitude_crs=crs,
-    ).values()
+        missing_projected_crs=forced_crs,
+        missing_rotated_latitude_longitude_crs=forced_crs,
+        missing_latitude_longitude_crs=forced_crs,
+    )
 
-    grid_mappings = [
+    candidates = [
         new_grid_mapping_from_coords(
-            x_coords=gmp.coords.x,
-            y_coords=gmp.coords.y,
-            crs=gmp.crs,
-            tile_size=tile_size or gmp.tile_size,
+            x_coords=proxy.coords.x,
+            y_coords=proxy.coords.y,
+            crs=proxy.crs,
+            tile_size=tile_size or proxy.tile_size,
             tolerance=tolerance,
         )
-        for gmp in grid_mapping_proxies
+        for proxy in proxies.values()
     ]
+    if not candidates:
+        raise ValueError("cannot find any grid mapping in dataset")
 
-    if len(grid_mappings) > 1:
-        if prefer_crs is not None and prefer_is_regular is not None:
-            for gm in grid_mappings:
-                if gm.crs == prefer_crs and bool(gm.is_regular) == prefer_is_regular:
-                    return gm
-            for gm in grid_mappings:
-                if (
-                    gm.crs.is_geographic
-                    and prefer_crs.is_geographic
-                    and bool(gm.is_regular) == prefer_is_regular
-                ):
-                    return gm
-
-        if prefer_crs is not None:
-            for gm in grid_mappings:
-                if gm.crs == prefer_crs:
-                    return gm
-            for gm in grid_mappings:
-                if gm.crs.is_geographic and prefer_crs.is_geographic:
-                    return gm
-
-        if prefer_is_regular is not None:
-            for gm in grid_mappings:
-                if bool(gm.is_regular) == prefer_is_regular:
-                    return gm
-
-    # Otherwise return the first one found
-    if grid_mappings:
-        return grid_mappings[0]
-
-    raise ValueError("cannot find any grid mapping in dataset")
+    # max() keeps the earliest candidate on rank ties, so a dataset with
+    # a single proxy (or no preferences) yields the first one found.
+    return max(
+        candidates,
+        key=lambda gm: _preference_rank(gm, want_crs, prefer_is_regular),
+    )

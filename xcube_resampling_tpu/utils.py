@@ -1,10 +1,15 @@
 """Dataset helpers and per-variable option resolution.
 
-Behavioural port of reference utils.py
-(/root/reference/xcube_resampling/utils.py:47-332): spatial-dim detection,
-bbox clipping, grid-mapping normalization to a ``spatial_ref`` coordinate,
-variable selection, and resolution of per-variable / per-dtype interpolation,
-aggregation, NaN-recovery and fill-value options with dtype-derived defaults.
+Semantics track reference ``utils.py:47-332`` (see NOTICE): spatial-dim
+detection, bbox clipping, grid-mapping normalization to a ``spatial_ref``
+coordinate, variable selection, and per-variable / per-dtype resolution of
+the interpolation, aggregation, NaN-recovery and fill-value options.
+
+The four option resolvers of the reference share one lookup discipline —
+mapping keyed by variable name then dtype, scalar passthrough, dtype-derived
+default with a warning on unresolvable mappings — so they are implemented
+here as one generic :func:`_resolve_per_var_option` parameterized by the
+accepted scalar types and the default rule.
 """
 
 from __future__ import annotations
@@ -21,7 +26,6 @@ from .constants import (
     FILLVALUE_UINT16,
     INTERP_METHOD_MAPPING,
     LOG,
-    AggMethod,
     AggMethods,
     FloatInt,
     InterpMethod,
@@ -35,19 +39,16 @@ from .xrlite import DataArray, Dataset
 
 
 def get_spatial_dims(ds: Dataset) -> tuple[str, str]:
-    """Identify the horizontal spatial dimension names of *ds* as
-    (x_dim, y_dim): ("lon", "lat") or ("x", "y")."""
-    if "lat" in ds and "lon" in ds:
-        x_coord, y_coord = "lon", "lat"
-    elif "y" in ds and "x" in ds:
-        x_coord, y_coord = "x", "y"
-    else:
-        raise KeyError(
-            f"No standard spatial dimensions found in dataset. "
-            f"Expected pairs ('lon', 'lat') or ('x', 'y'), "
-            f"but found: {list(ds.dims)}."
-        )
-    return x_coord, y_coord
+    """The horizontal dimension names of *ds* as ``(x_dim, y_dim)`` —
+    either ``("lon", "lat")`` or ``("x", "y")``."""
+    for x_dim, y_dim in (("lon", "lat"), ("x", "y")):
+        if x_dim in ds and y_dim in ds:
+            return x_dim, y_dim
+    raise KeyError(
+        f"No standard spatial dimensions found in dataset. "
+        f"Expected pairs ('lon', 'lat') or ('x', 'y'), "
+        f"but found: {list(ds.dims)}."
+    )
 
 
 def clip_dataset_by_bbox(
@@ -55,33 +56,31 @@ def clip_dataset_by_bbox(
     bbox: Sequence[FloatInt],
     spatial_dims: tuple[str, str] | None = None,
 ) -> Dataset:
-    """Clip *ds* to bounding box (min_x, min_y, max_x, max_y), handling both
-    y-axis orientations."""
+    """Clip *ds* to ``(min_x, min_y, max_x, max_y)``.  The y slice follows
+    the coordinate's storage direction, so both axis orientations work."""
     if len(bbox) != 4:
         raise ValueError(f"Expected bbox of length 4, got: {bbox}")
+    x_min, y_min, x_max, y_max = bbox
 
-    if spatial_dims is None:
-        spatial_dims = get_spatial_dims(ds)
-    x_dim, y_dim = spatial_dims
-
+    x_dim, y_dim = spatial_dims or get_spatial_dims(ds)
     y_vals = np.asarray(ds[y_dim].data)
-    if y_vals[-1] - y_vals[0] < 0:
-        ds = ds.sel({x_dim: slice(bbox[0], bbox[2]), y_dim: slice(bbox[3], bbox[1])})
-    else:
-        ds = ds.sel({x_dim: slice(bbox[0], bbox[2]), y_dim: slice(bbox[1], bbox[3])})
+    y_descending = y_vals[-1] < y_vals[0]
+    y_slice = slice(y_max, y_min) if y_descending else slice(y_min, y_max)
+    ds = ds.sel({x_dim: slice(x_min, x_max), y_dim: y_slice})
 
     if any(size == 0 for size in ds.sizes.values()):
         LOG.warning(
             "Clipped dataset contains at least one zero-sized dimension. "
-            f"Check if the bounding box {bbox} overlaps with the dataset extent."
+            f"Check if the bounding box {bbox} overlaps with the dataset "
+            "extent."
         )
     return ds
 
 
 def normalize_grid_mapping(ds: Dataset, gm: GridMapping) -> Dataset:
-    """Replace any existing grid-mapping variable with a standard
-    ``spatial_ref`` coordinate carrying CF CRS attributes, and point every
-    data variable's ``grid_mapping`` attribute at it."""
+    """Replace any existing grid-mapping variable with a canonical
+    ``spatial_ref`` scalar coordinate carrying *gm*'s CF CRS attributes,
+    and point every data variable's ``grid_mapping`` attribute at it."""
     gm_name = _get_grid_mapping_name(ds)
     if gm_name is not None:
         ds = ds.drop_vars(gm_name)
@@ -99,39 +98,81 @@ def normalize_grid_mapping(ds: Dataset, gm: GridMapping) -> Dataset:
 def _select_variables(
     ds: Dataset, variables: str | Iterable[str] | None = None
 ) -> Dataset:
-    if variables is not None:
-        if isinstance(variables, str):
-            variables = [variables]
-        ds = ds[list(variables)]
-    return ds
+    if variables is None:
+        return ds
+    names = [variables] if isinstance(variables, str) else list(variables)
+    return ds[names]
 
 
 def _get_grid_mapping_name(ds: Dataset) -> str | None:
-    gm_names = []
-    for var in ds.data_vars:
-        if "grid_mapping" in ds.data_vars[var].attrs:
-            gm_names.append(ds.data_vars[var].attrs["grid_mapping"])
+    """The single grid-mapping variable name referenced by *ds*, if any:
+    collected from data-variable ``grid_mapping`` attributes plus the
+    conventional ``crs`` / ``spatial_ref`` names."""
+    names = {
+        str(var.attrs["grid_mapping"])
+        for var in ds.data_vars.values()
+        if "grid_mapping" in var.attrs
+    }
     if "crs" in ds:
-        gm_names.append("crs")
+        names.add("crs")
     if "spatial_ref" in ds.coords:
-        gm_names.append("spatial_ref")
-    gm_names = np.unique(gm_names)
-    assert len(gm_names) <= 1, "Multiple grid mapping names found."
-    if len(gm_names) == 1:
-        return str(gm_names[0])
-    else:
-        return None
+        names.add("spatial_ref")
+    assert len(names) <= 1, "Multiple grid mapping names found."
+    return next(iter(names), None)
 
 
-def _can_apply_affine_transform(source_gm: GridMapping, target_gm: GridMapping) -> bool:
+def _can_apply_affine_transform(
+    source_gm: GridMapping, target_gm: GridMapping
+) -> bool:
     GridMapping.assert_regular(source_gm, name="source_gm")
     GridMapping.assert_regular(target_gm, name="target_gm")
     return _is_equal_crs(source_gm, target_gm)
 
 
 def _is_equal_crs(source_gm: GridMapping, target_gm: GridMapping) -> bool:
-    geographic = source_gm.crs.is_geographic and target_gm.crs.is_geographic
-    return geographic or source_gm.crs.equals(target_gm.crs)
+    if source_gm.crs.is_geographic and target_gm.crs.is_geographic:
+        return True
+    return source_gm.crs.equals(target_gm.crs)
+
+
+# ---------------------------------------------------------------------------
+# Per-variable option resolution
+
+
+def _resolve_per_var_option(
+    options,
+    key: Hashable,
+    var: DataArray,
+    *,
+    scalar_types,
+    default_of: Callable[[np.dtype], object],
+    what: str,
+    option_name: str,
+):
+    """Resolve one option for variable *key*: mappings are looked up by
+    variable name first, then by dtype, warning and falling back to the
+    dtype default when neither hits; bare values of *scalar_types* apply
+    to every variable; anything else yields the dtype default."""
+    if isinstance(options, Mapping):
+        value = options.get(str(key), options.get(var.dtype))
+        if value is None:
+            LOG.warning(
+                f"{what} could not be derived from the mapping "
+                f"`{option_name}` for data variable {key!r} with data type "
+                f"{var.dtype!r}. Defaults are assigned."
+            )
+            value = default_of(var.dtype)
+        return value
+    if scalar_types is not None and isinstance(options, scalar_types):
+        return options
+    if scalar_types is None and options is not None:
+        return options
+    return default_of(var.dtype)
+
+
+def _default_interp(dtype: np.dtype) -> InterpMethodInt:
+    # integers resample as nearest (0), everything else bilinear (1)
+    return 0 if np.issubdtype(dtype, np.integer) else 1
 
 
 def _get_interp_method(
@@ -139,24 +180,15 @@ def _get_interp_method(
     key: Hashable,
     var: DataArray,
 ) -> InterpMethod:
-    def assign_defaults(data_type: np.dtype) -> InterpMethod:
-        return 0 if np.issubdtype(data_type, np.integer) else 1
-
-    if isinstance(interp_methods, Mapping):
-        interp_method = interp_methods.get(str(key), interp_methods.get(var.dtype))
-        if interp_method is None:
-            LOG.warning(
-                f"Interpolation method could not be derived from the mapping "
-                f"`interp_methods` for data variable {key!r} with data type "
-                f"{var.dtype!r}. Defaults are assigned."
-            )
-            interp_method = assign_defaults(var.dtype)
-    elif isinstance(interp_methods, int) or isinstance(interp_methods, str):
-        interp_method = interp_methods
-    else:
-        interp_method = assign_defaults(var.dtype)
-
-    return interp_method
+    return _resolve_per_var_option(
+        interp_methods,
+        key,
+        var,
+        scalar_types=(int, str),
+        default_of=_default_interp,
+        what="Interpolation method",
+        option_name="interp_methods",
+    )
 
 
 def _get_interp_method_int(
@@ -164,10 +196,8 @@ def _get_interp_method_int(
     key: Hashable,
     var: DataArray,
 ) -> InterpMethodInt:
-    interp_method = _get_interp_method(interp_methods, key, var)
-    if isinstance(interp_method, str):
-        interp_method = INTERP_METHOD_MAPPING[interp_method]
-    return interp_method
+    method = _get_interp_method(interp_methods, key, var)
+    return INTERP_METHOD_MAPPING[method] if isinstance(method, str) else method
 
 
 def _get_interp_method_str(
@@ -175,26 +205,21 @@ def _get_interp_method_str(
     key: Hashable,
     var: DataArray,
 ) -> InterpMethodStr:
-    interp_method = _get_interp_method(interp_methods, key, var)
-    if isinstance(interp_method, int):
-        interp_method = INTERP_METHOD_MAPPING[interp_method]
-    return interp_method
+    method = _get_interp_method(interp_methods, key, var)
+    return INTERP_METHOD_MAPPING[method] if isinstance(method, int) else method
 
 
 def _prep_interp_methods_downscale(
     interp_methods: InterpMethods | None,
 ) -> InterpMethods | None:
-    # triangular degrades to bilinear when pre-downscaling
-    if interp_methods == "triangular":
-        return "bilinear"
-    elif (
-        isinstance(interp_methods, Mapping) and "triangular" in interp_methods.values()
-    ):
-        return {
-            k: ("bilinear" if v == "triangular" else v)
-            for k, v in interp_methods.items()
-        }
-    return interp_methods
+    """Triangular interpolation degrades to bilinear for the pre-downscale
+    pass (the reference does the same: utils.py:239)."""
+    downgrade = lambda m: "bilinear" if m == "triangular" else m  # noqa: E731
+    if isinstance(interp_methods, Mapping):
+        if "triangular" in interp_methods.values():
+            return {k: downgrade(v) for k, v in interp_methods.items()}
+        return interp_methods
+    return downgrade(interp_methods)
 
 
 def _get_agg_method(
@@ -202,24 +227,18 @@ def _get_agg_method(
     key: Hashable,
     var: DataArray,
 ) -> Callable:
-    def assign_defaults(data_type: np.dtype) -> AggMethod:
-        return "center" if np.issubdtype(data_type, np.integer) else "mean"
-
-    if isinstance(agg_methods, Mapping):
-        agg_method = agg_methods.get(str(key), agg_methods.get(var.dtype))
-        if agg_method is None:
-            LOG.warning(
-                f"Aggregation method could not be derived from the mapping "
-                f"`agg_methods` for data variable {key!r} with data type "
-                f"{var.dtype!r}. Defaults are assigned."
-            )
-            agg_method = assign_defaults(var.dtype)
-    elif isinstance(agg_methods, str):
-        agg_method = agg_methods
-    else:
-        agg_method = assign_defaults(var.dtype)
-
-    return AGG_METHODS[agg_method]
+    name = _resolve_per_var_option(
+        agg_methods,
+        key,
+        var,
+        scalar_types=str,
+        default_of=lambda dt: (
+            "center" if np.issubdtype(dt, np.integer) else "mean"
+        ),
+        what="Aggregation method",
+        option_name="agg_methods",
+    )
+    return AGG_METHODS[name]
 
 
 def _get_recover_nan(
@@ -227,21 +246,25 @@ def _get_recover_nan(
     key: Hashable,
     var: DataArray,
 ) -> bool:
-    if isinstance(recover_nans, Mapping):
-        recover_nan = recover_nans.get(str(key), recover_nans.get(var.dtype))
-        if recover_nan is None:
-            LOG.warning(
-                f"The method to recover nan could not be derived from the mapping "
-                f"`recover_nans`  for data variable {key!r} with data type "
-                f"{var.dtype!r}. Defaults are assigned."
-            )
-            recover_nan = False
-    elif isinstance(recover_nans, bool):
-        recover_nan = recover_nans
-    else:
-        recover_nan = False
+    return _resolve_per_var_option(
+        recover_nans,
+        key,
+        var,
+        scalar_types=bool,
+        default_of=lambda dt: False,
+        what="The method to recover nan",
+        option_name="recover_nans",
+    )
 
-    return recover_nan
+
+def _default_fill_value(dtype: np.dtype) -> FloatInt:
+    if dtype == np.uint8:
+        return FILLVALUE_UINT8
+    if dtype == np.uint16:
+        return FILLVALUE_UINT16
+    if np.issubdtype(dtype, np.integer):
+        return FILLVALUE_INT
+    return FILLVALUE_FLOAT
 
 
 def _get_fill_value(
@@ -249,29 +272,12 @@ def _get_fill_value(
     key: Hashable,
     var: DataArray,
 ) -> FloatInt:
-    def assign_defaults(data_type: np.dtype) -> FloatInt:
-        if data_type == np.uint8:
-            fill_value = FILLVALUE_UINT8
-        elif data_type == np.uint16:
-            fill_value = FILLVALUE_UINT16
-        elif np.issubdtype(data_type, np.integer):
-            fill_value = FILLVALUE_INT
-        else:
-            fill_value = FILLVALUE_FLOAT
-        return fill_value
-
-    if isinstance(fill_values, Mapping):
-        fill_value = fill_values.get(str(key), fill_values.get(var.dtype))
-        if fill_value is None:
-            LOG.warning(
-                f"Fill value could not be derived from the mapping `fill_values` "
-                f"for data variable {key!r} with data type {var.dtype!r}. Defaults "
-                f"are assigned."
-            )
-            fill_value = assign_defaults(var.dtype)
-    elif fill_values is not None:
-        fill_value = fill_values
-    else:
-        fill_value = assign_defaults(var.dtype)
-
-    return fill_value
+    return _resolve_per_var_option(
+        fill_values,
+        key,
+        var,
+        scalar_types=None,  # any non-None scalar applies to all variables
+        default_of=_default_fill_value,
+        what="Fill value",
+        option_name="fill_values",
+    )
