@@ -386,3 +386,101 @@ def test_undersized_halo_warns(caplog):
     with caplog.at_level(logging.WARNING, logger="xcube.resampling"):
         make_sharded_regrid_step(mesh, source_gm, target_gm, halo=0)
     assert any("halo" in r.message for r in caplog.records)
+
+
+def _swath_case(width=96, height=120, n_bands=3):
+    from tests.sampledata import create_olci_like_swath
+
+    from xcube_resampling_tpu.constants import UV_DELTA
+    from xcube_resampling_tpu.rectify import _compute_target_source_ij
+
+    ds = create_olci_like_swath(width=width, height=height, tile_size=48)
+    source_gm = GridMapping.from_dataset(ds)
+    target_gm = source_gm.to_regular(tile_size=48)
+    ij_map = _compute_target_source_ij(source_gm, target_gm, UV_DELTA)
+    if hasattr(ij_map, "as_numpy"):
+        ij_map = ij_map.as_numpy()
+    rng = np.random.default_rng(7)
+    bands = rng.random(
+        (n_bands, source_gm.height, source_gm.width), dtype=np.float32
+    )
+    return source_gm, target_gm, np.asarray(ij_map), bands
+
+
+@pytest.mark.parametrize("interp", ["nearest", "bilinear", "triangular"])
+def test_sharded_rectify_matches_single_chip(interp):
+    """Sharded rectify Phase B must equal the single-chip device gather
+    bit for bit — the mesh analogue of the reference's chunking-invariance
+    contract for rectify (reference tests/test_rectify.py:295-388)."""
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs multiple devices")
+    from xcube_resampling_tpu.ops.reproject_ops import gather_interp
+    from xcube_resampling_tpu.parallel import sharded_rectify
+
+    source_gm, target_gm, ij_map, bands = _swath_case()
+
+    # single-chip device comparator: same f32 coordinates, same taps
+    m = jnp.asarray(ij_map, dtype=jnp.float32)
+    valid = jnp.isfinite(m[0]) & jnp.isfinite(m[1])
+    single = np.asarray(
+        gather_interp(
+            jnp.asarray(bands),
+            jnp.nan_to_num(m[0], nan=0.0),
+            jnp.nan_to_num(m[1], nan=0.0),
+            interp,
+            np.nan,
+            jnp,
+            valid=valid,
+        )
+    )
+
+    mesh = make_mesh(("bands",))
+    sharded = np.asarray(
+        sharded_rectify(
+            jnp.asarray(bands),
+            source_gm,
+            target_gm,
+            mesh,
+            interp_method=interp,
+            ij_map=ij_map,
+        )
+    )
+    assert sharded.shape == single.shape
+    np.testing.assert_array_equal(np.isnan(sharded), np.isnan(single))
+    if interp == "nearest":
+        # identical taps -> bitwise equality
+        np.testing.assert_array_equal(sharded, single)
+    else:
+        # identical taps and weights; XLA fuses the lerp arithmetic
+        # differently across the two program shapes (FMA contraction),
+        # so values may differ in the last ulp
+        valid = ~np.isnan(single)
+        np.testing.assert_allclose(sharded[valid], single[valid], atol=1e-6)
+
+
+def test_sharded_rectify_mesh_size_invariance():
+    """The sharded result must not depend on the mesh decomposition:
+    2-device and 8-device meshes produce identical rasters."""
+    n_dev = len(jax.devices())
+    if n_dev < 8:
+        pytest.skip("needs 8 devices")
+    from xcube_resampling_tpu.parallel import sharded_rectify
+
+    source_gm, target_gm, ij_map, bands = _swath_case()
+    outs = []
+    for k in (2, 8):
+        mesh = make_mesh(("bands",), devices=jax.devices()[:k])
+        outs.append(
+            np.asarray(
+                sharded_rectify(
+                    jnp.asarray(bands),
+                    source_gm,
+                    target_gm,
+                    mesh,
+                    interp_method="bilinear",
+                    ij_map=ij_map,
+                )
+            )
+        )
+    np.testing.assert_array_equal(outs[0], outs[1])

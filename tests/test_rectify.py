@@ -469,6 +469,7 @@ def test_rectify_device_phase_a_matches_host_map_olci(monkeypatch):
     from tests.sampledata import create_olci_like_swath
 
     from xcube_resampling_tpu.constants import UV_DELTA
+    from xcube_resampling_tpu.ops import rectify_ops
     from xcube_resampling_tpu.rectify import _compute_target_source_ij
 
     ds = create_olci_like_swath(width=160, height=200, tile_size=64)
@@ -479,6 +480,10 @@ def test_rectify_device_phase_a_matches_host_map_olci(monkeypatch):
     host_map = _compute_target_source_ij(source_gm, target_gm, UV_DELTA)
     monkeypatch.setenv("XRTPU_PHASEA", "device")
     dev_map = _compute_target_source_ij(source_gm, target_gm, UV_DELTA)
+    # the device tier keeps the map device-resident; fetch for comparison
+    assert isinstance(dev_map, rectify_ops.DeviceIJMap)
+    assert dev_map.shape == host_map.shape
+    dev_map = dev_map.as_numpy()
 
     assert np.array_equal(np.isnan(host_map), np.isnan(dev_map))
     # atol covers pure rounding noise of the grid-unit solve near u/v = 0

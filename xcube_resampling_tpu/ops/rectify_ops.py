@@ -754,6 +754,50 @@ def _phase_a_tiled_jit():
     return _PHASE_A_TILED_JIT
 
 
+def _build_phase_a_apply(
+    *, tile, nqi, n_tj, n_ti, dst_h, dst_w, win_all, win_band, has_host
+):
+    """One fused jitted program for the whole device Phase A: the
+    interior-window pass over every tile, the larger-window band pass
+    scattered over its tile ids, host-exception block injection, and the
+    (T, t, t) -> (2, Hp, Wp) assembly.  Per-geometry arrays arrive as
+    arguments so the compiled executable is shared across geometries with
+    equal bucket shapes.
+
+    Scatter note: band/host tile lists are padded by repeating their last
+    entry; duplicate ``.at[].set`` indices then write identical values, so
+    the result is deterministic."""
+    import jax
+    import jax.numpy as jnp
+
+    def full(gx, gy, uvd, a_tjs, a_tis, a_bjs, a_bis, *rest):
+        pos = 0
+        o_i, o_j = _phase_a_tiled(
+            gx, gy, a_tjs, a_tis, a_bjs, a_bis, uvd,
+            tile=tile, win=win_all, nqi=nqi,
+        )
+        if win_band:
+            sel, b_tjs, b_tis, b_bjs, b_bis = rest[pos : pos + 5]
+            pos += 5
+            b_i, b_j = _phase_a_tiled(
+                gx, gy, b_tjs, b_tis, b_bjs, b_bis, uvd,
+                tile=tile, win=win_band, nqi=nqi,
+            )
+            o_i = o_i.at[sel].set(b_i)
+            o_j = o_j.at[sel].set(b_j)
+        if has_host:
+            h_sel, h_i, h_j = rest[pos : pos + 3]
+            o_i = o_i.at[h_sel].set(h_i)
+            o_j = o_j.at[h_sel].set(h_j)
+        o_i = o_i.reshape(n_tj, n_ti, tile, tile).transpose(0, 2, 1, 3)
+        o_j = o_j.reshape(n_tj, n_ti, tile, tile).transpose(0, 2, 1, 3)
+        hp, wp = n_tj * tile, n_ti * tile
+        full_map = jnp.stack([o_i.reshape(hp, wp), o_j.reshape(hp, wp)])
+        return full_map[:, :dst_h, :dst_w]
+
+    return jax.jit(full)
+
+
 def _dilate1(m: np.ndarray) -> np.ndarray:
     """8-connected binary dilation by one cell."""
     out = m.copy()
@@ -839,43 +883,46 @@ class PhaseAPlan:
         )
 
     def apply(self, gx_d, gy_d):
-        """Device Phase A: all tile classes + on-device assembly."""
-        import jax.numpy as jnp
-
-        kernel = _phase_a_tiled_jit()
-        dt = self.dtype
-
-        def run(cls):
-            return kernel(
-                gx_d, gy_d,
-                cls["tjs"], cls["tis"], cls["bjs"], cls["bis"],
-                dt(self.uv_delta),
-                tile=self.tile, win=cls["win"], nqi=self.nqi,
+        """Device Phase A: all tile classes, scatter of exception tiles,
+        and final assembly run as ONE jitted program (eager assembly ops
+        would each be a separate device dispatch — ruinous through a
+        remote-compile tunnel).  All per-geometry arrays are arguments,
+        not closure constants, so geometries sharing bucket sizes reuse
+        the compiled executable (and the persistent compile cache)."""
+        if getattr(self, "_apply_jit", None) is None:
+            self._apply_jit = _build_phase_a_apply(
+                tile=self.tile,
+                nqi=self.nqi,
+                n_tj=self.n_tj,
+                n_ti=self.n_ti,
+                dst_h=self.dst_h,
+                dst_w=self.dst_w,
+                win_all=self.cls_all["win"],
+                win_band=(
+                    self.cls_band["win"] if self.cls_band is not None else 0
+                ),
+                has_host=self.host_blocks is not None,
             )
-
-        o_i, o_j = run(self.cls_all)
+        args = [
+            gx_d, gy_d, self.dtype(self.uv_delta),
+            self.cls_all["tjs"], self.cls_all["tis"],
+            self.cls_all["bjs"], self.cls_all["bis"],
+        ]
         if self.cls_band is not None:
-            b_i, b_j = run(self.cls_band)
-            sel = self.cls_band["sel"]
-            n = self.cls_band["n_real"]
-            o_i = o_i.at[sel[:n]].set(b_i[:n])
-            o_j = o_j.at[sel[:n]].set(b_j[:n])
+            args += [
+                self.cls_band["sel"],
+                self.cls_band["tjs"], self.cls_band["tis"],
+                self.cls_band["bjs"], self.cls_band["bis"],
+            ]
         if self.host_blocks is not None:
             sel, blocks = self.host_blocks
-            o_i = o_i.at[sel].set(blocks[0])
-            o_j = o_j.at[sel].set(blocks[1])
-        # (T, t, t) -> (2, Hp, Wp)
-        t = self.tile
-        o_i = o_i.reshape(self.n_tj, self.n_ti, t, t).transpose(0, 2, 1, 3)
-        o_j = o_j.reshape(self.n_tj, self.n_ti, t, t).transpose(0, 2, 1, 3)
-        hp, wp = self.n_tj * t, self.n_ti * t
-        return jnp.stack([o_i.reshape(hp, wp), o_j.reshape(hp, wp)])
+            args += [sel, blocks[0], blocks[1]]
+        return self._apply_jit(*args)
 
     def as_numpy(self, out_d) -> np.ndarray:
-        """Fetch + crop + restore absolute indices (float64)."""
-        out_np = np.array(out_d, dtype=np.float64)[
-            :, : self.dst_h, : self.dst_w
-        ]
+        """Fetch + restore absolute indices (float64); ``apply`` already
+        crops to (2, dst_h, dst_w) on device."""
+        out_np = np.array(out_d, dtype=np.float64)
         if self.src_i_min or self.src_j_min:
             out_np[0] += self.src_i_min
             out_np[1] += self.src_j_min
@@ -1190,6 +1237,45 @@ def plan_phase_a_device(
     )
 
 
+class DeviceIJMap:
+    """A Phase-A result that lives on the device.
+
+    Holds the padded (2, Hp, Wp) fractional source-index map produced by
+    :meth:`PhaseAPlan.apply` so Phase B can gather straight through it
+    without the map ever crossing the host boundary (on the bench tunnel
+    a single fetch of the float64 OLCI-size map costs ~20 s; on real
+    hosts it is still a wasted PCIe round trip).  Host consumers call
+    :meth:`as_numpy`, which fetches once and caches."""
+
+    def __init__(self, plan: PhaseAPlan, out_d):
+        self._plan = plan
+        self._out_d = out_d
+        self._np = None
+
+    @property
+    def shape(self) -> tuple[int, int, int]:
+        return 2, self._plan.dst_h, self._plan.dst_w
+
+    def device_map(self):
+        """The (2, dst_h, dst_w) map as a device array with absolute
+        source indices (``apply`` crops on device; usually a zero-op)."""
+        import jax.numpy as jnp
+
+        p = self._plan
+        m = self._out_d
+        if p.src_i_min or p.src_j_min:
+            off = jnp.asarray(
+                [p.src_i_min, p.src_j_min], dtype=m.dtype
+            )[:, None, None]
+            m = m + off
+        return m
+
+    def as_numpy(self) -> np.ndarray:
+        if self._np is None:
+            self._np = self._plan.as_numpy(self._out_d)
+        return self._np
+
+
 def inverse_ij_map_device(
     src_x: np.ndarray,
     src_y: np.ndarray,
@@ -1203,13 +1289,14 @@ def inverse_ij_map_device(
     uv_delta: float,
     tile: int = 8,
     max_win: int = 48,
-) -> np.ndarray | None:
+) -> "DeviceIJMap | np.ndarray | None":
     """Whole-image device Phase A: the production TPU tier of
     :func:`inverse_ij_map` (plan on host via :func:`plan_phase_a_device`,
-    run the tiled stencil kernel on device, fetch the float64 map).
+    run the tiled stencil kernel on device, keep the map device-resident).
 
-    Returns None when the geometry is outside the device envelope;
-    callers fall back to the tiled host path."""
+    Returns a :class:`DeviceIJMap` (or a ready numpy map for degenerate
+    geometries), or None when the geometry is outside the device
+    envelope; callers fall back to the tiled host path."""
     plan = plan_phase_a_device(
         src_x, src_y, src_i_min, src_j_min, dst_shape,
         dst_x_offset, dst_y_offset, dst_x_scale, dst_y_scale,
@@ -1218,7 +1305,48 @@ def inverse_ij_map_device(
     if plan is None or isinstance(plan, np.ndarray):
         return plan
     gx_d, gy_d = plan.device_args()
-    return plan.as_numpy(plan.apply(gx_d, gy_d))
+    return DeviceIJMap(plan, plan.apply(gx_d, gy_d))
+
+
+_VAR_IMAGE_DEV_JIT = {}
+
+
+def make_device_var_image_fn_resident(ij_map: DeviceIJMap, fill_value, interp_method):
+    """Device Phase B over a device-resident Phase-A map: one fused jitted
+    gather per (interp, fill) — the map never leaves the device, source
+    bands are staged on first use (reference semantics of
+    `_compute_var_image_for_dest_line`, rectify.py:663-734; NaN map cells
+    produce the fill value)."""
+    import jax
+    import jax.numpy as jnp
+
+    # repr() so a NaN fill (the default) still hits the cache: float('nan')
+    # never equals itself, which would defeat the dict and retrace per band
+    key = (interp_method, repr(float(fill_value)))
+    kernel = _VAR_IMAGE_DEV_JIT.get(key)
+    if kernel is None:
+
+        @jax.jit
+        def kernel(src, m):  # noqa: ANN001
+            from .reproject_ops import gather_interp
+
+            valid = jnp.isfinite(m[0]) & jnp.isfinite(m[1])
+            ix = jnp.nan_to_num(m[0], nan=0.0).astype(jnp.float32)
+            iy = jnp.nan_to_num(m[1], nan=0.0).astype(jnp.float32)
+            return gather_interp(
+                src, ix, iy, interp_method, fill_value, jnp, valid=valid
+            )
+
+        _VAR_IMAGE_DEV_JIT[key] = kernel
+
+    m_dev = ij_map.device_map()
+
+    def fn(src):
+        if not type(src).__module__.startswith("jax"):
+            src = jnp.asarray(src)
+        return kernel(src, m_dev)
+
+    return fn
 
 
 def make_device_var_image_fn(

@@ -12,8 +12,10 @@ from .mesh import make_mesh
 from .tiling import TileBatch, batch_tiles, untile
 from .halo import (
     make_sharded_esw_step,
+    make_sharded_rectify_step,
     make_sharded_regrid_step,
     make_sharded_srw_step,
+    sharded_rectify,
     sharded_reproject,
 )
 
@@ -22,8 +24,10 @@ __all__ = [
     "batch_tiles",
     "make_mesh",
     "make_sharded_esw_step",
+    "make_sharded_rectify_step",
     "make_sharded_regrid_step",
     "make_sharded_srw_step",
+    "sharded_rectify",
     "sharded_reproject",
     "untile",
 ]

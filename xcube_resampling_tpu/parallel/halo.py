@@ -730,6 +730,196 @@ def make_sharded_esw_step(
     return step_fn, (src_pad_h, out_h)
 
 
+def make_sharded_rectify_step(
+    mesh,
+    ij_map: np.ndarray,
+    src_shape: tuple[int, int],
+    axis_name: str = "bands",
+    interp_method: str = "nearest",
+    fill_value: float = np.nan,
+    src_batch_dims: int = 0,
+):
+    """Sharded rectify Phase B: gather source bands through a fractional
+    source-index map (rectify Phase A's output) across a device mesh.
+
+    The map's rows ARE the target rows, so the map is sharded over
+    ``mesh[axis_name]`` alongside the output; the source swath is sharded
+    in proportional row bands and each device extends its band by a halo
+    sized exactly from the map's per-band source-row extents
+    (``lax.ppermute`` multi-hop exchange, the same machinery as the
+    sharded reproject steps).
+
+    Bit-exactness contract: fractional weights and tap rows are derived
+    from the *absolute* float32 source row exactly as the single-chip
+    device kernel does (ops/reproject_ops.py:gather_interp), and only the
+    integer tap index is rebased into the extended band — so the sharded
+    result equals the single-chip device result bit for bit, mirroring
+    the reference's chunking-invariance contract
+    (/root/reference/tests/test_rectify.py:295-388) on the mesh.
+
+    Returns (step_fn, (src_pad_h, out_h)); ``step_fn(src)`` expects the
+    row-padded source sharded over ``axis_name``.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.shape[axis_name]
+    src_h, src_w = src_shape
+    out_h, out_w = ij_map.shape[-2], ij_map.shape[-1]
+    band_h = -(-src_h // n)
+    out_band_h = -(-out_h // n)
+    src_pad_h = band_h * n - src_h
+    out_pad_h = out_band_h * n - out_h
+
+    # halo = worst-case distance of any target band's source-row taps from
+    # its proportional source band, read off the exact map (+1 for the
+    # second bilinear tap, +1 slack)
+    need = 0.0
+    with np.errstate(invalid="ignore"):
+        for k in range(n):
+            rows = ij_map[1][k * out_band_h : min((k + 1) * out_band_h, out_h)]
+            if rows.size == 0 or not np.isfinite(rows).any():
+                continue
+            lo = float(np.nanmin(rows))
+            hi = float(np.nanmax(rows)) + 1.0
+            need = max(need, k * band_h - lo, hi - (k * band_h + band_h - 1))
+    halo = min(int(np.ceil(max(0.0, need))) + 1, (n - 1) * band_h)
+    use_halo = n > 1 and halo > 0
+
+    map_p = ij_map
+    if out_pad_h:
+        map_p = np.pad(
+            map_p,
+            [(0, 0)] * (map_p.ndim - 2) + [(0, out_pad_h), (0, 0)],
+            constant_values=np.nan,
+        )
+    map_d = jax.device_put(
+        jnp.asarray(map_p, dtype=jnp.float32),
+        NamedSharding(mesh, P(None, axis_name, None)),
+    )
+
+    def band_step(src_band, map_band):
+        idx = lax.axis_index(axis_name)
+        if use_halo:
+            ext = _exchange_halo(
+                src_band, halo, band_h, n, axis_name, lax, jnp
+            )
+        else:
+            ext = src_band
+        ext_h = ext.shape[-2]
+        off = idx * band_h - (halo if use_halo else 0)
+
+        valid = jnp.isfinite(map_band[0]) & jnp.isfinite(map_band[1])
+        # absolute f32 coordinates, clamped exactly like the single-chip
+        # kernel; weights and tap rows derive from these, the rebase below
+        # is integer-only
+        ix = jnp.clip(
+            jnp.nan_to_num(map_band[0], nan=0.0), 0, src_w - 1
+        )
+        iy = jnp.clip(
+            jnp.nan_to_num(map_band[1], nan=0.0), 0, src_h - 1
+        )
+        if interp_method == "nearest":
+            jx = jnp.rint(ix).astype(jnp.int32)
+            jy = jnp.rint(iy).astype(jnp.int32)
+            jy_l = jnp.clip(jy - off, 0, ext_h - 1)
+            vals = ext[..., jy_l, jx]
+            in_band = (jy >= off) & (jy < off + ext_h)
+        else:
+            x0f = jnp.floor(ix)
+            y0f = jnp.floor(iy)
+            fx = ix - x0f
+            fy = iy - y0f
+            x0 = x0f.astype(jnp.int32)
+            y0 = y0f.astype(jnp.int32)
+            x1 = jnp.clip(x0 + 1, 0, src_w - 1)
+            y1 = jnp.clip(y0 + 1, 0, src_h - 1)
+            y0_l = jnp.clip(y0 - off, 0, ext_h - 1)
+            y1_l = jnp.clip(y1 - off, 0, ext_h - 1)
+            v00 = ext[..., y0_l, x0]
+            v01 = ext[..., y0_l, x1]
+            v10 = ext[..., y1_l, x0]
+            v11 = ext[..., y1_l, x1]
+            if interp_method == "triangular":
+                near = v00 + fx * (v01 - v00) + fy * (v10 - v00)
+                far = v11 + (1.0 - fx) * (v10 - v11) + (1.0 - fy) * (
+                    v01 - v11
+                )
+                vals = jnp.where(fx + fy < 1.0, near, far)
+            else:
+                vu0 = v00 + fx * (v01 - v00)
+                vu1 = v10 + fx * (v11 - v10)
+                vals = vu0 + fy * (vu1 - vu0)
+            in_band = (y0 >= off) & (y1 < off + ext_h)
+        fill = jnp.asarray(fill_value, dtype=vals.dtype)
+        return jnp.where(valid & in_band, vals, fill)
+
+    batch_spec = [None] * src_batch_dims
+    shard_map = _shard_map()
+    mapped = shard_map(
+        band_step,
+        mesh=mesh,
+        in_specs=(
+            P(*batch_spec, axis_name, None),
+            P(None, axis_name, None),
+        ),
+        out_specs=P(*batch_spec, axis_name, None),
+    )
+    jitted = jax.jit(mapped)
+
+    def step_fn(src):
+        return jitted(src, map_d)
+
+    return step_fn, (src_pad_h, out_h)
+
+
+def sharded_rectify(
+    src,
+    source_gm: GridMapping,
+    target_gm: GridMapping,
+    mesh,
+    axis_name: str = "bands",
+    interp_method: str = "nearest",
+    fill_value: float = np.nan,
+    ij_map: np.ndarray | None = None,
+):
+    """Rectify *src* (an irregular-swath band stack) onto *target_gm*
+    across a device mesh: Phase A once on the host/device tier, Phase B
+    as the sharded halo-exchange gather of
+    :func:`make_sharded_rectify_step`.  Returns the target raster with
+    rows sharded over ``mesh[axis_name]``."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if ij_map is None:
+        from ..constants import UV_DELTA
+        from ..rectify import _compute_target_source_ij
+
+        ij_map = _compute_target_source_ij(source_gm, target_gm, UV_DELTA)
+        if hasattr(ij_map, "as_numpy"):
+            ij_map = ij_map.as_numpy()
+
+    step_fn, (src_pad_h, out_h) = make_sharded_rectify_step(
+        mesh,
+        np.asarray(ij_map),
+        (source_gm.height, source_gm.width),
+        axis_name=axis_name,
+        interp_method=interp_method,
+        fill_value=fill_value,
+        src_batch_dims=src.ndim - 2,
+    )
+    if src_pad_h:
+        pad = [(0, 0)] * (src.ndim - 2) + [(0, src_pad_h), (0, 0)]
+        src = jnp.pad(src, pad, constant_values=fill_value)
+    spec = P(*([None] * (src.ndim - 2)), axis_name, None)
+    src = jax.device_put(src, NamedSharding(mesh, spec))
+    out = step_fn(src)
+    return out[..., :out_h, :]
+
+
 def sharded_reproject(
     src,
     source_gm: GridMapping,

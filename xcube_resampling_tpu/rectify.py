@@ -363,12 +363,18 @@ def _rectify_data_array(
     fill_value = _get_fill_value(fill_values, var_name, data_array)
     interp_method = _get_interp_method_str(interp_methods, var_name, data_array)
 
-    if type(data_array.data).__module__.startswith("jax"):
-        # device fast path: JAX-backed variables gather through the
-        # fractional index map on device (Phase A stays a host planning
-        # step; its map is reused for every variable)
-        from .ops import rectify_ops
-
+    if isinstance(target_source_ij, rectify_ops.DeviceIJMap):
+        # fully device-resident pipeline: the Phase-A map stays on the
+        # device and every variable (numpy- or JAX-backed) gathers
+        # through it there — nothing crosses the host boundary per band
+        fn = rectify_ops.make_device_var_image_fn_resident(
+            target_source_ij, fill_value, interp_method
+        )
+        array_rectified = fn(data_array.data)
+    elif type(data_array.data).__module__.startswith("jax"):
+        # device fast path over a host-materialized map: JAX-backed
+        # variables gather through the fractional index map on device
+        # (the map is staged once and reused for every variable)
         fn = rectify_ops.make_device_var_image_fn(
             target_source_ij,
             (data_array.shape[-2], data_array.shape[-1]),
