@@ -457,3 +457,246 @@ def test_datumless_proj4_does_not_acquire_helmert_shift():
 
     t = _effective_towgs84(crs)
     assert t is None or not any(t)
+
+
+# ------------------------------------------- round-3 projection families
+
+
+def _conformality(fwd, ell, lon, lat, e2=None):
+    """Max conformality violation (angle + scale-ratio) over scatter points."""
+    a = ell.a
+    e2 = ell.e2 if e2 is None else e2
+    worst = 0.0
+    for lo, la in zip(lon, lat):
+        dxdl, dydl, dxdp, dydp = _jacobian(fwd, lo, la)
+        phi = np.radians(la)
+        w = 1 - e2 * np.sin(phi) ** 2
+        n_rad = a / np.sqrt(w)
+        m_rad = a * (1 - e2) / w**1.5
+        u = np.array([dxdl, dydl]) / (n_rad * np.cos(phi))
+        v = np.array([dxdp, dydp]) / m_rad
+        worst = max(
+            worst,
+            abs(np.dot(u, v)) / (np.linalg.norm(u) * np.linalg.norm(v)),
+            abs(np.linalg.norm(u) / np.linalg.norm(v) - 1),
+        )
+    return worst
+
+
+def test_rd_new_epsg_worked_example():
+    """EPSG Guidance Note 7-2 worked example for method 9809 (Oblique
+    Stereographic): Amersfoort / RD New, 53N 6E -> 196105.283 / 557057.739."""
+    crs = CRS.from_epsg(28992)
+    fwd, inv = crs.projection()
+    x, y = fwd(np.float64(6.0), np.float64(53.0), np)
+    assert abs(x - 196105.283) < 2e-3
+    assert abs(y - 557057.739) < 2e-3
+    # the published coordinates are rounded to mm (~3.6e-9 deg of lat)
+    lon, lat = inv(np.float64(196105.283), np.float64(557057.739), np)
+    assert abs(lon - 6.0) < 1e-7
+    assert abs(lat - 53.0) < 1e-7
+    # the exact round trip is f64-tight
+    lon, lat = inv(x, y, np)
+    assert abs(lon - 6.0) < 1e-11
+    assert abs(lat - 53.0) < 1e-11
+
+
+def test_oblique_stereographic_is_conformal():
+    """The double stereographic is conformal by construction; verify the
+    differential invariant over the Dutch domain."""
+    crs = CRS.from_epsg(28992)
+    fwd, _ = crs.projection()
+    lon, lat = _scatter((3.2, 7.2), (50.7, 53.6), n=40)
+    assert _conformality(fwd, crs.ellipsoid, lon, lat) < 1e-5
+
+
+def test_oblique_stereographic_scale_at_origin():
+    """Local linear scale at the projection origin equals k0."""
+    crs = CRS.from_epsg(28992)
+    fwd, _ = crs.projection()
+    ell = crs.ellipsoid
+    lat0, lon0 = 52.15616055555555, 5.38763888888889
+    dxdl, dydl, dxdp, dydp = _jacobian(fwd, lon0, lat0)
+    phi = np.radians(lat0)
+    w = 1 - ell.e2 * np.sin(phi) ** 2
+    k_parallel = np.hypot(dxdl, dydl) / (ell.a / np.sqrt(w) * np.cos(phi))
+    assert abs(k_parallel - 0.9999079) < 1e-7
+
+
+def test_stereographic_oblique_and_equatorial():
+    """General +proj=stere: conformality off the poles and exact
+    round-trips; a polar center stays identified with the polar variant
+    (EPSG:3413 parity)."""
+    s = CRS.from_string("+proj=stere +lat_0=59 +lon_0=18 +k=0.9999 +ellps=GRS80")
+    fwd, inv = s.projection()
+    lon, lat = _scatter((10, 26), (52, 66), n=30)
+    assert _conformality(fwd, s.ellipsoid, lon, lat) < 1e-5
+    x, y = fwd(lon, lat, np)
+    lon2, lat2 = inv(x, y, np)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=5e-9)
+
+    eq = CRS.from_string("+proj=stere +lat_0=0 +lon_0=-30 +ellps=WGS84")
+    fwd, inv = eq.projection()
+    lon, lat = _scatter((-50, -10), (-25, 25), n=30)
+    x, y = fwd(lon, lat, np)
+    lon2, lat2 = inv(x, y, np)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=5e-9)
+
+    polar = CRS.from_string(
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +ellps=WGS84"
+    )
+    ref = CRS.from_epsg(3413)
+    pf, _ = polar.projection()
+    rf, _ = ref.projection()
+    for lo, la in [(-30.0, 75.0), (10.0, 82.0), (-120.0, 68.0)]:
+        xa, ya = pf(np.float64(lo), np.float64(la), np)
+        xb, yb = rf(np.float64(lo), np.float64(la), np)
+        assert abs(xa - xb) < 1e-6 and abs(ya - yb) < 1e-6
+
+
+def test_orthographic_epsg_worked_example():
+    """EPSG Guidance Note 7-2 worked example for method 9840 (ellipsoidal
+    orthographic, WGS84, origin 55N 5E)."""
+    crs = CRS.from_cf(
+        {
+            "grid_mapping_name": "orthographic",
+            "latitude_of_projection_origin": 55.0,
+            "longitude_of_projection_origin": 5.0,
+        }
+    )
+    fwd, inv = crs.projection()
+    lat = 53 + 48 / 60 + 33.82 / 3600
+    lon = 2 + 7 / 60 + 46.38 / 3600
+    x, y = fwd(np.float64(lon), np.float64(lat), np)
+    assert abs(x - (-189011.711)) < 2e-3
+    assert abs(y - (-128640.567)) < 2e-3
+    lon2, lat2 = inv(x, y, np)
+    assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-9
+
+
+def test_orthographic_round_trip_visible_hemisphere():
+    """Newton inverse converges to f64 precision across the visible
+    hemisphere (not only near the origin)."""
+    crs = CRS.from_cf(
+        {
+            "grid_mapping_name": "orthographic",
+            "latitude_of_projection_origin": 40.0,
+            "longitude_of_projection_origin": -100.0,
+        }
+    )
+    fwd, inv = crs.projection()
+    lon, lat = _scatter((-160, -40), (-15, 85), n=150)
+    x, y = fwd(lon, lat, np)
+    lon2, lat2 = inv(x, y, np)
+    np.testing.assert_allclose(lon2, lon, atol=1e-8)
+    np.testing.assert_allclose(lat2, lat, atol=1e-8)
+
+
+def test_geostationary_goes_worked_example():
+    """GOES-R Product User Guide fixed-grid example (sweep x, GRS80,
+    lon0=-75): geodetic (33.846162N, 84.690932W) <-> scan angles
+    (x=-0.024052, y=0.095340) rad."""
+    h = 35786023.0
+    crs = CRS.from_cf(
+        {
+            "grid_mapping_name": "geostationary",
+            "perspective_point_height": h,
+            "longitude_of_projection_origin": -75.0,
+            "sweep_angle_axis": "x",
+            "semi_major_axis": 6378137.0,
+            "inverse_flattening": 298.257222096,
+        }
+    )
+    fwd, inv = crs.projection()
+    x, y = fwd(np.float64(-84.690932), np.float64(33.846162), np)
+    assert abs(x / h - (-0.024052)) < 2e-6
+    assert abs(y / h - 0.095340) < 2e-6
+    lon, lat = inv(x, y, np)
+    assert abs(lon - (-84.690932)) < 1e-6
+    assert abs(lat - 33.846162) < 1e-6
+    # sub-satellite point is the origin
+    x0, y0 = fwd(np.float64(-75.0), np.float64(0.0), np)
+    assert abs(x0) < 1e-6 and abs(y0) < 1e-6
+
+
+def test_geostationary_sweep_axes_differ_and_limb_is_nan():
+    """Sweep x vs sweep y swap the scan-angle decomposition (they agree on
+    the axes, differ off-axis); the far side of the earth is not visible."""
+    base = {
+        "grid_mapping_name": "geostationary",
+        "perspective_point_height": 35785831.0,
+        "longitude_of_projection_origin": 0.0,
+    }
+    fx, ix_ = CRS.from_cf({**base, "sweep_angle_axis": "x"}).projection()
+    fy, iy_ = CRS.from_cf({**base, "sweep_angle_axis": "y"}).projection()
+    xa, ya = fx(np.float64(30.0), np.float64(40.0), np)
+    xb, yb = fy(np.float64(30.0), np.float64(40.0), np)
+    assert abs(xa - xb) > 100.0 and abs(ya - yb) > 100.0
+    # each sweep's own inverse round-trips
+    for f, i in ((fx, ix_), (fy, iy_)):
+        x, y = f(np.float64(30.0), np.float64(40.0), np)
+        lon, lat = i(x, y, np)
+        assert abs(lon - 30.0) < 1e-8 and abs(lat - 40.0) < 1e-8
+    # antipode of the sub-satellite point: hidden behind the limb
+    x, y = fx(np.float64(180.0), np.float64(0.0), np)
+    assert np.isnan(x) and np.isnan(y)
+    # CF alternative spelling: fixed_angle_axis x == sweep_angle_axis y
+    ff, _ = CRS.from_cf({**base, "fixed_angle_axis": "x"}).projection()
+    xc, yc = ff(np.float64(30.0), np.float64(40.0), np)
+    assert abs(xc - xb) < 1e-6 and abs(yc - yb) < 1e-6
+
+
+def test_tm_south_orientated_lo_grid():
+    """Hartebeesthoek94 / Lo29 (EPSG:2053): westings/southings are the
+    negated natural TM coordinates; round-trips are exact."""
+    lo29 = CRS.from_epsg(2053)
+    fwd, inv = lo29.projection()
+    tm = CRS.from_string("+proj=tmerc +lat_0=0 +lon_0=29 +k=1 +ellps=WGS84")
+    tf, _ = tm.projection()
+    for lo, la in [(28.0, -29.0), (30.5, -33.9), (29.0, -26.2)]:
+        x, y = fwd(np.float64(lo), np.float64(la), np)
+        xe, yn = tf(np.float64(lo), np.float64(la), np)
+        assert abs(x - (-xe)) < 1e-6
+        assert abs(y - (-yn)) < 1e-6
+        lon2, lat2 = inv(x, y, np)
+        assert abs(lon2 - lo) < 1e-9 and abs(lat2 - la) < 1e-9
+    # a point west of the central meridian, south of the equator has
+    # positive westing and southing
+    x, y = fwd(np.float64(28.0), np.float64(-29.0), np)
+    assert x > 0 and y > 0
+    # proj4 spelling
+    p = CRS.from_string(
+        "+proj=tmerc +lat_0=0 +lon_0=29 +k=1 +axis=wsu +ellps=WGS84"
+    )
+    pf, _ = p.projection()
+    xa, ya = pf(np.float64(28.0), np.float64(-29.0), np)
+    assert abs(xa - x) < 1e-6 and abs(ya - y) < 1e-6
+
+
+@pytest.mark.parametrize("code", [28992, 2046, 2053])
+def test_new_families_wkt_cf_round_trip(code):
+    """to_wkt/from_wkt and to_cf/from_cf preserve the new projection
+    families' forward transforms."""
+    crs = CRS.from_epsg(code)
+    fwd, _ = crs.projection()
+    for rebuilt in (CRS.from_wkt(crs.to_wkt()), CRS.from_cf(crs.to_cf())):
+        f2, _ = rebuilt.projection()
+        x1, y1 = fwd(np.float64(20.0), np.float64(-29.0), np)
+        x2, y2 = f2(np.float64(20.0), np.float64(-29.0), np)
+        assert abs(x1 - x2) < 1e-6 and abs(y1 - y2) < 1e-6
+
+
+def test_geostationary_wkt_round_trip_keeps_sweep():
+    """The sweep axis survives the WKT round trip (it rides in the method
+    name; WKT parameters are numeric-only)."""
+    crs = CRS.from_string(
+        "+proj=geos +h=35785831 +lon_0=9.5 +sweep=x +ellps=GRS80"
+    )
+    rebuilt = CRS.from_wkt(crs.to_wkt())
+    f1, _ = crs.projection()
+    f2, _ = rebuilt.projection()
+    x1, y1 = f1(np.float64(20.0), np.float64(30.0), np)
+    x2, y2 = f2(np.float64(20.0), np.float64(30.0), np)
+    assert abs(x1 - x2) < 1e-6 and abs(y1 - y2) < 1e-6

@@ -307,11 +307,15 @@ class CRS:
                 ),
             )
         # generic projected CRS: collect numeric projection parameters
+        # (plus the two CF *string* parameters of the geostationary family)
         params = {
             k: v
             for k, v in attrs.items()
             if k not in _GEO_PARAM_KEYS and isinstance(v, (int, float, list, tuple))
         }
+        for k in ("sweep_angle_axis", "fixed_angle_axis"):
+            if isinstance(attrs.get(k), str):
+                params[k] = attrs[k]
         crs = cls(
             kind="projected",
             ellipsoid=ell,
@@ -357,9 +361,15 @@ class CRS:
                 for k, v in sorted(self._params.items())
                 if isinstance(v, (int, float))
             )
+            # WKT PARAMETER values are numeric, so the geostationary sweep
+            # axis rides in the method name (PROJ spells it the same way)
+            method = self._proj_name
+            if method == "geostationary":
+                sweep = str(self._params.get("sweep_angle_axis", "y"))
+                method = f"geostationary_sweep_{sweep}"
             body = (
                 f'PROJCRS["{self._name}",BASEGEOGCRS["{self._datum_name}",{datum}],'
-                f'CONVERSION["{self._proj_name}",METHOD["{self._proj_name}"],{params}],'
+                f'CONVERSION["{self._proj_name}",METHOD["{method}"],{params}],'
                 f'CS[Cartesian,2],AXIS["easting",east],AXIS["northing",north],'
                 f'LENGTHUNIT["metre",1]'
             )
@@ -731,6 +741,43 @@ def _epsg(code: int) -> CRS | None:
             datum_name="European Datum 1950",
             epsg=code,
         )
+    elif code == 28992:
+        from .datum import BESSEL1841
+
+        crs = CRS(
+            kind="projected",
+            ellipsoid=BESSEL1841,
+            proj_name="oblique_stereographic",
+            params={
+                "latitude_of_projection_origin": 52.15616055555555,
+                "longitude_of_projection_origin": 5.38763888888889,
+                "scale_factor_at_projection_origin": 0.9999079,
+                "false_easting": 155000.0,
+                "false_northing": 463000.0,
+            },
+            name="Amersfoort / RD New",
+            datum_name="Amersfoort",
+            epsg=28992,
+        )
+    elif 2046 <= code <= 2055:
+        # Hartebeesthoek94 / Lo15 .. Lo33 (odd central meridians, 2 deg
+        # apart), the South African south-orientated TM belt
+        lo = 15 + 2 * (code - 2046)
+        crs = CRS(
+            kind="projected",
+            ellipsoid=WGS84,
+            proj_name="transverse_mercator_south_orientated",
+            params={
+                "scale_factor_at_central_meridian": 1.0,
+                "longitude_of_central_meridian": float(lo),
+                "latitude_of_projection_origin": 0.0,
+                "false_easting": 0.0,
+                "false_northing": 0.0,
+            },
+            name=f"Hartebeesthoek94 / Lo{lo}",
+            datum_name="Hartebeesthoek94",
+            epsg=code,
+        )
     if crs is not None:
         _EPSG_CACHE[code] = crs
     return crs
@@ -742,7 +789,7 @@ def _match_epsg(crs: CRS) -> int | None:
     equal to CRS.from_epsg(32632))."""
     candidates: list[int] = [
         4326, 4258, 4269, 4230, 4277, 4301, 4267, 3035, 3857, 3395, 3031,
-        3413, 2154, 6933, 3034, 27700,
+        3413, 2154, 6933, 3034, 27700, 28992,
     ]
     if crs.is_projected and crs.proj_name == "transverse_mercator":
         lon0 = crs._params.get("longitude_of_central_meridian")

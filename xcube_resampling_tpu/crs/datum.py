@@ -141,6 +141,11 @@ TOWGS84_BY_DATUM = {
     "north_american_datum_1927": (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0),
     "nad27": (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0),
     "pulkovo_1942": (23.92, -141.27, -80.9, 0.0, 0.35, 0.82, -0.12),
+    # EPSG 15934 (Amersfoort to ETRS89), the RD New datum
+    "amersfoort": (
+        565.4171, 50.3319, 465.5524, -0.398957, 0.343988, -1.8774, 4.0725,
+    ),
+    "hartebeesthoek94": _ZERO7,
     "world_geodetic_system_1972": (0.0, 0.0, 4.5, 0.0, 0.0, 0.554, 0.2263),
     "wgs_72": (0.0, 0.0, 4.5, 0.0, 0.0, 0.554, 0.2263),
 }

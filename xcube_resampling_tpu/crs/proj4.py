@@ -53,7 +53,10 @@ _PROJ = {
     "webmerc": "pseudo_mercator",
     "lcc": "lambert_conformal_conic",
     "aea": "albers_conical_equal_area",
-    "stere": "polar_stereographic",
+    "stere": "stereographic",
+    "sterea": "oblique_stereographic",
+    "ortho": "orthographic",
+    "geos": "geostationary",
     "cea": "lambert_cylindrical_equal_area",
     "sinu": "sinusoidal",
     "ob_tran": "rotated_latitude_longitude",
@@ -175,13 +178,15 @@ def crs_from_proj4(text: str):
         for src_key, dst_key in mapping.items():
             if src_key in kv:
                 generic[dst_key] = float(kv[src_key])
-        if proj == "stere":
-            lat_0 = generic.get("lat_0", 0.0)
-            if abs(lat_0) != 90.0:
-                raise ValueError(
-                    "+proj=stere is only supported in its polar form "
-                    "(lat_0=+/-90)"
-                )
+        if proj == "geos":
+            if "h" not in kv:
+                raise ValueError("+proj=geos needs +h=<satellite height>")
+            generic["h"] = float(kv["h"])
+            generic["sweep"] = str(kv.get("sweep", "y"))
+        if proj == "tmerc" and str(kv.get("axis", "enu")) == "wsu":
+            # the South African LO convention (+axis=wsu): westings and
+            # southings -> the EPSG 9808 south-orientated TM family
+            family = "transverse_mercator_south_orientated"
         if proj == "ob_tran":
             # rotated lon/lat: +o_proj=longlat +o_lat_p +o_lon_p +lon_0
             if str(kv.get("o_proj", "longlat")) not in (

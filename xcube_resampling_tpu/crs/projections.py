@@ -712,6 +712,379 @@ def make_sinusoidal(params: dict, ell: Ellipsoid):
 
 
 # ---------------------------------------------------------------------------
+# Stereographic, oblique / equatorial (Snyder SS21, ellipsoidal)
+# ---------------------------------------------------------------------------
+
+
+def make_stereographic(params: dict, ell: Ellipsoid):
+    """General stereographic: polar centers delegate to the polar variant;
+    oblique/equatorial centers use Snyder's conformal-latitude formulation
+    (Snyder 21-27..21-39) — PROJ's ``+proj=stere`` semantics.
+
+    The reference accepts these through PROJ
+    (/root/reference/xcube_resampling/reproject.py:124-126)."""
+    lat0 = float(params.get("latitude_of_projection_origin", 0.0))
+    if abs(lat0) >= 89.999:
+        return make_polar_stereographic(params, ell)
+    lon0 = float(params.get("longitude_of_projection_origin", 0.0))
+    k0 = float(params.get("scale_factor_at_projection_origin", 1.0))
+    fe = float(params.get("false_easting", 0.0))
+    fn = float(params.get("false_northing", 0.0))
+    a, e, e2 = ell.a, ell.e, ell.e2
+    lam0 = math.radians(lon0)
+    phi1 = math.radians(lat0)
+
+    def _chi_scalar(phi: float) -> float:
+        es = e * math.sin(phi)
+        return (
+            2.0
+            * math.atan(
+                math.tan(math.pi / 4 + phi / 2)
+                * ((1 - es) / (1 + es)) ** (e / 2)
+            )
+            - math.pi / 2
+        )
+
+    chi1 = _chi_scalar(phi1)
+    sin_chi1, cos_chi1 = math.sin(chi1), math.cos(chi1)
+    m1 = math.cos(phi1) / math.sqrt(1 - e2 * math.sin(phi1) ** 2)
+    ak = 2.0 * a * k0 * m1
+
+    def forward(lon, lat, xp):
+        lam = _d2r(xp, lon)
+        phi = _d2r(xp, lat)
+        es = e * xp.sin(phi)
+        chi = (
+            2.0
+            * xp.arctan(
+                xp.tan(math.pi / 4 + phi / 2)
+                * ((1 - es) / (1 + es)) ** (e / 2)
+            )
+            - math.pi / 2
+        )
+        dlam = (lam - lam0 + math.pi) % (2 * math.pi) - math.pi
+        s, c = xp.sin(chi), xp.cos(chi)
+        big_a = ak / (
+            cos_chi1 * (1 + sin_chi1 * s + cos_chi1 * c * xp.cos(dlam))
+        )
+        x = big_a * c * xp.sin(dlam)
+        y = big_a * (cos_chi1 * s - sin_chi1 * c * xp.cos(dlam))
+        return fe + x, fn + y
+
+    def inverse(x, y, xp):
+        xr = x - fe
+        yr = y - fn
+        rho = xp.sqrt(xr * xr + yr * yr)
+        ce = 2.0 * xp.arctan2(rho * cos_chi1, ak)
+        s_ce, c_ce = xp.sin(ce), xp.cos(ce)
+        origin = rho < 1e-12
+        rho_s = xp.where(origin, 1.0, rho)
+        chi = xp.arcsin(
+            xp.clip(
+                c_ce * sin_chi1 + yr * s_ce * cos_chi1 / rho_s, -1.0, 1.0
+            )
+        )
+        chi = xp.where(origin, chi1, chi)
+        phi = _conformal_to_geodetic(chi, e2, xp)
+        dlam = xp.arctan2(
+            xr * s_ce, rho_s * cos_chi1 * c_ce - yr * sin_chi1 * s_ce
+        )
+        lam = lam0 + xp.where(origin, 0.0, dlam)
+        lam = (lam + math.pi) % (2 * math.pi) - math.pi
+        return _r2d(xp, lam), _r2d(xp, phi)
+
+    return forward, inverse
+
+
+# ---------------------------------------------------------------------------
+# Oblique (double) Stereographic — EPSG 9809 / PROJ sterea (RD New et al.)
+# ---------------------------------------------------------------------------
+
+
+def make_oblique_stereographic(params: dict, ell: Ellipsoid):
+    """EPSG method 9809: stereographic projection of a conformal sphere
+    (Roussilhe / 'double stereographic'); the method of Amersfoort / RD
+    New (EPSG:28992) and other national grids.  Constants follow EPSG
+    Guidance Note 7-2; the inverse recovers geodetic latitude from the
+    isometric latitude with a fixed-count contraction (converges to f64
+    machine precision in <=5 steps for earth ellipsoids)."""
+    lat0 = float(params.get("latitude_of_projection_origin", 0.0))
+    lon0 = float(params.get("longitude_of_projection_origin", 0.0))
+    k0 = float(params.get("scale_factor_at_projection_origin", 1.0))
+    fe = float(params.get("false_easting", 0.0))
+    fn = float(params.get("false_northing", 0.0))
+    a, e, e2 = ell.a, ell.e, ell.e2
+    phi0 = math.radians(lat0)
+    lam0 = math.radians(lon0)
+
+    s0, c0 = math.sin(phi0), math.cos(phi0)
+    rho0 = a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+    nu0 = a / math.sqrt(1 - e2 * s0 * s0)
+    r_sph = math.sqrt(rho0 * nu0)
+    n_c = math.sqrt(1 + e2 * c0**4 / (1 - e2))
+    s1 = (1 + s0) / (1 - s0)
+    s2 = (1 - e * s0) / (1 + e * s0)
+    w1 = (s1 * s2**e) ** n_c
+    sin_chi00 = (w1 - 1) / (w1 + 1)
+    c_c = (n_c + s0) * (1 - sin_chi00) / ((n_c - s0) * (1 + sin_chi00))
+    w2 = c_c * w1
+    chi0 = math.asin((w2 - 1) / (w2 + 1))
+    sin_chi0, cos_chi0 = math.sin(chi0), math.cos(chi0)
+    two_rk = 2.0 * r_sph * k0
+
+    def forward(lon, lat, xp):
+        lam = _d2r(xp, lon)
+        phi = _d2r(xp, lat)
+        dlam = (lam - lam0 + math.pi) % (2 * math.pi) - math.pi
+        big_lam = n_c * dlam
+        es = e * xp.sin(phi)
+        sa = (1 + xp.sin(phi)) / (1 - xp.sin(phi))
+        sb = (1 - es) / (1 + es)
+        w = c_c * (sa * sb**e) ** n_c
+        sin_chi = (w - 1) / (w + 1)
+        cos_chi = xp.sqrt(xp.clip(1.0 - sin_chi * sin_chi, 0.0, 1.0))
+        b = 1 + sin_chi * sin_chi0 + cos_chi * cos_chi0 * xp.cos(big_lam)
+        x = two_rk * cos_chi * xp.sin(big_lam) / b
+        y = two_rk * (
+            sin_chi * cos_chi0 - cos_chi * sin_chi0 * xp.cos(big_lam)
+        ) / b
+        return fe + x, fn + y
+
+    g_c = two_rk * math.tan(math.pi / 4 - chi0 / 2)
+    h_c = 2.0 * two_rk * math.tan(chi0) + g_c
+
+    def inverse(x, y, xp):
+        xr = x - fe
+        yr = y - fn
+        i_c = xp.arctan2(xr, h_c + yr)
+        j_c = xp.arctan2(xr, g_c - yr) - i_c
+        chi = chi0 + 2.0 * xp.arctan(
+            (yr - xr * xp.tan(j_c / 2.0)) / two_rk
+        )
+        big_lam = j_c + 2.0 * i_c
+        lam = big_lam / n_c + lam0
+        # isometric latitude on the ellipsoid from the conformal sphere
+        psi = (
+            xp.log((1 + xp.sin(chi)) / (c_c * (1 - xp.sin(chi)))) / (2.0 * n_c)
+        )
+        phi = 2.0 * xp.arctan(xp.exp(psi)) - math.pi / 2
+        for _ in range(6):
+            es = e * xp.sin(phi)
+            psi_i = xp.log(
+                xp.tan(phi / 2 + math.pi / 4) * ((1 - es) / (1 + es)) ** (e / 2)
+            )
+            phi = phi + (psi - psi_i) * xp.cos(phi) * (1 - es * es) / (1 - e2)
+        lam = (lam + math.pi) % (2 * math.pi) - math.pi
+        return _r2d(xp, lam), _r2d(xp, phi)
+
+    return forward, inverse
+
+
+# ---------------------------------------------------------------------------
+# Orthographic — EPSG 9840 (ellipsoidal), analytic-Jacobian Newton inverse
+# ---------------------------------------------------------------------------
+
+
+def make_orthographic(params: dict, ell: Ellipsoid):
+    """Ellipsoidal orthographic (EPSG 9840).  The forward is closed-form;
+    the inverse seeds with the spherical closed form and refines with a
+    fixed-count Newton solve whose Jacobian is ANALYTIC (no finite
+    differences, so the loop is float32-safe on device and converges to
+    machine precision inside the limb)."""
+    lat0 = float(params.get("latitude_of_projection_origin", 0.0))
+    lon0 = float(params.get("longitude_of_projection_origin", 0.0))
+    fe = float(params.get("false_easting", 0.0))
+    fn = float(params.get("false_northing", 0.0))
+    a, e2 = ell.a, ell.e2
+    phi0 = math.radians(lat0)
+    lam0 = math.radians(lon0)
+    s0, c0 = math.sin(phi0), math.cos(phi0)
+    nu0 = a / math.sqrt(1 - e2 * s0 * s0)
+
+    def _fwd_rad(lam, phi, xp):
+        s, c = xp.sin(phi), xp.cos(phi)
+        nu = a / xp.sqrt(1 - e2 * s * s)
+        dlam = (lam - lam0 + math.pi) % (2 * math.pi) - math.pi
+        x = nu * c * xp.sin(dlam)
+        y = nu * (s * c0 - c * s0 * xp.cos(dlam)) + e2 * (
+            nu0 * s0 - nu * s
+        ) * c0
+        return x, y
+
+    def forward(lon, lat, xp):
+        x, y = _fwd_rad(_d2r(xp, lon), _d2r(xp, lat), xp)
+        return fe + x, fn + y
+
+    def inverse(x, y, xp):
+        xr = x - fe
+        yr = y - fn
+        # spherical seed (Snyder 20-14..20-17)
+        rho = xp.sqrt(xr * xr + yr * yr)
+        rho_c = xp.clip(rho, 0.0, a * (1 - 1e-12))
+        cc = xp.arcsin(rho_c / a)
+        s_c, c_cos = xp.sin(cc), xp.cos(cc)
+        rho_s = xp.where(rho < 1e-9, 1.0, rho)
+        phi = xp.arcsin(
+            xp.clip(c_cos * s0 + yr * s_c * c0 / rho_s, -1.0, 1.0)
+        )
+        lam = lam0 + xp.arctan2(
+            xr * s_c, rho_s * c_cos * c0 - yr * s_c * s0
+        )
+        phi = xp.where(rho < 1e-9, phi0, phi)
+        lam = xp.where(rho < 1e-9, lam0, lam)
+        # Newton refinement with the exact Jacobian of the ellipsoidal
+        # forward: d(nu)/dphi = a e2 s c W^-3
+        for _ in range(6):
+            s, c = xp.sin(phi), xp.cos(phi)
+            w2 = 1 - e2 * s * s
+            nu = a / xp.sqrt(w2)
+            dnu = a * e2 * s * c / w2**1.5
+            dlam = (lam - lam0 + math.pi) % (2 * math.pi) - math.pi
+            sl, cl = xp.sin(dlam), xp.cos(dlam)
+            fx = nu * c * sl - xr
+            fy = nu * (s * c0 - c * s0 * cl) + e2 * (nu0 * s0 - nu * s) * c0 - yr
+            j11 = nu * c * cl  # dE/dlam
+            j12 = (dnu * c - nu * s) * sl  # dE/dphi
+            j21 = nu * c * s0 * sl  # dN/dlam
+            j22 = (
+                (dnu * s + nu * c) * c0 * (1 - e2)
+                - (dnu * c - nu * s) * s0 * cl
+            )  # dN/dphi
+            det = j11 * j22 - j12 * j21
+            det = xp.where(xp.abs(det) < 1e-30, 1e-30, det)
+            lam = lam - xp.clip((fx * j22 - fy * j12) / det, -0.1, 0.1)
+            phi = phi - xp.clip((fy * j11 - fx * j21) / det, -0.1, 0.1)
+        lam = (lam + math.pi) % (2 * math.pi) - math.pi
+        return _r2d(xp, lam), _r2d(xp, phi)
+
+    return forward, inverse
+
+
+# ---------------------------------------------------------------------------
+# Geostationary satellite view — PROJ geos (SEVIRI / GOES grids)
+# ---------------------------------------------------------------------------
+
+
+def make_geostationary(params: dict, ell: Ellipsoid):
+    """Geostationary satellite projection (CGMS LRIT/HRIT normalized
+    geostationary; CF ``geostationary``).  Scan-angle coordinates times
+    satellite height, sweep axis ``x`` (GOES-R) or ``y`` (MSG SEVIRI);
+    both forward and inverse are closed-form (the inverse solves the
+    view-ray/ellipsoid intersection quadratic), so the pair runs fused on
+    device like every other family here."""
+    h = float(
+        params.get(
+            "perspective_point_height", params.get("satellite_height", 35785831.0)
+        )
+    )
+    lon0 = float(params.get("longitude_of_projection_origin", 0.0))
+    fe = float(params.get("false_easting", 0.0))
+    fn = float(params.get("false_northing", 0.0))
+    sweep = str(params.get("sweep_angle_axis", "y")).lower()
+    if "fixed_angle_axis" in params and "sweep_angle_axis" not in params:
+        # CF alternative spelling: fixed x <=> sweep y and vice versa
+        sweep = "y" if str(params["fixed_angle_axis"]).lower() == "x" else "x"
+    if sweep not in ("x", "y"):
+        raise ValueError(f"geostationary: invalid sweep_angle_axis {sweep!r}")
+    a, e2 = ell.a, ell.e2
+    lam0 = math.radians(lon0)
+    radius_g_1 = h / a
+    radius_g = 1.0 + radius_g_1
+    radius_p = ell.b / a
+    radius_p2 = radius_p * radius_p
+    radius_p_inv2 = 1.0 / radius_p2
+    big_c = radius_g * radius_g - 1.0
+
+    def forward(lon, lat, xp):
+        lam = _d2r(xp, lon)
+        phi = _d2r(xp, lat)
+        dlam = (lam - lam0 + math.pi) % (2 * math.pi) - math.pi
+        # geocentric latitude and radius of the surface point
+        phi_c = xp.arctan(radius_p2 * xp.tan(phi))
+        s_c, c_c = xp.sin(phi_c), xp.cos(phi_c)
+        r = radius_p / xp.sqrt(
+            radius_p2 * c_c * c_c + s_c * s_c
+        )
+        vx = r * xp.cos(dlam) * c_c
+        vy = r * xp.sin(dlam) * c_c
+        vz = r * s_c
+        # points hidden behind the limb are not visible from the satellite
+        visible = (
+            (radius_g - vx) * vx - vy * vy - vz * vz * radius_p_inv2
+        ) >= 0.0
+        tmp = radius_g - vx
+        if sweep == "x":
+            x = radius_g_1 * xp.arctan(vy / xp.sqrt(vz * vz + tmp * tmp))
+            y = radius_g_1 * xp.arctan(vz / tmp)
+        else:
+            x = radius_g_1 * xp.arctan(vy / tmp)
+            y = radius_g_1 * xp.arctan(vz / xp.sqrt(vy * vy + tmp * tmp))
+        nan = float("nan")
+        x = xp.where(visible, x, nan)
+        y = xp.where(visible, y, nan)
+        return fe + a * x, fn + a * y
+
+    def inverse(x, y, xp):
+        xs = (x - fe) / (a * radius_g_1)
+        ys = (y - fn) / (a * radius_g_1)
+        # unit view vector from the satellite
+        if sweep == "x":
+            vz = xp.tan(ys)
+            vy = xp.tan(xs) * xp.sqrt(1.0 + vz * vz)
+        else:
+            vy = xp.tan(xs)
+            vz = xp.tan(ys) * xp.sqrt(1.0 + vy * vy)
+        # ray/ellipsoid intersection: nearest root of the quadratic
+        az = vz * vz * radius_p_inv2 + vy * vy + 1.0
+        bz = 2.0 * radius_g
+        det = bz * bz - 4.0 * az * big_c
+        hit = det >= 0.0
+        det = xp.where(hit, det, 0.0)
+        k = (bz - xp.sqrt(det)) / (2.0 * az)
+        vx = radius_g - k
+        vy = vy * k
+        vz = vz * k
+        dlam = xp.arctan2(vy, vx)
+        phi = xp.arctan(vz * xp.cos(dlam) / vx)
+        phi = xp.arctan(radius_p_inv2 * xp.tan(phi))
+        nan = float("nan")
+        lam = (lam0 + dlam + math.pi) % (2 * math.pi) - math.pi
+        return (
+            _r2d(xp, xp.where(hit, lam, nan)),
+            _r2d(xp, xp.where(hit, phi, nan)),
+        )
+
+    return forward, inverse
+
+
+# ---------------------------------------------------------------------------
+# Transverse Mercator (South Orientated) — EPSG 9808 (South African LO)
+# ---------------------------------------------------------------------------
+
+
+def make_transverse_mercator_south_orientated(params: dict, ell: Ellipsoid):
+    """EPSG 9808: the South African coordinate system — a transverse
+    Mercator whose axes point WEST (westings) and SOUTH (southings).
+    Implemented as the sign-flipped Krüger-series TM, so it inherits the
+    sub-nanometer series accuracy."""
+    inner = dict(params)
+    fe = float(inner.pop("false_easting", 0.0))
+    fn = float(inner.pop("false_northing", 0.0))
+    inner["false_easting"] = 0.0
+    inner["false_northing"] = 0.0
+    tm_fwd, tm_inv = make_transverse_mercator(inner, ell)
+
+    def forward(lon, lat, xp):
+        x, y = tm_fwd(lon, lat, xp)
+        return fe - x, fn - y
+
+    def inverse(x, y, xp):
+        return tm_inv(fe - x, fn - y, xp)
+
+    return forward, inverse
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -725,6 +1098,13 @@ PROJECTION_FACTORIES = {
     "polar_stereographic": make_polar_stereographic,
     "lambert_cylindrical_equal_area": make_lambert_cylindrical_equal_area,
     "sinusoidal": make_sinusoidal,
+    "stereographic": make_stereographic,
+    "oblique_stereographic": make_oblique_stereographic,
+    "orthographic": make_orthographic,
+    "geostationary": make_geostationary,
+    "transverse_mercator_south_orientated": (
+        make_transverse_mercator_south_orientated
+    ),
 }
 
 

@@ -203,6 +203,25 @@ _METHODS = {
     "cylindrical_equal_area": "lambert_cylindrical_equal_area",
     "sinusoidal": "sinusoidal",
     "rotated_latitude_longitude": "rotated_latitude_longitude",
+    "stereographic": "stereographic",
+    "oblique_stereographic": "oblique_stereographic",
+    "double_stereographic": "oblique_stereographic",
+    "roussilhe": "oblique_stereographic",
+    "orthographic": "orthographic",
+    "orthographic_geocentric": "orthographic",
+    "geostationary": "geostationary",
+    "geostationary_satellite": "geostationary",
+    "geostationary_satellite_sweep_x": "geostationary_sweep_x",
+    "geostationary_sweep_x": "geostationary_sweep_x",
+    "geostationary_satellite_sweep_y": "geostationary_sweep_y",
+    "geostationary_sweep_y": "geostationary_sweep_y",
+    "transverse_mercator_south_orientated": (
+        "transverse_mercator_south_orientated"
+    ),
+    "transverse_mercator_south_oriented": (
+        "transverse_mercator_south_orientated"
+    ),
+    "gauss_conform_south_orientated": "transverse_mercator_south_orientated",
 }
 
 #: EPSG/WKT1/proj parameter name -> generic key
@@ -246,6 +265,9 @@ _PARAMS = {
     "false_northing": ("y_0", False),
     "northing_at_false_origin": ("y_0", False),
     "northing_at_projection_centre": ("y_0", False),
+    "satellite_height": ("h", False),
+    "perspective_point_height": ("h", False),
+    "height": ("h", False),
 }
 
 
@@ -343,6 +365,58 @@ def build_projected_params(family: str, g: dict) -> tuple[str, dict]:
     if family == "sinusoidal":
         return "sinusoidal", {
             "longitude_of_projection_origin": lon_0,
+            "false_easting": x_0,
+            "false_northing": y_0,
+        }
+    if family == "stereographic":
+        if abs(lat_0) >= 89.999:
+            # polar center: same CRS identity as the polar_stereographic
+            # method so EPSG matching (3031/3413/...) keeps working
+            return build_projected_params("polar_stereographic", g)
+        return "stereographic", {
+            "latitude_of_projection_origin": lat_0,
+            "longitude_of_projection_origin": lon_0,
+            "scale_factor_at_projection_origin": k_0,
+            "false_easting": x_0,
+            "false_northing": y_0,
+        }
+    if family == "oblique_stereographic":
+        return "oblique_stereographic", {
+            "latitude_of_projection_origin": lat_0,
+            "longitude_of_projection_origin": lon_0,
+            "scale_factor_at_projection_origin": k_0,
+            "false_easting": x_0,
+            "false_northing": y_0,
+        }
+    if family == "orthographic":
+        return "orthographic", {
+            "latitude_of_projection_origin": lat_0,
+            "longitude_of_projection_origin": lon_0,
+            "false_easting": x_0,
+            "false_northing": y_0,
+        }
+    if family in (
+        "geostationary", "geostationary_sweep_x", "geostationary_sweep_y"
+    ):
+        if "h" not in g:
+            raise ValueError(
+                "geostationary needs a satellite height parameter"
+            )
+        sweep = "x" if family.endswith("_x") else (
+            "y" if family.endswith("_y") else str(g.get("sweep", "y"))
+        )
+        return "geostationary", {
+            "perspective_point_height": float(g["h"]),
+            "longitude_of_projection_origin": lon_0,
+            "sweep_angle_axis": sweep,
+            "false_easting": x_0,
+            "false_northing": y_0,
+        }
+    if family == "transverse_mercator_south_orientated":
+        return "transverse_mercator_south_orientated", {
+            "scale_factor_at_central_meridian": k_0,
+            "longitude_of_central_meridian": lon_0,
+            "latitude_of_projection_origin": lat_0,
             "false_easting": x_0,
             "false_northing": y_0,
         }
