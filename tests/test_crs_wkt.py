@@ -145,10 +145,23 @@ def test_wkt_unsupported_method_raises():
     wkt = """PROJCS["x", GEOGCS["WGS 84", DATUM["WGS_1984",
         SPHEROID["WGS 84",6378137,298.257223563]],
         PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
-        PROJECTION["Orthographic"],
+        PROJECTION["Azimuthal_Equidistant"],
         PARAMETER["central_meridian",0], UNIT["metre",1]]"""
-    with pytest.raises(CRSError, match="[Oo]rthographic"):
+    with pytest.raises(CRSError, match="[Aa]zimuthal"):
         CRS.from_wkt(wkt)
+
+
+def test_wkt_orthographic_parses():
+    """Orthographic joined the supported families in round 3; the WKT
+    front door must now accept it rather than raise."""
+    wkt = """PROJCS["x", GEOGCS["WGS 84", DATUM["WGS_1984",
+        SPHEROID["WGS 84",6378137,298.257223563]],
+        PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+        PROJECTION["Orthographic"],
+        PARAMETER["latitude_of_origin",40],
+        PARAMETER["central_meridian",-75], UNIT["metre",1]]"""
+    crs = CRS.from_wkt(wkt)
+    assert crs.is_projected
 
 
 def test_from_cf_full_wkt_without_epsg_id():
@@ -196,7 +209,7 @@ def test_proj4_tmerc_explicit():
 
 def test_proj4_unsupported_raises():
     with pytest.raises(CRSError):
-        CRS.from_proj4("+proj=ortho +lon_0=0")
+        CRS.from_proj4("+proj=aeqd +lon_0=0")
 
 
 def test_urn_form():

@@ -754,6 +754,9 @@ def _phase_a_tiled_jit():
     return _PHASE_A_TILED_JIT
 
 
+_PHASE_A_APPLY_JITS = {}
+
+
 def _build_phase_a_apply(
     *, tile, nqi, n_tj, n_ti, dst_h, dst_w, win_all, win_band, has_host
 ):
@@ -762,13 +765,20 @@ def _build_phase_a_apply(
     scattered over its tile ids, host-exception block injection, and the
     (T, t, t) -> (2, Hp, Wp) assembly.  Per-geometry arrays arrive as
     arguments so the compiled executable is shared across geometries with
-    equal bucket shapes.
+    equal bucket shapes — and the jit itself is cached at module level on
+    the static config, so a new plan for the same geometry class reuses
+    the traced/compiled program instead of retracing per call.
 
     Scatter note: band/host tile lists are padded by repeating their last
     entry; duplicate ``.at[].set`` indices then write identical values, so
     the result is deterministic."""
     import jax
     import jax.numpy as jnp
+
+    key = (tile, nqi, n_tj, n_ti, dst_h, dst_w, win_all, win_band, has_host)
+    cached = _PHASE_A_APPLY_JITS.get(key)
+    if cached is not None:
+        return cached
 
     def full(gx, gy, uvd, a_tjs, a_tis, a_bjs, a_bis, *rest):
         pos = 0
@@ -795,7 +805,9 @@ def _build_phase_a_apply(
         full_map = jnp.stack([o_i.reshape(hp, wp), o_j.reshape(hp, wp)])
         return full_map[:, :dst_h, :dst_w]
 
-    return jax.jit(full)
+    jitted = jax.jit(full)
+    _PHASE_A_APPLY_JITS[key] = jitted
+    return jitted
 
 
 def _dilate1(m: np.ndarray) -> np.ndarray:
@@ -877,10 +889,13 @@ class PhaseAPlan:
         once per geometry; callers may keep them resident)."""
         import jax.numpy as jnp
 
-        return (
-            jnp.asarray(self.gx_p, dtype=self.dtype),
-            jnp.asarray(self.gy_p, dtype=self.dtype),
-        )
+        from ..profiling import GLOBAL_TIMER as _T
+
+        with _T("phase_a.stage"):
+            return (
+                jnp.asarray(self.gx_p, dtype=self.dtype),
+                jnp.asarray(self.gy_p, dtype=self.dtype),
+            )
 
     def apply(self, gx_d, gy_d):
         """Device Phase A: all tile classes, scatter of exception tiles,
@@ -889,6 +904,8 @@ class PhaseAPlan:
         remote-compile tunnel).  All per-geometry arrays are arguments,
         not closure constants, so geometries sharing bucket sizes reuse
         the compiled executable (and the persistent compile cache)."""
+        from ..profiling import GLOBAL_TIMER as _T
+
         if getattr(self, "_apply_jit", None) is None:
             self._apply_jit = _build_phase_a_apply(
                 tile=self.tile,
@@ -917,7 +934,8 @@ class PhaseAPlan:
         if self.host_blocks is not None:
             sel, blocks = self.host_blocks
             args += [sel, blocks[0], blocks[1]]
-        return self._apply_jit(*args)
+        with _T("phase_a.apply_dispatch"):
+            return self._apply_jit(*args)
 
     def as_numpy(self, out_d) -> np.ndarray:
         """Fetch + restore absolute indices (float64); ``apply`` already
