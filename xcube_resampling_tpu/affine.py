@@ -1,12 +1,18 @@
 """Affine resampling engine (same-CRS regular -> regular grids).
 
-Behavioural port of reference affine.py:52-363 with the compute tier
-redesigned for TPU: instead of dask_image's per-block scipy spline kernel,
-the whole transform is one vectorized gather (:mod:`..ops.gather`) plus a
-window reduction (:mod:`..ops.coarsen_ops`) for the downscale split — both
-trace into a single fused XLA kernel on device, or run in float64 numpy on
-the host.  NaN recovery is the same two-pass mask trick as the reference
-(affine.py:344-360).
+Behavioral parity: reference affine.py:52-363.  The compute tier is
+redesigned for TPU: instead of dask_image's per-block scipy spline
+kernel, the whole transform is one vectorized gather
+(:mod:`..ops.gather`) plus a window reduction
+(:mod:`..ops.coarsen_ops`) for the downscale split — both trace into a
+single fused XLA kernel on device, or run in float64 numpy on the host.
+
+Structure: the dataset-level entry points classify variables, then each
+spatial variable flows through a small pipeline —
+``_scale_split`` (integral window + residual matrix) ->
+``_gather_resample`` (the device/host gather, with the two-pass NaN
+recovery trick of reference affine.py:344-360) ->
+``coarsen_ops.coarsen`` for the integral part.
 """
 
 from __future__ import annotations
@@ -40,6 +46,13 @@ from .utils import (
 )
 from .xrlite import DataArray, Dataset
 
+_HIGH_ORDER_MSG = (
+    "interp_methods must be one of 0, 1, 'nearest', 'bilinear'. "
+    "Higher order is not supported for 3D arrays in affine transforms, "
+    "as it causes unintended blending across the non-spatial (e.g., time) "
+    "dimension."
+)
+
 
 def affine_transform_dataset(
     source_ds: Dataset,
@@ -65,10 +78,8 @@ def affine_transform_dataset(
         f"{source_gm.crs.name!r} and target CRS {target_gm.crs.name!r}"
     )
 
-    source_ds = _select_variables(source_ds, variables)
-
-    target_ds = resample_dataset(
-        source_ds,
+    out = resample_dataset(
+        _select_variables(source_ds, variables),
         target_gm.ij_transform_to(source_gm),
         (source_gm.xy_dim_names[1], source_gm.xy_dim_names[0]),
         target_gm.size,
@@ -78,14 +89,10 @@ def affine_transform_dataset(
         recover_nans,
         fill_values,
     )
-
-    # assign coordinates from the target grid mapping
     x_name, y_name = target_gm.xy_var_names
-    target_ds = target_ds.assign_coords(
+    return out.assign_coords(
         {x_name: target_gm.x_coords, y_name: target_gm.y_coords}
     )
-
-    return target_ds
 
 
 def resample_dataset(
@@ -99,57 +106,69 @@ def resample_dataset(
     recover_nans: RecoverNans = False,
     fill_values: FillValues | None = None,
 ) -> Dataset:
-    """Resample all variables with trailing *yx_dims* through the affine
-    matrix; other variables are copied (1D-spatial variables are dropped),
-    matching reference affine.py:140-240."""
-    data_vars = dict()
-    coords = dict()
-    for var_name, data_array in dataset.variables.items():
-        new_data_array = None
-        if data_array.dims[-2:] == tuple(yx_dims):
-            array = data_array.data
-            output_shape = tuple(array.shape[:-2]) + (target_size[1], target_size[0])
+    """Resample every variable whose trailing dims are *yx_dims* through
+    the affine matrix.  Non-spatial variables are copied; variables that
+    use only one of the two spatial dims (1D coords etc.) are dropped —
+    same classification as reference affine.py:140-240."""
+    out_w, out_h = target_size
+    buckets = {"coords": {}, "data_vars": {}}
+
+    for name, var in dataset.variables.items():
+        if var.dims[-2:] == tuple(yx_dims):
+            shape = var.data.shape[:-2] + (out_h, out_w)
             with TIMER("affine.resample"):
-                resampled_array = _resample_array(
-                    array,
+                data = _resample_array(
+                    var.data,
                     affine_matrix,
-                    output_shape,
-                    _get_interp_method_int(
-                        interp_methods, var_name, data_array
-                    ),
-                    _get_agg_method(agg_methods, var_name, data_array),
-                    _get_recover_nan(recover_nans, var_name, data_array),
-                    _get_fill_value(fill_values, var_name, data_array),
+                    shape,
+                    _get_interp_method_int(interp_methods, name, var),
+                    _get_agg_method(agg_methods, name, var),
+                    _get_recover_nan(recover_nans, name, var),
+                    _get_fill_value(fill_values, name, var),
                 )
-            chunks = _output_chunks(
-                data_array, output_shape, target_tile_size
+            replacement = DataArray(
+                data=data,
+                dims=var.dims,
+                attrs=dict(var.attrs),
+                chunks=_output_chunks(var, shape, target_tile_size),
             )
-            new_data_array = DataArray(
-                data=resampled_array,
-                dims=data_array.dims,
-                attrs=dict(data_array.attrs),
-                chunks=chunks,
-            )
-        elif yx_dims[0] not in data_array.dims and yx_dims[1] not in data_array.dims:
-            new_data_array = data_array
-        if new_data_array is not None:
-            if var_name in dataset.coords:
-                coords[var_name] = new_data_array
-            elif var_name in dataset.data_vars:
-                data_vars[var_name] = new_data_array
+        elif yx_dims[0] in var.dims or yx_dims[1] in var.dims:
+            continue  # partial spatial dependence: drop
+        else:
+            replacement = var
 
-    return Dataset(data_vars=data_vars, coords=coords, attrs=dict(dataset.attrs))
+        kind = "coords" if name in dataset.coords else "data_vars"
+        if kind == "data_vars" and name not in dataset.data_vars:
+            continue
+        buckets[kind][name] = replacement
+
+    return Dataset(
+        data_vars=buckets["data_vars"],
+        coords=buckets["coords"],
+        attrs=dict(dataset.attrs),
+    )
 
 
-def _output_chunks(data_array, output_shape, target_tile_size):
+def _output_chunks(var, output_shape, target_tile_size):
     """Chunk metadata for a resampled variable: leading dims keep their
     first chunk size, spatial dims take the target tile size."""
-    lead = []
-    if data_array.chunks is not None:
-        lead = [c[0] for c in data_array.chunks[:-2]]
+    if var.chunks is not None:
+        lead = tuple(c[0] for c in var.chunks[:-2])
     else:
-        lead = list(output_shape[:-2])
-    return tuple(lead) + (target_tile_size[1], target_tile_size[0])
+        lead = tuple(output_shape[:-2])
+    return lead + (target_tile_size[1], target_tile_size[0])
+
+
+def _scale_split(affine_matrix: AffineTransformMatrix):
+    """Split a downscaling matrix into integral window divisors and the
+    residual (<=1 per axis) matrix (reference affine.py:287-307)."""
+    (i_scale, sh_x, i_off), (sh_y, j_scale, j_off) = affine_matrix
+    i_div, j_div = math.ceil(abs(i_scale)), math.ceil(abs(j_scale))
+    residual = (
+        (i_scale / i_div, sh_x, i_off),
+        (sh_y, j_scale / j_div, j_off),
+    )
+    return (j_div, i_div), residual
 
 
 def _resample_array(
@@ -161,51 +180,28 @@ def _resample_array(
     recover_nan: bool,
     fill_value: FloatInt,
 ):
-    if (affine_matrix[0][0] > 1 or affine_matrix[1][0] > 1) and interp_method != 0:
-        return _downscale(
-            array,
-            affine_matrix,
-            output_shape,
-            agg_method,
-            interp_method,
-            recover_nan,
-            fill_value,
+    i_scale, j_scale = affine_matrix[0][0], affine_matrix[1][1]
+    downscaling = (i_scale > 1 or j_scale > 1) and interp_method != 0
+    if not downscaling:
+        return _gather_resample(
+            array, affine_matrix, output_shape, interp_method,
+            recover_nan, fill_value,
         )
-    return _upscale(
-        array, affine_matrix, output_shape, interp_method, recover_nan, fill_value
+
+    # downscale = residual gather at an inflated size, then an integral
+    # window aggregation back to the requested size
+    (j_div, i_div), residual = _scale_split(affine_matrix)
+    inflated = tuple(output_shape[:-2]) + (
+        output_shape[-2] * j_div,
+        output_shape[-1] * i_div,
     )
-
-
-def _downscale(
-    array,
-    affine_matrix: AffineTransformMatrix,
-    output_shape: Sequence[int],
-    agg_method: AggFunction,
-    interp_method: InterpMethodInt,
-    recover_nan: bool,
-    fill_value: FloatInt,
-):
-    """Downscale by splitting the scale into an integral window reduction
-    and a residual (<=1) affine resample, reference affine.py:277-313."""
-    ((i_scale, _, i_off), (_, j_scale, j_off)) = affine_matrix
-    j_divisor = math.ceil(abs(j_scale))
-    i_divisor = math.ceil(abs(i_scale))
-    affine_matrix = (
-        (i_scale / i_divisor, affine_matrix[0][1], affine_matrix[0][2]),
-        (affine_matrix[1][0], j_scale / j_divisor, affine_matrix[1][2]),
+    stretched = _gather_resample(
+        array, residual, inflated, interp_method, recover_nan, fill_value
     )
-    upscaled_shape = tuple(output_shape[:-2]) + (
-        output_shape[-2] * j_divisor,
-        output_shape[-1] * i_divisor,
-    )
-
-    array = _upscale(
-        array, affine_matrix, upscaled_shape, interp_method, recover_nan, fill_value
-    )
-    return coarsen_ops.coarsen(array, j_divisor, i_divisor, agg_method)
+    return coarsen_ops.coarsen(stretched, j_div, i_div, agg_method)
 
 
-def _upscale(
+def _gather_resample(
     array,
     affine_matrix: AffineTransformMatrix,
     output_shape: Sequence[int],
@@ -213,46 +209,39 @@ def _upscale(
     recover_nan: bool,
     fill_value: FloatInt,
 ):
-    ((i_scale, _, i_off), (_, j_scale, j_off)) = affine_matrix
+    """One fused gather through the affine map; optionally the two-pass
+    NaN-recovery trick (transform a zero-filled image and the valid mask
+    separately, then divide — reference affine.py:344-360)."""
     if interp_method > 1:
-        raise ValueError(
-            "interp_methods must be one of 0, 1, 'nearest', 'bilinear'. "
-            "Higher order is not supported for 3D arrays in affine transforms, "
-            "as it causes unintended blending across the non-spatial (e.g., time) "
-            "dimension."
-        )
+        raise ValueError(_HIGH_ORDER_MSG)
 
+    (i_scale, _, i_off), (_, j_scale, j_off) = affine_matrix
     out_h, out_w = output_shape[-2], output_shape[-1]
     xp = gather._get_xp(array)
     in_dtype = np.dtype(array.dtype)
 
-    def transform(a, fill):
+    def transform(a):
         return gather.affine_gather(
-            a, j_scale, i_scale, j_off, i_off, out_h, out_w, interp_method, fill, xp=xp
+            a, j_scale, i_scale, j_off, i_off, out_h, out_w,
+            interp_method, fill_value, xp=xp,
         )
 
+    result = None
     if recover_nan and interp_method > 0:
-        # "Recover" values neighbouring NaNs that would otherwise become NaN:
-        # transform a zero-filled image and the inverted NaN mask separately,
-        # then divide (reference affine.py:344-360)
-        mask = xp.isnan(array)
-        if bool(np.any(np.asarray(mask))) if xp is np else True:
-            filled_im = xp.where(mask, 0.0, array)
-            scaled_im = transform(filled_im, fill_value)
-            scaled_norm = transform(1.0 - mask, fill_value)
+        nan_mask = xp.isnan(array)
+        host_has_nans = xp is not np or bool(np.any(np.asarray(nan_mask)))
+        if host_has_nans:
+            numerator = transform(xp.where(nan_mask, 0.0, array))
+            weight = transform(1.0 - nan_mask)
             result = xp.where(
-                xp.isclose(scaled_norm, 0.0), np.nan, scaled_im / scaled_norm
+                xp.isclose(weight, 0.0), np.nan, numerator / weight
             )
-            return _cast_back(result, in_dtype, xp)
+    if result is None:
+        result = transform(array)
 
-    result = transform(array, fill_value)
-    return _cast_back(result, in_dtype, xp)
-
-
-def _cast_back(result, in_dtype, xp):
+    # integer inputs round-trip through float interpolation
     if np.dtype(result.dtype) != in_dtype:
         if in_dtype.kind in "ui":
-            result = xp.rint(result).astype(in_dtype)
-        else:
-            result = result.astype(in_dtype)
+            result = xp.rint(result)
+        result = result.astype(in_dtype)
     return result

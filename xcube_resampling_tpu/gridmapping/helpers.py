@@ -125,79 +125,74 @@ def _normalize_crs(crs: str | CRS) -> CRS:
     return CRS.from_string(crs)
 
 
+def _normalize_pair(value, name, default, scalar_types, cast, kind):
+    """Shared body of the int/number pair normalizers: scalars duplicate
+    into both slots, 2-sequences map through *cast*, None falls back to
+    *default* (UNDEFINED default = the argument was required)."""
+    if isinstance(value, scalar_types):
+        return cast(value), cast(value)
+    if value is not None:
+        x, y = value
+        return cast(x), cast(y)
+    if default != UNDEFINED:
+        return default
+    assert_given(name, "name")
+    raise ValueError(f"{name} must be {kind}")
+
+
 def _normalize_int_pair(
     value: Any, name: str = None, default: tuple[int, int] | None = UNDEFINED
 ) -> tuple[int, int]:
-    if isinstance(value, int):
-        return value, value
-    elif value is not None:
-        x, y = value
-        return int(x), int(y)
-    elif default != UNDEFINED:
-        return default
-    else:
-        assert_given(name, "name")
-        raise ValueError(f"{name} must be an int or a sequence of two ints")
+    return _normalize_pair(
+        value, name, default, int, int, "an int or a sequence of two ints"
+    )
 
 
 def _normalize_number_pair(
     value: Any, name: str = None, default: tuple[FloatInt, FloatInt] | None = UNDEFINED
 ) -> tuple[FloatInt, FloatInt]:
-    if isinstance(value, (float, int)):
-        x, y = value, value
-        return _to_int_or_float(x), _to_int_or_float(y)
-    elif value is not None:
-        x, y = value
-        return _to_int_or_float(x), _to_int_or_float(y)
-    elif default != UNDEFINED:
-        return default
-    else:
-        assert_given(name, "name")
-        raise ValueError(f"{name} must be a number or a sequence of two numbers")
+    return _normalize_pair(
+        value,
+        name,
+        default,
+        (float, int),
+        _to_int_or_float,
+        "a number or a sequence of two numbers",
+    )
+
+
+def _shift_lon(lon_var, keep_if, shift):
+    """Shift longitudes by *shift* wherever ``keep_if`` is False."""
+    if isinstance(lon_var, DataArray):
+        return lon_var.where(keep_if(np.asarray(lon_var.data)), lon_var + shift)
+    arr = np.asarray(lon_var)
+    return np.where(keep_if(arr), arr, arr + shift)
 
 
 def to_lon_360(lon_var):
     """Wrap longitudes into [0, 360) (reference helpers.py:97-102)."""
-    if isinstance(lon_var, DataArray):
-        return lon_var.where(np.asarray(lon_var.data) >= 0.0, lon_var + 360.0)
-    arr = np.asarray(lon_var)
-    return np.where(arr >= 0.0, arr, arr + 360.0)
+    return _shift_lon(lon_var, lambda a: a >= 0.0, 360.0)
 
 
 def from_lon_360(lon_var):
     """Unwrap longitudes into (-180, 180] (reference helpers.py:105-110)."""
-    if isinstance(lon_var, DataArray):
-        return lon_var.where(np.asarray(lon_var.data) <= 180.0, lon_var - 360.0)
-    arr = np.asarray(lon_var)
-    return np.where(arr <= 180.0, arr, arr - 360.0)
+    return _shift_lon(lon_var, lambda a: a <= 180.0, -360.0)
 
 
 def get_dataset_chunks(dataset: Dataset) -> dict[Hashable, int]:
-    """Get the most common chunk size per chunked dimension of *dataset*
-    (reference helpers.py:113-161).  Only data variables are considered."""
-    dim_size_counts: dict[Hashable, dict[int, int]] = {}
-    for var_name, var in dataset.data_vars.items():
-        if var.chunks:
-            for d, c in zip(var.dims, var.chunks):
-                max_c = max(0, *c)
-                if d not in dim_size_counts:
-                    dim_size_counts[d] = {max_c: 1}
-                else:
-                    size_counts = dim_size_counts[d]
-                    size_counts[max_c] = size_counts.get(max_c, 0) + 1
+    """Most common max-chunk size per chunked dimension across the data
+    variables of *dataset* (reference helpers.py:113-161)."""
+    from collections import Counter
 
-    dim_sizes: dict[Hashable, int] = {}
-    for d, size_counts in dim_size_counts.items():
-        max_count = 0
-        best_max_c = 0
-        for max_c, count in size_counts.items():
-            if count > max_count:
-                max_count = count
-                best_max_c = max_c
-        assert best_max_c > 0
-        dim_sizes[d] = best_max_c
-
-    return dim_sizes
+    votes: dict[Hashable, Counter] = {}
+    for var in dataset.data_vars.values():
+        if not var.chunks:
+            continue
+        for dim, sizes in zip(var.dims, var.chunks):
+            votes.setdefault(dim, Counter())[max(0, *sizes)] += 1
+    return {
+        dim: counter.most_common(1)[0][0] for dim, counter in votes.items()
+    }
 
 
 def _default_xy_var_names(crs: CRS) -> tuple[str, str]:
@@ -251,26 +246,19 @@ def round_to_fraction(value: float, digits: int = 2, resolution: float = 1) -> F
     """
     if digits < 1:
         raise ValueError("digits must be a positive integer")
-    resolution_key = round(100 * resolution)
-    if resolution_key not in _RESOLUTIONS or not math.isclose(
-        100 * resolution, resolution_key
-    ):
+    key = round(100 * resolution)
+    if key not in _RESOLUTIONS or not math.isclose(100 * resolution, key):
         raise ValueError(f"resolution must be one of {_RESOLUTION_SET}")
     if value == 0:
         return Fraction(0, 1)
-    sign = 1
-    if value < 0:
-        sign = -1
-        value = -value
-    resolution, resolution_digits = _RESOLUTIONS[resolution_key]
-    exponent = math.floor(math.log10(value)) - digits - resolution_digits
-    if exponent >= 0:
-        magnitude = Fraction(10**exponent, 1)
-    else:
-        magnitude = Fraction(1, 10**-exponent)
-    scaled_value = value / magnitude
-    discrete_value = resolution * round(scaled_value / resolution)
-    return (sign * discrete_value) * magnitude
+
+    sign, mag = (1, value) if value >= 0 else (-1, -value)
+    step, extra_digits = _RESOLUTIONS[key]
+    # place value of the least significant retained digit
+    exponent = math.floor(math.log10(mag)) - digits - extra_digits
+    unit = Fraction(10) ** exponent
+    snapped = step * round(mag / unit / step)
+    return sign * snapped * unit
 
 
 def scale_xy_res_and_size(
@@ -278,11 +266,6 @@ def scale_xy_res_and_size(
 ) -> tuple[tuple[float, float], tuple[int, int]]:
     """Scale *xy_res* and *size* by *xy_scale*, keeping size >= 2
     (reference helpers.py:242-255)."""
-    x_res, y_res = xy_res
-    x_scale, y_scale = xy_scale
-    w, h = size
-    w, h = round(x_scale * w), round(y_scale * h)
-    return (
-        (x_res / x_scale, y_res / y_scale),
-        (w if w >= 2 else 2, h if h >= 2 else 2),
-    )
+    res = tuple(r / s for r, s in zip(xy_res, xy_scale))
+    size = tuple(max(2, round(s * n)) for s, n in zip(xy_scale, size))
+    return res, size

@@ -1,8 +1,10 @@
-"""Regular grid mappings (reference gridmapping/regular.py:38-166 parity).
+"""Regular grid mappings.
 
-Coordinate arrays are eager numpy linspaces carried as xrlite DataArrays
-with chunk metadata from the tile size (the dask-linspace of the reference
-becomes plain arrays; tiling happens in the executor, not the array layer).
+Behavioral parity: reference gridmapping/regular.py:38-166.  Coordinate
+arrays are eager numpy linspaces carried as xrlite DataArrays with chunk
+metadata derived from the tile size (the reference's dask-linspace
+becomes a plain array; tiling happens in the executor, not the array
+layer).
 """
 
 from __future__ import annotations
@@ -23,57 +25,66 @@ from .helpers import (
 )
 
 
+def _even_chunks(size: int, chunk: int) -> tuple[int, ...]:
+    full, rest = divmod(size, chunk)
+    return (chunk,) * full + ((rest,) if rest else ())
+
+
 class RegularGridMapping(GridMapping):
+    """A grid mapping whose cells are an axis-aligned uniform lattice;
+    1D/2D coordinate arrays are synthesized on demand from the bbox."""
+
     def __init__(self, **kwargs):
         kwargs.pop("is_regular", None)
         super().__init__(is_regular=True, **kwargs)
         self._xy_coords = None
 
+    def _axis(self, *, lo, hi, res, n, dim, tile, descending=False) -> DataArray:
+        """Cell-center linspace along one axis with tile-chunk metadata."""
+        first, last = lo + res / 2, hi - res / 2
+        if descending:
+            first, last = last, first
+        return DataArray(
+            np.linspace(first, last, n),
+            dims=dim,
+            chunks=(_even_chunks(n, tile),),
+        )
+
     def _new_x_coords(self) -> DataArray:
         self._assert_regular()
-        x_res = self.x_res
-        x1, x2 = self.x_min + x_res / 2, self.x_max - x_res / 2
-        return DataArray(
-            np.linspace(x1, x2, self.width),
-            dims=self.xy_dim_names[0],
-            chunks=(self._chunk_tuple(self.width, self.tile_width),),
+        return self._axis(
+            lo=self.x_min,
+            hi=self.x_max,
+            res=self.x_res,
+            n=self.width,
+            dim=self.xy_dim_names[0],
+            tile=self.tile_width,
         )
 
     def _new_y_coords(self) -> DataArray:
         self._assert_regular()
-        y_res = self.y_res
-        y1, y2 = self.y_min + y_res / 2, self.y_max - y_res / 2
-        if not self.is_j_axis_up:
-            y1, y2 = y2, y1
-        return DataArray(
-            np.linspace(y1, y2, self.height),
-            dims=self.xy_dim_names[1],
-            chunks=(self._chunk_tuple(self.height, self.tile_height),),
+        return self._axis(
+            lo=self.y_min,
+            hi=self.y_max,
+            res=self.y_res,
+            n=self.height,
+            dim=self.xy_dim_names[1],
+            tile=self.tile_height,
+            descending=not self.is_j_axis_up,
         )
 
     def _new_xy_coords(self) -> DataArray:
         self._assert_regular()
-        x_1d = np.asarray(self.x_coords.data)
-        y_1d = np.asarray(self.y_coords.data)
-        y_2d, x_2d = np.broadcast_arrays(y_1d[:, np.newaxis], x_1d[np.newaxis, :])
-        xy = np.stack([x_2d, y_2d])
-        xy_coords = DataArray(
-            xy,
+        y2, x2 = np.broadcast_arrays(
+            np.asarray(self.y_coords.data)[:, None],
+            np.asarray(self.x_coords.data)[None, :],
+        )
+        da = DataArray(
+            np.stack([x2, y2]),
             dims=("coord", self.y_coords.dims[0], self.x_coords.dims[0]),
             name="xy_coords",
         )
-        return xy_coords.chunk(
-            {
-                dim: size
-                for dim, size in zip(xy_coords.dims, self.xy_coords_chunks)
-            }
-        )
-
-    @staticmethod
-    def _chunk_tuple(size: int, chunk: int):
-        n = size // chunk
-        rest = size - n * chunk
-        return (chunk,) * n + ((rest,) if rest else ())
+        return da.chunk(dict(zip(da.dims, self.xy_coords_chunks)))
 
 
 def new_regular_grid_mapping(
@@ -85,37 +96,33 @@ def new_regular_grid_mapping(
     tile_size: int | tuple[int, int] = None,
     is_j_axis_up: bool = False,
 ) -> GridMapping:
-    width, height = _normalize_int_pair(size, name="size")
-    assert_true(width > 1 and height > 1, "invalid size")
-
-    x_min, y_min = _normalize_number_pair(xy_min, name="xy_min")
-
-    x_res, y_res = _normalize_number_pair(xy_res, name="xy_res")
-    assert_true(x_res > 0 and y_res > 0, "invalid xy_res")
-
+    w, h = _normalize_int_pair(size, name="size")
+    assert_true(w > 1 and h > 1, "invalid size")
+    rx, ry = _normalize_number_pair(xy_res, name="xy_res")
+    assert_true(rx > 0 and ry > 0, "invalid xy_res")
     crs = _normalize_crs(crs)
 
-    x_min = _to_int_or_float(x_min)
-    y_min = _to_int_or_float(y_min)
-    x_max = _to_int_or_float(x_min + x_res * width)
-    y_max = _to_int_or_float(y_min + y_res * height)
+    x0, y0 = _normalize_number_pair(xy_min, name="xy_min")
+    bbox = tuple(
+        _to_int_or_float(v) for v in (x0, y0, x0 + rx * w, y0 + ry * h)
+    )
 
     if crs.is_geographic:
-        # geographic grids must stay within the valid latitude range
-        if y_min < -90:
+        # latitude must stay on the sphere
+        if bbox[1] < -90:
             raise ValueError("invalid y_min")
-        if y_max > 90:
+        if bbox[3] > 90:
             raise ValueError("invalid size, y_min combination")
 
     return RegularGridMapping(
         crs=crs,
-        size=(width, height),
-        tile_size=tile_size or (width, height),
-        xy_bbox=(x_min, y_min, x_max, y_max),
-        xy_res=(x_res, y_res),
+        size=(w, h),
+        tile_size=tile_size or (w, h),
+        xy_bbox=bbox,
+        xy_res=(rx, ry),
         xy_var_names=_default_xy_var_names(crs),
         xy_dim_names=_default_xy_dim_names(crs),
-        is_lon_360=(x_max > 180) and crs.is_geographic,
+        is_lon_360=crs.is_geographic and bbox[2] > 180,
         is_j_axis_up=is_j_axis_up,
     )
 
@@ -126,29 +133,26 @@ def to_regular_grid_mapping(
     tile_size: int | tuple[int, int] = None,
     is_j_axis_up: bool = False,
 ) -> GridMapping:
-    """Derive a regular grid mapping covering an irregular one: square pixels
-    at the finer of the two estimated resolutions
-    (reference regular.py:132-166)."""
+    """Regular cover of an irregular grid mapping: square pixels at the
+    finer of the two estimated resolutions, sized to span the bbox plus
+    one pixel (reference regular.py:132-166)."""
     if grid_mapping.is_regular:
-        if tile_size is not None or is_j_axis_up != grid_mapping.is_j_axis_up:
-            return grid_mapping.derive(tile_size=tile_size, is_j_axis_up=is_j_axis_up)
-        return grid_mapping
+        if tile_size is None and is_j_axis_up == grid_mapping.is_j_axis_up:
+            return grid_mapping
+        return grid_mapping.derive(tile_size=tile_size, is_j_axis_up=is_j_axis_up)
 
     x_min, y_min, x_max, y_max = grid_mapping.xy_bbox
-    x_res, y_res = grid_mapping.xy_res
-    xy_res = min(x_res, y_res) or max(x_res, y_res)
-    width = round((x_max - x_min + xy_res) / xy_res)
-    height = round((y_max - y_min + xy_res) / xy_res)
-    width = width if width >= 2 else 2
-    height = height if height >= 2 else 2
+    res = min(*grid_mapping.xy_res) or max(*grid_mapping.xy_res)
+    size = tuple(
+        max(2, round((span + res) / res))
+        for span in (x_max - x_min, y_max - y_min)
+    )
 
-    if tile_size is None:
-        tile_size = grid_mapping.tile_size
     return new_regular_grid_mapping(
-        size=(width, height),
+        size=size,
         xy_min=(x_min, y_min),
-        xy_res=xy_res,
+        xy_res=res,
         crs=grid_mapping.crs,
-        tile_size=tile_size,
+        tile_size=grid_mapping.tile_size if tile_size is None else tile_size,
         is_j_axis_up=is_j_axis_up,
     )

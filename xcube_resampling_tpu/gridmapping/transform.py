@@ -1,10 +1,11 @@
-"""CRS transformation of whole grid mappings
-(reference gridmapping/transform.py:57-125).
+"""Whole-grid-mapping CRS transformation.
 
-Transforms the full (2, height, width) coordinate image to a new CRS via the
-native :class:`~xcube_resampling_tpu.crs.Transformer` (float64 on host — and
-available fused on TPU through the reproject engine), producing an irregular
-2D-coords grid mapping.
+Behavioral parity: reference gridmapping/transform.py:57-125.  The
+reference pushes the (2, H, W) coordinate image through pyproj inside a
+dask ``apply_ufunc``; here the native :class:`~xcube_resampling_tpu.crs.
+Transformer` runs the float64 math directly on host (the fused on-device
+variant lives in the reproject engine), and the result is classified by
+the coords factory into a 2D-coords irregular grid mapping.
 """
 
 from __future__ import annotations
@@ -23,6 +24,14 @@ from .helpers import (
 )
 
 
+def _padded_target_bbox(gm: GridMapping, tf: Transformer, xy_res) -> tuple:
+    """Target-CRS bbox of *gm*, grown by half a target pixel on each side
+    so the regularized grid covers the source footprint entirely."""
+    rx, ry = _normalize_number_pair(xy_res)
+    x0, y0, x1, y1 = tf.transform_bounds(*gm.xy_bbox, densify_pts=101)
+    return (x0 - rx / 2, y0 - ry / 2, x1 + rx / 2, y1 + ry / 2)
+
+
 def transform_grid_mapping(
     grid_mapping: GridMapping,
     crs: str | CRS,
@@ -32,47 +41,32 @@ def transform_grid_mapping(
     xy_var_names: tuple[str, str] = None,
     tolerance: float = DEFAULT_TOLERANCE,
 ) -> GridMapping:
-    target_crs = _normalize_crs(crs)
-
     if xy_var_names:
         _assert_valid_xy_names(xy_var_names, name="xy_var_names")
+    target_crs = _normalize_crs(crs)
 
-    source_crs = grid_mapping.crs
-    if source_crs == target_crs:
-        if tile_size is not None or xy_var_names is not None:
-            return grid_mapping.derive(tile_size=tile_size, xy_var_names=xy_var_names)
-        return grid_mapping
+    # no CRS change: at most re-derive with new tiling / names
+    if grid_mapping.crs == target_crs:
+        if tile_size is None and xy_var_names is None:
+            return grid_mapping
+        return grid_mapping.derive(tile_size=tile_size, xy_var_names=xy_var_names)
 
-    transformer = Transformer.from_crs(source_crs, target_crs, always_xy=True)
+    tf = Transformer.from_crs(grid_mapping.crs, target_crs, always_xy=True)
+    src_xy = np.asarray(grid_mapping.xy_coords.data, dtype=np.float64)
+    tx, ty = tf.transform(src_xy[0], src_xy[1])
 
-    xy = np.asarray(grid_mapping.xy_coords.data, dtype=np.float64)
-    x2, y2 = transformer.transform(xy[0], xy[1])
-    xy_dims = grid_mapping.xy_coords.dims[1:]
-
-    if xy_res is not None:
-        xy_bbox = transformer.transform_bounds(*grid_mapping.xy_bbox, densify_pts=101)
-        x_res, y_res = _normalize_number_pair(xy_res)
-        x_res_05, y_res_05 = x_res / 2, y_res / 2
-        xy_bbox = (
-            xy_bbox[0] - x_res_05,
-            xy_bbox[1] - y_res_05,
-            xy_bbox[2] + x_res_05,
-            xy_bbox[3] + y_res_05,
-        )
-    else:
-        xy_bbox = None
-
-    xy_var_names = xy_var_names or ("transformed_x", "transformed_y")
-
-    if tile_size is None:
-        tile_size = grid_mapping.tile_size
-
+    dims = grid_mapping.xy_coords.dims[1:]
+    names = xy_var_names or ("transformed_x", "transformed_y")
     return new_grid_mapping_from_coords(
-        x_coords=DataArray(x2, dims=xy_dims, name=xy_var_names[0]),
-        y_coords=DataArray(y2, dims=xy_dims, name=xy_var_names[1]),
+        x_coords=DataArray(tx, dims=dims, name=names[0]),
+        y_coords=DataArray(ty, dims=dims, name=names[1]),
         crs=target_crs,
         xy_res=xy_res,
-        xy_bbox=xy_bbox,
-        tile_size=tile_size,
+        xy_bbox=(
+            _padded_target_bbox(grid_mapping, tf, xy_res)
+            if xy_res is not None
+            else None
+        ),
+        tile_size=grid_mapping.tile_size if tile_size is None else tile_size,
         tolerance=tolerance,
     )

@@ -1,26 +1,24 @@
-"""UNDEFINED sentinel (reference gridmapping/undefined.py:25-44 parity)."""
+"""The UNDEFINED sentinel.
 
-UNDEFINED_STR = "UNDEFINED"
+Semantics follow the reference's gridmapping/undefined.py:25-44: a
+singleton distinct from ``None`` so APIs can distinguish "caller passed
+None on purpose" from "caller passed nothing".
+"""
 
 
 class _Undefined:
-    """Represents the UNDEFINED value — distinct from None so callers can
-    pass ``default=None`` explicitly."""
-
-    _hash_code = hash(UNDEFINED_STR) + 1
-
-    def __str__(self):
-        return UNDEFINED_STR
+    __slots__ = ()
 
     def __repr__(self):
-        return UNDEFINED_STR
+        return "UNDEFINED"
+
+    __str__ = __repr__
 
     def __eq__(self, other):
-        return self is other or isinstance(other, _Undefined)
+        return isinstance(other, _Undefined)
 
-    def __hash__(self) -> int:
-        return _Undefined._hash_code
+    def __hash__(self):
+        return hash("UNDEFINED") + 1
 
 
-#: Singleton value used to indicate an undefined state.
 UNDEFINED = _Undefined()

@@ -1,6 +1,9 @@
-"""Gateway: dispatch to rectify / affine / reproject / identity.
+"""Gateway: route a dataset to the rectify / affine / reproject engine.
 
-Behavioural port of reference spatial.py:40-168.
+Routing semantics match the reference gateway (reference
+spatial.py:121-168); the implementation here separates the route
+*decision* from the engine *invocation* so tests can assert on the
+chosen route directly.
 """
 
 from __future__ import annotations
@@ -22,6 +25,25 @@ from .utils import _can_apply_affine_transform
 from .xrlite import Dataset
 
 
+def choose_route(source_gm: GridMapping, target_gm: GridMapping | None) -> str:
+    """Pick the resampling route for a (source, target) grid-mapping pair.
+
+    Returns one of ``"rectify"``, ``"warn-identity"``, ``"identity"``,
+    ``"affine"``, ``"reproject"``.  Raises if *target_gm* is irregular
+    (only regular targets can be resampled to).
+    """
+    if not source_gm.is_regular:
+        return "rectify"
+    if target_gm is None:
+        return "warn-identity"
+    GridMapping.assert_regular(target_gm, name="target_gm")
+    if source_gm.is_close(target_gm):
+        return "identity"
+    if _can_apply_affine_transform(source_gm, target_gm):
+        return "affine"
+    return "reproject"
+
+
 def resample_in_space(
     source_ds: Dataset,
     target_gm: GridMapping | None = None,
@@ -35,7 +57,7 @@ def resample_in_space(
 ) -> Dataset:
     """Resample the spatial dimensions of a dataset to a target grid mapping.
 
-    Dispatch (reference spatial.py:121-168):
+    Routes (see :func:`choose_route`):
 
     * irregular source -> :func:`rectify_dataset`
     * regular source, no target -> warn and return the input
@@ -69,48 +91,29 @@ def resample_in_space(
     if source_gm is None:
         source_gm = GridMapping.from_dataset(source_ds)
 
-    if not source_gm.is_regular:
-        return rectify_dataset(
-            source_ds,
-            target_gm=target_gm,
-            source_gm=source_gm,
-            variables=variables,
-            interp_methods=interp_methods,
-            agg_methods=agg_methods,
-            recover_nans=recover_nans,
-            fill_values=fill_values,
-            tile_size=tile_size,
-        )
-    else:
-        if target_gm is None:
-            LOG.warning(
-                "If source grid mapping is regular `target_gm` must be given. "
-                "Source dataset is returned."
-            )
-            return source_ds
-        GridMapping.assert_regular(target_gm, name="target_gm")
-        if source_gm.is_close(target_gm):
-            return source_ds
+    route = choose_route(source_gm, target_gm)
 
-        if _can_apply_affine_transform(source_gm, target_gm):
-            return affine_transform_dataset(
-                source_ds,
-                target_gm,
-                source_gm=source_gm,
-                variables=variables,
-                interp_methods=interp_methods,
-                agg_methods=agg_methods,
-                recover_nans=recover_nans,
-                fill_values=fill_values,
-            )
-        else:
-            return reproject_dataset(
-                source_ds,
-                target_gm,
-                source_gm=source_gm,
-                variables=variables,
-                interp_methods=interp_methods,
-                agg_methods=agg_methods,
-                recover_nans=recover_nans,
-                fill_values=fill_values,
-            )
+    if route == "warn-identity":
+        LOG.warning(
+            "If source grid mapping is regular `target_gm` must be given. "
+            "Source dataset is returned."
+        )
+        return source_ds
+    if route == "identity":
+        return source_ds
+
+    engine_kwargs = dict(
+        source_gm=source_gm,
+        variables=variables,
+        interp_methods=interp_methods,
+        agg_methods=agg_methods,
+        recover_nans=recover_nans,
+        fill_values=fill_values,
+    )
+    if route == "rectify":
+        return rectify_dataset(
+            source_ds, target_gm=target_gm, tile_size=tile_size, **engine_kwargs
+        )
+    if route == "affine":
+        return affine_transform_dataset(source_ds, target_gm, **engine_kwargs)
+    return reproject_dataset(source_ds, target_gm, **engine_kwargs)
