@@ -92,18 +92,18 @@ class GridMapping(abc.ABC):
         x_coords: DataArray | None = None,
         y_coords: DataArray | None = None,
     ):
-        width, height = _normalize_int_pair(size, name="size")
-        assert_true(width > 1 and height > 1, "invalid size")
-        tile_w, tile_h = _normalize_int_pair(tile_size, default=(width, height))
-        assert_true(tile_w > 1 and tile_h > 1, "invalid tile_size")
+        wh = _normalize_int_pair(size, name="size")
+        assert_true(min(wh) > 1, "invalid size")
+        tiles = _normalize_int_pair(tile_size, default=wh)
+        assert_true(min(tiles) > 1, "invalid tile_size")
 
         assert_given(xy_bbox, name="xy_bbox")
         assert_given(xy_res, name="xy_res")
         _assert_valid_xy_names(xy_var_names, name="xy_var_names")
         _assert_valid_xy_names(xy_dim_names, name="xy_dim_names")
         assert_instance(crs, CRS, name="crs")
-        x_res, y_res = _normalize_number_pair(xy_res, name="xy_res")
-        assert_true(x_res > 0 and y_res > 0, "invalid xy_res")
+        res = _normalize_number_pair(xy_res, name="xy_res")
+        assert_true(min(res) > 0, "invalid xy_res")
 
         for label, arr in (("x_coords", x_coords), ("y_coords", y_coords)):
             if arr is not None:
@@ -114,10 +114,10 @@ class GridMapping(abc.ABC):
                 )
 
         self._spec = _GridSpec(
-            size=(width, height),
-            tile_size=(tile_w, tile_h),
+            size=wh,
+            tile_size=tiles,
             xy_bbox=tuple(xy_bbox),
-            xy_res=(x_res, y_res),
+            xy_res=res,
             crs=crs,
             xy_var_names=tuple(xy_var_names),
             xy_dim_names=tuple(xy_dim_names),
@@ -145,23 +145,35 @@ class GridMapping(abc.ABC):
     ) -> "GridMapping":
         """A copy of this grid mapping with new coordinate names, tile
         size, and/or j-axis orientation."""
-        other = copy.copy(self)
-        if xy_var_names is not None:
-            _assert_valid_xy_names(xy_var_names, name="xy_var_names")
-            other._replace_spec(xy_var_names=tuple(xy_var_names))
-        if xy_dim_names is not None:
-            _assert_valid_xy_names(xy_dim_names, name="xy_dim_names")
-            other._replace_spec(xy_dim_names=tuple(xy_dim_names))
+        changes = {}
+        for key, names in (
+            ("xy_var_names", xy_var_names),
+            ("xy_dim_names", xy_dim_names),
+        ):
+            if names is not None:
+                _assert_valid_xy_names(names, name=key)
+                changes[key] = tuple(names)
+
+        retile = None
         if tile_size is not None:
-            tile_w, tile_h = _normalize_int_pair(tile_size, name="tile_size")
-            assert_true(tile_w > 1 and tile_h > 1, "invalid tile_size")
-            if (tile_w, tile_h) != other.tile_size:
-                other._replace_spec(tile_size=(tile_w, tile_h))
-                # materialize + re-chunk the coordinate image metadata
-                _ = other.xy_coords
-                other._xy_coords = other._rechunked_xy(other._xy_coords)
-        if is_j_axis_up is not None and is_j_axis_up != other.is_j_axis_up:
-            other._replace_spec(is_j_axis_up=is_j_axis_up)
+            retile = _normalize_int_pair(tile_size, name="tile_size")
+            assert_true(min(retile) > 1, "invalid tile_size")
+            if retile != self.tile_size:
+                changes["tile_size"] = retile
+            else:
+                retile = None
+
+        flip = is_j_axis_up is not None and is_j_axis_up != self.is_j_axis_up
+        if flip:
+            changes["is_j_axis_up"] = is_j_axis_up
+
+        other = copy.copy(self)
+        if changes:
+            other._replace_spec(**changes)
+        if retile:
+            # materialize + re-chunk the coordinate image metadata
+            other._xy_coords = other._rechunked_xy(self.xy_coords)
+        if flip:
             # flipping the j axis reverses the row order of cached coords
             if other._y_coords is not None:
                 other._y_coords = other._y_coords[::-1]
@@ -202,26 +214,9 @@ class GridMapping(abc.ABC):
         )
 
     # -- scalar properties --------------------------------------------------
-
-    @property
-    def size(self) -> tuple[int, int]:
-        """(width, height) in pixels."""
-        return self._spec.size
-
-    @property
-    def width(self) -> int:
-        """Pixels along the x axis."""
-        return self._spec.size[0]
-
-    @property
-    def height(self) -> int:
-        """Pixels along the y axis."""
-        return self._spec.size[1]
-
-    @property
-    def tile_size(self) -> tuple[int, int]:
-        """(tile_width, tile_height) in pixels."""
-        return self._spec.tile_size
+    # All scalar state is a projection of the immutable _GridSpec; the
+    # accessors are generated below the class body (_install_spec_accessors)
+    # so the spec record stays the single source of truth.
 
     @property
     def is_tiled(self) -> bool:
@@ -229,85 +224,8 @@ class GridMapping(abc.ABC):
         return self._spec.size != self._spec.tile_size
 
     @property
-    def tile_width(self) -> int:
-        """Tile extent along the x axis."""
-        return self._spec.tile_size[0]
-
-    @property
-    def tile_height(self) -> int:
-        """Tile extent along the y axis."""
-        return self._spec.tile_size[1]
-
-    @property
-    def xy_var_names(self) -> tuple[str, str]:
-        """(x, y) coordinate variable names."""
-        return self._spec.xy_var_names
-
-    @property
-    def xy_dim_names(self) -> tuple[str, str]:
-        """(x, y) dimension names."""
-        return self._spec.xy_dim_names
-
-    @property
-    def xy_bbox(self) -> tuple[float, float, float, float]:
-        """(x_min, y_min, x_max, y_max) in CRS units."""
-        return self._spec.xy_bbox
-
-    @property
-    def x_min(self) -> FloatInt:
-        return self._spec.xy_bbox[0]
-
-    @property
-    def y_min(self) -> FloatInt:
-        return self._spec.xy_bbox[1]
-
-    @property
-    def x_max(self) -> FloatInt:
-        return self._spec.xy_bbox[2]
-
-    @property
-    def y_max(self) -> FloatInt:
-        return self._spec.xy_bbox[3]
-
-    @property
-    def xy_res(self) -> tuple[FloatInt, FloatInt]:
-        """(x_res, y_res) pixel sizes in CRS units."""
-        return self._spec.xy_res
-
-    @property
-    def x_res(self) -> FloatInt:
-        return self._spec.xy_res[0]
-
-    @property
-    def y_res(self) -> FloatInt:
-        return self._spec.xy_res[1]
-
-    @property
-    def crs(self) -> CRS:
-        """The coordinate reference system."""
-        return self._spec.crs
-
-    @property
     def spatial_unit_name(self) -> str:
         return self._spec.crs.axis_info[0].unit_name
-
-    @property
-    def is_lon_360(self) -> bool | None:
-        """True when x_max crosses the antimeridian (> 180°); geographic
-        CRSs only; None if undetermined."""
-        return self._spec.is_lon_360
-
-    @property
-    def is_regular(self) -> bool | None:
-        """True when pixel deltas are constant along both axes; None if
-        undetermined."""
-        return self._spec.is_regular
-
-    @property
-    def is_j_axis_up(self) -> bool | None:
-        """True when increasing image row index means increasing y
-        coordinate (default is j-down); None if undetermined."""
-        return self._spec.is_j_axis_up
 
     # -- coordinate arrays --------------------------------------------------
 
@@ -493,58 +411,29 @@ class GridMapping(abc.ABC):
             reuse_coords=reuse_coords,
         )
 
-    def transform(
-        self,
-        crs: str | CRS,
-        *,
-        xy_res: FloatInt | tuple[FloatInt, FloatInt] = None,
-        tile_size: int | tuple[int, int] = None,
-        xy_var_names: tuple[str, str] = None,
-        tolerance: float = DEFAULT_TOLERANCE,
-    ) -> "GridMapping":
+    # the remaining factories/derivations delegate to sibling modules
+    # (lazy imports break the module cycle); signatures live there
+
+    def transform(self, crs: str | CRS, **kwargs) -> "GridMapping":
         """This grid mapping re-expressed in another *crs* (an irregular
-        2D-coords grid mapping)."""
+        2D-coords grid mapping).  Keywords: ``xy_res``, ``tile_size``,
+        ``xy_var_names``, ``tolerance`` — see
+        :func:`.transform.transform_grid_mapping`."""
         from .transform import transform_grid_mapping
 
-        return transform_grid_mapping(
-            self,
-            crs,
-            xy_res=xy_res,
-            tile_size=tile_size,
-            xy_var_names=xy_var_names,
-            tolerance=tolerance,
-        )
+        return transform_grid_mapping(self, crs, **kwargs)
 
     @classmethod
-    def regular(
-        cls,
-        size: int | tuple[int, int],
-        xy_min: tuple[float, float],
-        xy_res: float | tuple[float, float],
-        crs: str | CRS,
-        *,
-        tile_size: int | tuple[int, int] = None,
-        is_j_axis_up: bool = False,
-    ) -> "GridMapping":
-        """A new regular grid mapping."""
+    def regular(cls, size, xy_min, xy_res, crs, **kwargs) -> "GridMapping":
+        """A new regular grid mapping.  Keywords: ``tile_size``,
+        ``is_j_axis_up`` — see :func:`.regular.new_regular_grid_mapping`."""
         from .regular import new_regular_grid_mapping
 
-        return new_regular_grid_mapping(
-            size=size,
-            xy_min=xy_min,
-            xy_res=xy_res,
-            crs=crs,
-            tile_size=tile_size,
-            is_j_axis_up=is_j_axis_up,
-        )
+        return new_regular_grid_mapping(size, xy_min, xy_res, crs, **kwargs)
 
-    def to_regular(
-        self,
-        tile_size: int | tuple[int, int] | None = None,
-        is_j_axis_up: bool = False,
-    ) -> "GridMapping":
+    def to_regular(self, tile_size=None, is_j_axis_up: bool = False) -> "GridMapping":
         """The regular grid mapping covering this (possibly irregular)
-        one."""
+        one — see :func:`.regular.to_regular_grid_mapping`."""
         from .regular import to_regular_grid_mapping
 
         return to_regular_grid_mapping(
@@ -552,49 +441,25 @@ class GridMapping(abc.ABC):
         )
 
     @classmethod
-    def from_dataset(
-        cls,
-        dataset,
-        *,
-        crs: str | CRS | None = None,
-        tile_size: int | tuple[int, int] | None = None,
-        prefer_is_regular: bool = True,
-        prefer_crs: str | CRS | None = None,
-        emit_warnings: bool = False,
-        tolerance: float = DEFAULT_TOLERANCE,
-    ) -> "GridMapping":
-        """Infer a grid mapping from a dataset's CF metadata."""
+    def from_dataset(cls, dataset, **kwargs) -> "GridMapping":
+        """Infer a grid mapping from a dataset's CF metadata.  Keywords:
+        ``crs``, ``tile_size``, ``prefer_is_regular``, ``prefer_crs``,
+        ``emit_warnings``, ``tolerance`` — see
+        :func:`.dataset.new_grid_mapping_from_dataset`."""
         from .dataset import new_grid_mapping_from_dataset
 
-        return new_grid_mapping_from_dataset(
-            dataset=dataset,
-            crs=crs,
-            tile_size=tile_size,
-            prefer_is_regular=prefer_is_regular,
-            prefer_crs=prefer_crs,
-            emit_warnings=emit_warnings,
-            tolerance=tolerance,
-        )
+        kwargs.setdefault("prefer_is_regular", True)
+        return new_grid_mapping_from_dataset(dataset=dataset, **kwargs)
 
     @classmethod
-    def from_coords(
-        cls,
-        x_coords: DataArray,
-        y_coords: DataArray,
-        crs: str | CRS,
-        *,
-        tile_size: int | tuple[int, int] | None = None,
-        tolerance: float = DEFAULT_TOLERANCE,
-    ) -> "GridMapping":
-        """A grid mapping built from x/y coordinate variables and a CRS."""
+    def from_coords(cls, x_coords, y_coords, crs, **kwargs) -> "GridMapping":
+        """A grid mapping built from x/y coordinate variables and a CRS.
+        Keywords: ``tile_size``, ``tolerance`` — see
+        :func:`.coords.new_grid_mapping_from_coords`."""
         from .coords import new_grid_mapping_from_coords
 
         return new_grid_mapping_from_coords(
-            x_coords=x_coords,
-            y_coords=y_coords,
-            crs=crs,
-            tile_size=tile_size,
-            tolerance=tolerance,
+            x_coords=x_coords, y_coords=y_coords, crs=crs, **kwargs
         )
 
     # -- comparison & assertions ---------------------------------------------
@@ -667,3 +532,56 @@ class GridMapping(abc.ABC):
             f"* tile_size: {self.tile_size}",
         ]
         return "\n".join(lines)
+
+
+def _install_spec_accessors(cls):
+    """Attach read-only properties projecting :class:`_GridSpec` fields
+    (and their tuple components) onto the GridMapping class."""
+    specs = {
+        "size": "(width, height) in pixels.",
+        "tile_size": "(tile_width, tile_height) in pixels.",
+        "xy_bbox": "(x_min, y_min, x_max, y_max) in CRS units.",
+        "xy_res": "(x_res, y_res) pixel sizes in CRS units.",
+        "crs": "The coordinate reference system.",
+        "xy_var_names": "(x, y) coordinate variable names.",
+        "xy_dim_names": "(x, y) dimension names.",
+        "is_regular": (
+            "True when pixel deltas are constant along both axes; "
+            "None if undetermined."
+        ),
+        "is_lon_360": (
+            "True when x_max crosses the antimeridian (> 180 deg); "
+            "geographic CRSs only; None if undetermined."
+        ),
+        "is_j_axis_up": (
+            "True when increasing image row index means increasing y "
+            "coordinate (default is j-down); None if undetermined."
+        ),
+    }
+    components = {
+        "width": ("size", 0, "Pixels along the x axis."),
+        "height": ("size", 1, "Pixels along the y axis."),
+        "tile_width": ("tile_size", 0, "Tile extent along the x axis."),
+        "tile_height": ("tile_size", 1, "Tile extent along the y axis."),
+        "x_min": ("xy_bbox", 0, "West bbox edge."),
+        "y_min": ("xy_bbox", 1, "South bbox edge."),
+        "x_max": ("xy_bbox", 2, "East bbox edge."),
+        "y_max": ("xy_bbox", 3, "North bbox edge."),
+        "x_res": ("xy_res", 0, "Pixel size along x."),
+        "y_res": ("xy_res", 1, "Pixel size along y."),
+    }
+
+    def field_getter(field):
+        return lambda self: getattr(self._spec, field)
+
+    def item_getter(field, idx):
+        return lambda self: getattr(self._spec, field)[idx]
+
+    for field, doc in specs.items():
+        setattr(cls, field, property(field_getter(field), doc=doc))
+    for name, (field, idx, doc) in components.items():
+        setattr(cls, name, property(item_getter(field, idx), doc=doc))
+    return cls
+
+
+_install_spec_accessors(GridMapping)
