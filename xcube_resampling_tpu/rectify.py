@@ -1,14 +1,23 @@
 """Rectification engine (irregular 2D-coords swath -> regular grid).
 
-Behavioural port of reference rectify.py:54-773 with the numba scatter
-kernels redesigned as vectorized candidate-enumeration + scatter-min
-(:mod:`.ops.rectify_ops`) — deterministic, parallel, bit-matching the
-reference's first-writer-wins semantics.  Phase A produces a per-tile
-(2, h, w) float64 fractional source-index map; Phase B is a shared gather
-kernel.  Chunked execution is tile-static (one target tile = one kernel
-call / one device tile), and the output is chunking-invariant by
-construction (same guarantee the reference asserts via its dask tests,
-test_rectify.py:295-388).
+Semantics track reference ``rectify.py:54-773`` (see NOTICE), with the
+numba scatter kernels redesigned as vectorized candidate-enumeration +
+scatter-min (:mod:`.ops.rectify_ops`) — deterministic, parallel,
+bit-matching the reference's first-writer-wins semantics.  Phase A
+produces a per-tile ``(2, h, w)`` float64 fractional source-index map;
+Phase B is a shared gather kernel.  Chunked execution is tile-static (one
+target tile = one kernel call / one device tile), and the output is
+chunking-invariant by construction (the guarantee the reference asserts
+via its dask tests, test_rectify.py:295-388).
+
+Engine tiers, selected in :func:`_inverse_ij_map`:
+
+1. **device** — the whole Phase-A map in one XLA kernel on the
+   accelerator (``XRTPU_PHASEA=device`` forces, ``auto`` uses it when a
+   non-CPU backend is present);
+2. **host tiles** — per-destination-tile source windows from the bbox
+   scan, each tile through the multithreaded C++ / vectorized numpy
+   kernel.
 """
 
 from __future__ import annotations
@@ -40,6 +49,7 @@ from .utils import (
     _is_equal_crs,
     _prep_interp_methods_downscale,
     _select_variables,
+    assemble_target_shell,
     normalize_grid_mapping,
 )
 from .xrlite import DataArray, Dataset
@@ -63,77 +73,49 @@ def rectify_dataset(
         if source_gm is None:
             source_gm = GridMapping.from_dataset(source_ds)
         source_ds = normalize_grid_mapping(source_ds, source_gm)
-
         if target_gm is None:
             target_gm = source_gm.to_regular(tile_size=tile_size)
 
-    # transform the 2D source coordinates into the target CRS if needed
+    # swath coordinates must live in the target CRS before inversion
     if not _is_equal_crs(source_gm, target_gm):
         with TIMER("rectify.coord_transform"):
-            source_ds = _transform_coords(source_ds, source_gm, target_gm)
+            source_ds = _reproject_swath_coords(source_ds, source_gm, target_gm)
             source_gm = GridMapping.from_dataset(source_ds)
 
     source_ds = _select_variables(source_ds, variables)
 
-    # If source resolution is finer than the target's, downscale first
     with TIMER("rectify.pre_downscale"):
-        source_ds, source_gm = _downscale_source_dataset(
-            source_ds,
-            source_gm,
-            target_gm,
-            interp_methods,
-            agg_methods,
-            recover_nans,
+        source_ds, source_gm = _maybe_downscale(
+            source_ds, source_gm, target_gm,
+            interp_methods, agg_methods, recover_nans,
         )
 
     # PHASE A: per-target-pixel fractional source indices
     with TIMER("rectify.phase_a"):
-        target_source_ij = _compute_target_source_ij(
-            source_gm, target_gm, UV_DELTA
-        )
+        ij_map = _inverse_ij_map(source_gm, target_gm, UV_DELTA)
 
-    # assemble target dataset
-    x_name, y_name = source_gm.xy_var_names
-    coords_ds = source_ds.coords.to_dataset()
-    coords_ds = coords_ds.drop_vars((x_name, y_name))
-    x_name, y_name = target_gm.xy_var_names
-    target_coords = target_gm.to_coords()
-    coords = dict(coords_ds.coords)
-    coords[x_name] = target_coords[x_name]
-    coords[y_name] = target_coords[y_name]
-    coords["spatial_ref"] = DataArray(
-        np.array(0), dims=(), attrs=target_gm.crs.to_cf()
+    target_ds = assemble_target_shell(
+        source_ds, source_gm, target_gm, target_gm.to_coords()
     )
-    target_ds = Dataset(coords=coords, attrs=dict(source_ds.attrs))
 
-    yx_dims = (source_gm.xy_dim_names[1], source_gm.xy_dim_names[0])
+    swath_dims = (source_gm.xy_dim_names[1], source_gm.xy_dim_names[0])
     with TIMER("rectify.phase_b"):
-        for var_name, data_array in source_ds.data_vars.items():
-            if data_array.dims[-2:] == yx_dims:
-                assert len(data_array.dims) in (
-                    2,
-                    3,
-                ), f"Data variable {var_name} has {len(data_array.dims)} dimensions."
-
-                target_ds[var_name] = _rectify_data_array(
-                    data_array,
-                    var_name,
-                    target_gm,
-                    target_source_ij,
-                    interp_methods,
-                    fill_values,
+        for name, var in source_ds.data_vars.items():
+            if var.dims[-2:] == swath_dims:
+                assert len(var.dims) in (2, 3), (
+                    f"Data variable {name} has {len(var.dims)} dimensions."
                 )
-
-            elif (
-                yx_dims[0] not in data_array.dims
-                and yx_dims[1] not in data_array.dims
-            ):
-                target_ds[var_name] = data_array
+                target_ds[name] = _gather_variable(
+                    var, name, target_gm, ij_map, interp_methods, fill_values
+                )
+            elif not set(swath_dims) & set(var.dims):
+                # non-spatial variables ride along unchanged
+                target_ds[name] = var
 
     return target_ds
 
 
-def _transform_coords(
+def _reproject_swath_coords(
     source_ds: Dataset,
     source_gm: GridMapping,
     target_gm: GridMapping,
@@ -141,35 +123,30 @@ def _transform_coords(
     """Forward-transform the source's 2D coordinate images into the target
     CRS (reference rectify.py:182-231; native transformer instead of a
     per-block pyproj callback)."""
-    source_xx = np.asarray(source_gm.x_coords.data, dtype=np.float64)
-    source_yy = np.asarray(source_gm.y_coords.data, dtype=np.float64)
-
-    transformer_forward = Transformer.from_crs(
-        source_gm.crs, target_gm.crs, always_xy=True
+    fwd = Transformer.from_crs(source_gm.crs, target_gm.crs, always_xy=True)
+    new_xx, new_yy = fwd.transform(
+        np.asarray(source_gm.x_coords.data, dtype=np.float64),
+        np.asarray(source_gm.y_coords.data, dtype=np.float64),
     )
-    target_xx, target_yy = transformer_forward.transform(source_xx, source_yy)
 
-    source_ds = source_ds.drop_vars(source_gm.xy_var_names)
-    yx_dims = (source_gm.xy_dim_names[1], source_gm.xy_dim_names[0])
-    yx_var_names = (
-        ("lon", "lat")
-        if target_gm.crs.is_geographic
-        else ("transformed_x", "transformed_y")
-    )
-    source_ds = source_ds.assign_coords(
+    swath_dims = (source_gm.xy_dim_names[1], source_gm.xy_dim_names[0])
+    if target_gm.crs.is_geographic:
+        new_names = ("lon", "lat")
+    else:
+        new_names = ("transformed_x", "transformed_y")
+
+    return source_ds.drop_vars(source_gm.xy_var_names).assign_coords(
         {
             "spatial_ref": DataArray(
                 np.array(0), dims=(), attrs=target_gm.crs.to_cf()
             ),
-            yx_var_names[0]: (yx_dims, np.asarray(target_xx)),
-            yx_var_names[1]: (yx_dims, np.asarray(target_yy)),
+            new_names[0]: (swath_dims, np.asarray(new_xx)),
+            new_names[1]: (swath_dims, np.asarray(new_yy)),
         }
     )
 
-    return source_ds
 
-
-def _downscale_source_dataset(
+def _maybe_downscale(
     source_ds: Dataset,
     source_gm: GridMapping,
     target_gm: GridMapping,
@@ -181,262 +158,235 @@ def _downscale_source_dataset(
     (reference rectify.py:234-260)."""
     x_scale = source_gm.x_res / target_gm.x_res
     y_scale = source_gm.y_res / target_gm.y_res
-    if x_scale < SCALE_LIMIT or y_scale < SCALE_LIMIT:
-        w, h = round(x_scale * source_gm.width), round(y_scale * source_gm.height)
-        downscaled_size = (w if w >= 2 else 2, h if h >= 2 else 2)
+    if x_scale >= SCALE_LIMIT and y_scale >= SCALE_LIMIT:
+        return source_ds, source_gm
 
-        source_ds = resample_dataset(
-            source_ds,
-            ((1 / x_scale, 0, 0), (0, 1 / y_scale, 0)),
-            (source_gm.xy_dim_names[1], source_gm.xy_dim_names[0]),
-            downscaled_size,
-            source_gm.tile_size,
-            _prep_interp_methods_downscale(interp_methods),
-            agg_methods,
-            recover_nans,
+    new_size = tuple(
+        max(2, round(scale * extent))
+        for scale, extent in (
+            (x_scale, source_gm.width),
+            (y_scale, source_gm.height),
         )
-        source_gm = GridMapping.from_dataset(source_ds)
-
-    return source_ds, source_gm
-
-
-def _compute_target_source_ij(
-    src_geo_coding: GridMapping, output_geom: GridMapping, uv_delta: float
-) -> np.ndarray:
-    """PHASE A: the (2, height, width) fractional source-index map,
-    computed tile by tile with per-tile source windows discovered by the
-    bbox scan (reference rectify.py:312-370)."""
-    dst_width = output_geom.width
-    dst_height = output_geom.height
-    dst_tile_width = output_geom.tile_width
-    dst_tile_height = output_geom.tile_height
-    dst_var_shape = 2, dst_height, dst_width
-    dst_var_chunks = 2, dst_tile_height, dst_tile_width
-
-    dst_x_min, dst_y_min, dst_x_max, dst_y_max = output_geom.xy_bbox
-    dst_x_res, dst_y_res = output_geom.xy_res
-    dst_is_j_axis_up = output_geom.is_j_axis_up
-
-    # Empirical xy_border grows per-tile search windows: more tiles means
-    # smaller destination bboxes and a higher risk of missing source quads
-    # near tile edges (reference rectify.py:329-340)
-    num_tiles_x = dst_width / dst_tile_width
-    num_tiles_y = dst_height / dst_tile_height
-    xy_border = min(
-        min(
-            2 * num_tiles_x * output_geom.x_res, 2 * num_tiles_y * output_geom.y_res
-        ),
-        min(0.5 * (dst_x_max - dst_x_min), 0.5 * (dst_y_max - dst_y_min)),
     )
+    source_ds = resample_dataset(
+        source_ds,
+        ((1 / x_scale, 0, 0), (0, 1 / y_scale, 0)),
+        (source_gm.xy_dim_names[1], source_gm.xy_dim_names[0]),
+        new_size,
+        source_gm.tile_size,
+        _prep_interp_methods_downscale(interp_methods),
+        agg_methods,
+        recover_nans,
+    )
+    return source_ds, GridMapping.from_dataset(source_ds)
 
-    # tiered dispatch: when a JAX accelerator is present (or the device
-    # tier is forced), the whole map is computed in one device kernel —
-    # the reference's numba hot loop stays on the TPU, the host only
-    # normalizes coordinates and sizes the candidate rectangle.  The
-    # tiled host path (multithreaded C++ / vectorized numpy) remains the
-    # fallback for geometries outside the device kernel's envelope.
+
+def _tile_search_border(target_gm: GridMapping) -> float:
+    """Empirical xy_border growing per-tile search windows: more tiles
+    means smaller destination bboxes and a higher risk of missing source
+    quads near tile edges (reference rectify.py:329-340)."""
+    x1, y1, x2, y2 = target_gm.xy_bbox
+    per_axis = min(
+        2 * (target_gm.width / target_gm.tile_width) * target_gm.x_res,
+        2 * (target_gm.height / target_gm.tile_height) * target_gm.y_res,
+    )
+    return min(per_axis, min(0.5 * (x2 - x1), 0.5 * (y2 - y1)))
+
+
+def _phase_a_tier() -> str:
+    """'device' or 'host': XRTPU_PHASEA overrides, auto sniffs the JAX
+    backend."""
     mode = os.environ.get("XRTPU_PHASEA", "auto")
-    use_device = mode == "device"
-    if mode == "auto":
-        try:
-            import jax
+    if mode != "auto":
+        return mode
+    try:
+        import jax
 
-            use_device = jax.default_backend() not in ("cpu",)
-        except Exception:  # noqa: BLE001
-            use_device = False
-    if use_device:
+        return "host" if jax.default_backend() in ("cpu",) else "device"
+    except Exception:  # noqa: BLE001
+        return "host"
+
+
+def _inverse_ij_map(
+    source_gm: GridMapping, target_gm: GridMapping, uv_delta: float
+):
+    """PHASE A: the (2, height, width) fractional source-index map.
+
+    Device tier: one XLA kernel over the full map — the reference's numba
+    hot loop (rectify.py:424-576) stays on the TPU; the host only
+    normalizes coordinates and sizes the candidate rectangle.  Host tier:
+    tile-by-tile with per-tile source windows discovered by the bbox scan
+    (reference rectify.py:312-370).
+    """
+    x1, y1, x2, y2 = target_gm.xy_bbox
+    x_res, y_res = target_gm.xy_res
+    j_up = target_gm.is_j_axis_up
+    shape_hw = (target_gm.height, target_gm.width)
+
+    if _phase_a_tier() == "device":
         with TIMER("rectify.phase_a_device"):
-            src_xy = np.asarray(
-                src_geo_coding.xy_coords.data, dtype=np.float64
-            )
-            device_map = rectify_ops.inverse_ij_map_device(
-                src_xy[0],
-                src_xy[1],
+            swath = np.asarray(source_gm.xy_coords.data, dtype=np.float64)
+            on_device = rectify_ops.inverse_ij_map_device(
+                swath[0],
+                swath[1],
                 0,
                 0,
-                (dst_height, dst_width),
-                dst_x_min,
-                dst_y_min if dst_is_j_axis_up else dst_y_max,
-                dst_x_res,
-                dst_y_res if dst_is_j_axis_up else -dst_y_res,
+                shape_hw,
+                x1,
+                y1 if j_up else y2,
+                x_res,
+                y_res if j_up else -y_res,
                 uv_delta,
             )
-        if device_map is not None:
-            return device_map
+        if on_device is not None:
+            return on_device
 
     with TIMER("rectify.phase_a_bbox_scan"):
-        dst_xy_bboxes = output_geom.xy_bboxes
-        src_ij_bboxes = src_geo_coding.ij_bboxes_from_xy_bboxes(
-            dst_xy_bboxes, xy_border=xy_border, ij_border=1
+        window_bboxes = source_gm.ij_bboxes_from_xy_bboxes(
+            target_gm.xy_bboxes,
+            xy_border=_tile_search_border(target_gm),
+            ij_border=1,
         )
 
     return compute_array_from_func(
-        _compute_target_source_ij_block,
-        dst_var_shape,
-        dst_var_chunks,
+        _inverse_ij_map_tile,
+        (2,) + shape_hw,
+        (2, target_gm.tile_height, target_gm.tile_width),
         np.float64,
-        ctx_arg_names=[
-            "dtype",
-            "block_id",
-            "block_shape",
-            "block_slices",
-        ],
+        ctx_arg_names=["dtype", "block_id", "block_shape", "block_slices"],
         args=(
-            src_geo_coding.xy_coords,
-            src_ij_bboxes,
-            dst_x_min,
-            dst_y_min,
-            dst_y_max,
-            dst_x_res,
-            dst_y_res,
-            dst_is_j_axis_up,
+            source_gm.xy_coords,
+            window_bboxes,
+            x1,
+            y1,
+            y2,
+            x_res,
+            y_res,
+            j_up,
             uv_delta,
         ),
         name="ij_pixels",
     )
 
 
-def _compute_target_source_ij_block(
+# Established internal entry point for the Phase-A map (bench, sharded
+# rectify, parity tests import it under this name).
+_compute_target_source_ij = _inverse_ij_map
+
+
+def _inverse_ij_map_tile(
     dtype: np.dtype,
     block_id: int,
     block_shape: tuple[int, ...],
     block_slices: tuple,
-    src_xy_coords: DataArray,
-    src_ij_bboxes: np.ndarray,
-    dst_x_min: float,
-    dst_y_min: float,
-    dst_y_max: float,
-    dst_x_res: float,
-    dst_y_res: float,
-    dst_is_j_axis_up: bool,
+    swath_xy: DataArray,
+    window_bboxes: np.ndarray,
+    x_min: float,
+    y_min: float,
+    y_max: float,
+    x_res: float,
+    y_res: float,
+    j_up: bool,
     uv_delta: float,
 ) -> np.ndarray:
     """One destination tile of the fractional source-index map
     (reference rectify.py:373-419)."""
-    _, (dst_y_slice_start, _), (dst_x_slice_start, _) = block_slices
-    src_ij_bbox = src_ij_bboxes[block_id]
-    src_i_min, src_j_min, src_i_max, src_j_max = src_ij_bbox
-    if src_i_min == -1:
+    _, (row0, _), (col0, _) = block_slices
+    i_lo, j_lo, i_hi, j_hi = window_bboxes[block_id]
+    if i_lo == -1:
+        # no source quad can land in this tile
         return np.full(block_shape, np.nan, dtype=dtype)
-    src_xy_values = np.asarray(
-        src_xy_coords.data[
-            :, src_j_min : src_j_max + 1, src_i_min : src_i_max + 1
-        ],
-        dtype=np.float64,
+
+    window = np.asarray(
+        swath_xy.data[:, j_lo : j_hi + 1, i_lo : i_hi + 1], dtype=np.float64
     )
-    src_x_values = src_xy_values[0]
-    src_y_values = src_xy_values[1]
-    dst_x_offset = dst_x_min + dst_x_slice_start * dst_x_res
-    if dst_is_j_axis_up:
-        dst_y_offset = dst_y_min + dst_y_slice_start * dst_y_res
-    else:
-        dst_y_offset = dst_y_max - dst_y_slice_start * dst_y_res
+    x_origin = x_min + col0 * x_res
+    y_origin = (y_min + row0 * y_res) if j_up else (y_max - row0 * y_res)
     return rectify_ops.inverse_ij_map(
-        src_x_values,
-        src_y_values,
-        int(src_i_min),
-        int(src_j_min),
+        window[0],
+        window[1],
+        int(i_lo),
+        int(j_lo),
         (block_shape[1], block_shape[2]),
-        dst_x_offset,
-        dst_y_offset,
-        dst_x_res,
-        dst_y_res if dst_is_j_axis_up else -dst_y_res,
+        x_origin,
+        y_origin,
+        x_res,
+        y_res if j_up else -y_res,
         uv_delta,
     )
 
 
-def _rectify_data_array(
-    data_array: DataArray,
-    var_name: Hashable,
+def _gather_variable(
+    var: DataArray,
+    name: Hashable,
     target_gm: GridMapping,
-    target_source_ij: np.ndarray,
+    ij_map,
     interp_methods: InterpMethods | None = None,
     fill_values: FillValues | None = None,
 ) -> DataArray:
     """PHASE B: gather a data variable through the source-index map
     (reference rectify.py:263-309)."""
-    data_array_expanded = False
-    if len(data_array.dims) == 2:
-        data_array = data_array.expand_dims({"dummy": 1})
-        data_array_expanded = True
+    had_band_axis = len(var.dims) == 3
+    if not had_band_axis:
+        var = var.expand_dims({"dummy": 1})
 
-    fill_value = _get_fill_value(fill_values, var_name, data_array)
-    interp_method = _get_interp_method_str(interp_methods, var_name, data_array)
+    fill_value = _get_fill_value(fill_values, name, var)
+    interp = _get_interp_method_str(interp_methods, name, var)
 
-    if isinstance(target_source_ij, rectify_ops.DeviceIJMap):
+    if isinstance(ij_map, rectify_ops.DeviceIJMap):
         # fully device-resident pipeline: the Phase-A map stays on the
         # device and every variable (numpy- or JAX-backed) gathers
         # through it there — nothing crosses the host boundary per band
-        fn = rectify_ops.make_device_var_image_fn_resident(
-            target_source_ij, fill_value, interp_method
+        gather = rectify_ops.make_device_var_image_fn_resident(
+            ij_map, fill_value, interp
         )
-        array_rectified = fn(data_array.data)
-    elif type(data_array.data).__module__.startswith("jax"):
+        image = gather(var.data)
+    elif type(var.data).__module__.startswith("jax"):
         # device fast path over a host-materialized map: JAX-backed
         # variables gather through the fractional index map on device
         # (the map is staged once and reused for every variable)
-        fn = rectify_ops.make_device_var_image_fn(
-            target_source_ij,
-            (data_array.shape[-2], data_array.shape[-1]),
-            fill_value,
-            interp_method,
+        gather = rectify_ops.make_device_var_image_fn(
+            ij_map, (var.shape[-2], var.shape[-1]), fill_value, interp
         )
-        array_rectified = fn(data_array.data)
+        image = gather(var.data)
     else:
-        array_rectified = _compute_var_image(
-            np.asarray(data_array.data),
-            target_source_ij,
-            fill_value,
-            interp_method,
-            target_gm,
+        image = _gather_host_tiled(
+            np.asarray(var.data), ij_map, fill_value, interp, target_gm
         )
 
-    tile_h, tile_w = target_gm.tile_height, target_gm.tile_width
-    if data_array_expanded:
-        array_rectified = array_rectified[0, :, :]
-        dims = (target_gm.xy_dim_names[1], target_gm.xy_dim_names[0])
-        chunks = (tile_h, tile_w) if target_gm.is_tiled else None
+    tile_hw = (target_gm.tile_height, target_gm.tile_width)
+    grid_dims = (target_gm.xy_dim_names[1], target_gm.xy_dim_names[0])
+    if had_band_axis:
+        lead = var.chunks[0][0] if var.chunks is not None else var.shape[0]
+        dims = (var.dims[0],) + grid_dims
+        chunks = (lead,) + tile_hw
     else:
-        dims = (
-            data_array.dims[0],
-            target_gm.xy_dim_names[1],
-            target_gm.xy_dim_names[0],
-        )
-        lead = (
-            data_array.chunks[0][0]
-            if data_array.chunks is not None
-            else data_array.shape[0]
-        )
-        chunks = (lead, tile_h, tile_w)
+        image = image[0, :, :]
+        dims = grid_dims
+        chunks = tile_hw if target_gm.is_tiled else None
 
     return DataArray(
-        data=array_rectified,
-        dims=dims,
-        attrs=dict(data_array.attrs),
-        chunks=chunks,
+        data=image, dims=dims, attrs=dict(var.attrs), chunks=chunks
     )
 
 
-def _compute_var_image(
+def _gather_host_tiled(
     src_var: np.ndarray,
-    dst_src_ij_images: np.ndarray,
+    ij_map: np.ndarray,
     fill_value: FloatInt,
     interp_method: InterpMethodStr,
     target_gm: GridMapping,
 ) -> np.ndarray:
     """Gather tile by tile so the per-tile source windows stay small
     (reference rectify.py:579-635)."""
-    dst_h, dst_w = dst_src_ij_images.shape[-2], dst_src_ij_images.shape[-1]
-    out = np.empty(src_var.shape[:-2] + (dst_h, dst_w), dtype=src_var.dtype)
+    out_hw = ij_map.shape[-2:]
+    out = np.empty(src_var.shape[:-2] + out_hw, dtype=src_var.dtype)
     chunk_sizes = tuple(
-        get_chunk_sizes(
-            (dst_h, dst_w), (target_gm.tile_height, target_gm.tile_width)
-        )
+        get_chunk_sizes(out_hw, (target_gm.tile_height, target_gm.tile_width))
     )
     _, _, block_slices = get_block_iterators(chunk_sizes)
-    for y_slice, x_slice in block_slices:
-        ij_block = dst_src_ij_images[:, y_slice, x_slice]
-        out[..., y_slice, x_slice] = rectify_ops.var_image_from_ij_map(
-            src_var, ij_block, fill_value, interp_method
+    for rows, cols in block_slices:
+        out[..., rows, cols] = rectify_ops.var_image_from_ij_map(
+            src_var, ij_map[:, rows, cols], fill_value, interp_method
         )
     return out

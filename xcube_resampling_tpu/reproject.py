@@ -1,19 +1,26 @@
 """Reprojection engine (regular -> regular grids across CRSs).
 
-Behavioural port of reference reproject.py:51-530 with a TPU-first compute
-design.  The reference stages pyproj host calls per dask block and gathers
-through a uniformized source-window mosaic; here the coordinate transform is
-the native CRS engine (float64 numpy on the host for the golden path — and
-fully fused into the device kernel in ops/reproject fast path used by the
-benchmarks), and per-target-tile source windows are sliced directly from the
-(padded) source array with static, uniform shapes — the shape discipline XLA
-needs, identical numerics to the reference's mosaic.
+Semantics track reference ``reproject.py:51-530`` (see NOTICE) with a
+TPU-first compute design.  The reference stages pyproj host calls per dask
+block and gathers through a uniformized source-window mosaic; here the
+coordinate transform is the native CRS engine (float64 numpy on the host
+for the golden path — and fully fused into the device kernel in the
+ops/reproject fast paths used by the benchmarks), and per-target-tile
+source windows are sliced directly from the (padded) source array with
+static, uniform shapes — the shape discipline XLA needs, identical
+numerics to the reference's mosaic.
+
+The window planning (:func:`_plan_source_windows`) is vectorized numpy end
+to end: per-tile bboxes are uniformized and their origin-coordinate stacks
+gathered in single fancy-indexing passes instead of the reference's
+per-tile Python loops.
 """
 
 from __future__ import annotations
 
 import math
 from collections.abc import Hashable, Iterable
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -28,13 +35,14 @@ from .constants import (
 )
 from .crs import Transformer
 from .gridmapping import GridMapping
-from .profiling import GLOBAL_TIMER as TIMER
 from .ops import gather
+from .profiling import GLOBAL_TIMER as TIMER
 from .utils import (
     _get_fill_value,
     _get_interp_method_str,
     _prep_interp_methods_downscale,
     _select_variables,
+    assemble_target_shell,
     clip_dataset_by_bbox,
     normalize_grid_mapping,
 )
@@ -58,79 +66,47 @@ def reproject_dataset(
         if source_gm is None:
             source_gm = GridMapping.from_dataset(source_ds)
         if source_gm.is_j_axis_up:
-            v_var = source_gm.xy_var_names[1]
-            source_ds = source_ds.isel({v_var: slice(None, None, -1)})
+            # host plan math assumes j-axis-down sources; flip rows once
+            row_var = source_gm.xy_var_names[1]
+            source_ds = source_ds.isel({row_var: slice(None, None, -1)})
             source_gm = GridMapping.from_dataset(source_ds)
 
         source_ds = normalize_grid_mapping(source_ds, source_gm)
-
         source_ds = _select_variables(source_ds, variables)
 
-        transformer = Transformer.from_crs(
-            target_gm.crs, source_gm.crs, always_xy=True
-        )
+        # target -> source, for the inverse-mapping resample
+        inv = Transformer.from_crs(target_gm.crs, source_gm.crs, always_xy=True)
 
-    # If the source resolution is finer than the target's, downscale first
     with TIMER("reproject.pre_downscale"):
-        source_ds, source_gm = _downscale_source_dataset(
-            source_ds,
-            source_gm,
-            target_gm,
-            transformer,
-            interp_methods,
-            agg_methods,
-            recover_nans,
+        source_ds, source_gm = _maybe_downscale(
+            source_ds, source_gm, target_gm, inv,
+            interp_methods, agg_methods, recover_nans,
         )
 
-    # Per target tile: source pixel window (uniformized to the largest) and
-    # window origin coordinates; plus source padding for windows that poke
-    # outside the source extent
     with TIMER("reproject.plan"):
-        scr_ij_bboxes, x_coords, y_coords, pad_width = _get_scr_bboxes_indices(
-            transformer, source_gm, target_gm
-        )
+        plan = _plan_source_windows(inv, source_gm, target_gm)
+        # Inverse-transform the target pixel-center grid into source coords
+        src_xx, src_yy = _target_centers_in_source(inv, target_gm)
 
-        # Inverse-transform the target pixel-center grid into source
-        # coordinates
-        source_xx, source_yy = _transform_gridpoints(transformer, target_gm)
-
-    # Assemble the target dataset
-    x_name, y_name = source_gm.xy_var_names
-    coords_ds = source_ds.coords.to_dataset()
-    coords_ds = coords_ds.drop_vars((x_name, y_name))
-    x_name, y_name = target_gm.xy_var_names
-    coords = dict(coords_ds.coords)
-    coords[x_name] = target_gm.x_coords
-    coords[y_name] = target_gm.y_coords
-    coords["spatial_ref"] = DataArray(
-        np.array(0), dims=(), attrs=target_gm.crs.to_cf()
+    target_ds = assemble_target_shell(
+        source_ds,
+        source_gm,
+        target_gm,
+        dict(zip(target_gm.xy_var_names, (target_gm.x_coords, target_gm.y_coords))),
     )
-    target_ds = Dataset(coords=coords, attrs=dict(source_ds.attrs))
 
-    yx_dims = (source_gm.xy_dim_names[1], source_gm.xy_dim_names[0])
-    for var_name, data_array in source_ds.items():
-        if data_array.dims[-2:] == yx_dims:
-            assert len(data_array.dims) in (
-                2,
-                3,
-            ), f"Data variable {var_name} has {len(data_array.dims)} dimensions."
-
-            target_ds[var_name] = _reproject_data_array(
-                data_array,
-                var_name,
-                source_gm,
-                target_gm,
-                source_xx,
-                source_yy,
-                x_coords,
-                y_coords,
-                scr_ij_bboxes,
-                pad_width,
-                interp_methods,
-                fill_values,
+    grid_dims = (source_gm.xy_dim_names[1], source_gm.xy_dim_names[0])
+    for name, var in source_ds.items():
+        if var.dims[-2:] == grid_dims:
+            assert len(var.dims) in (2, 3), (
+                f"Data variable {name} has {len(var.dims)} dimensions."
             )
-        elif yx_dims[0] not in data_array.dims and yx_dims[1] not in data_array.dims:
-            target_ds[var_name] = data_array
+            target_ds[name] = _reproject_variable(
+                var, name, source_gm, target_gm, src_xx, src_yy, plan,
+                interp_methods, fill_values,
+            )
+        elif not set(grid_dims) & set(var.dims):
+            target_ds[name] = var
 
     return target_ds
 
@@ -139,69 +115,95 @@ def _is_jax_array(data) -> bool:
     return type(data).__module__.startswith("jax")
 
 
-def _reproject_data_array(
-    data_array: DataArray,
-    var_name: Hashable,
+@dataclass
+class _WindowPlan:
+    """Per-target-tile uniform source windows: int32 bboxes ``(4, ny, nx)``
+    in padded-source pixel space, float32 window-origin coordinate stacks,
+    and the padding that embeds out-of-extent windows."""
+
+    bboxes: np.ndarray  # (4, ny, nx): i0, j0, i1, j1
+    x_stack: np.ndarray  # (win_w, ny, nx)
+    y_stack: np.ndarray  # (win_h, ny, nx)
+    pad_width: tuple
+
+
+def _reproject_variable(
+    var: DataArray,
+    name: Hashable,
     source_gm: GridMapping,
     target_gm: GridMapping,
-    source_xx: np.ndarray,
-    source_yy: np.ndarray,
-    x_coords: np.ndarray,
-    y_coords: np.ndarray,
-    scr_ij_bboxes: np.ndarray,
-    pad_width: tuple,
+    src_xx: np.ndarray,
+    src_yy: np.ndarray,
+    plan: _WindowPlan,
     interp_methods: InterpMethods | None = None,
     fill_values: FillValues | None = None,
 ) -> DataArray:
-    data_array_expanded = False
-    if len(data_array.dims) == 2:
-        data_array = data_array.expand_dims({"dummy": 1})
-        data_array_expanded = True
+    had_band_axis = len(var.dims) == 3
+    if not had_band_axis:
+        var = var.expand_dims({"dummy": 1})
 
-    fill_value = _get_fill_value(fill_values, var_name, data_array)
-    interp_method = _get_interp_method_str(interp_methods, var_name, data_array)
+    fill_value = _get_fill_value(fill_values, name, var)
+    interp = _get_interp_method_str(interp_methods, name, var)
 
-    if _is_jax_array(data_array.data):
+    if _is_jax_array(var.data):
         # device fast path: variables backed by JAX arrays stay on device
         # and run through the fused kernels (SRW when the mapping allows,
         # XLA gather otherwise); results use the approximate coordinate
         # field (sub-1e-2 px), see ops/reproject_ops
         with TIMER("reproject.device"):
-            out = _reproject_on_device(
-                data_array.data, source_gm, target_gm, interp_method,
-                fill_value,
+            image = _reproject_on_device(
+                var.data, source_gm, target_gm, interp, fill_value
             )
-        return _finish_reprojected(
-            data_array, out, target_gm, data_array_expanded
-        )
+        return _as_target_array(var, image, target_gm, had_band_axis)
 
-    array = np.asarray(data_array.data)
+    image = _gather_through_windows(
+        np.asarray(var.data), source_gm, target_gm,
+        src_xx, src_yy, plan, interp, fill_value,
+    )
+    return _as_target_array(var, image, target_gm, had_band_axis)
+
+
+def _gather_through_windows(
+    array: np.ndarray,
+    source_gm: GridMapping,
+    target_gm: GridMapping,
+    src_xx: np.ndarray,
+    src_yy: np.ndarray,
+    plan: _WindowPlan,
+    interp: str,
+    fill_value,
+) -> np.ndarray:
+    """Host golden path: pad the source once, then gather every target tile
+    through its planned window (reference reproject.py:268-335 math, int32
+    indices — the reference's int16 cast limited padded windows to 32k
+    pixels; that constraint is consciously lifted here)."""
     with TIMER("reproject.host_gather"):
-        data_in = np.pad(
-            array, pad_width, mode="constant", constant_values=fill_value
+        padded = np.pad(
+            array, plan.pad_width, mode="constant", constant_values=fill_value
         )
 
-    num_tiles_y, num_tiles_x = scr_ij_bboxes.shape[1], scr_ij_bboxes.shape[2]
+    ny, nx = plan.bboxes.shape[1], plan.bboxes.shape[2]
     tile_h, tile_w = target_gm.tile_height, target_gm.tile_width
     out_h, out_w = target_gm.height, target_gm.width
     out = np.empty(array.shape[:-2] + (out_h, out_w), dtype=array.dtype)
 
     with TIMER("reproject.host_kernel"):
-      for tj in range(num_tiles_y):
-        for ti in range(num_tiles_x):
-            j0, j1 = tj * tile_h, min((tj + 1) * tile_h, out_h)
-            i0, i1 = ti * tile_w, min((ti + 1) * tile_w, out_w)
-            sxx = source_xx[j0:j1, i0:i1]
-            syy = source_yy[j0:j1, i0:i1]
-            bbox = scr_ij_bboxes[:, tj, ti]
-            window = data_in[..., bbox[1] : bbox[3], bbox[0] : bbox[2]]
-            ix = (sxx - x_coords[0, tj, ti]) / source_gm.x_res
-            iy = (syy - y_coords[0, tj, ti]) / -source_gm.y_res
-            out[..., j0:j1, i0:i1] = _reproject_block(
-                window, ix, iy, interp_method, array.dtype
-            )
-
-    return _finish_reprojected(data_array, out, target_gm, data_array_expanded)
+        for tj in range(ny):
+            rows = slice(tj * tile_h, min((tj + 1) * tile_h, out_h))
+            for ti in range(nx):
+                cols = slice(ti * tile_w, min((ti + 1) * tile_w, out_w))
+                i0, j0, i1, j1 = plan.bboxes[:, tj, ti]
+                window = padded[..., j0:j1, i0:i1]
+                ix = (src_xx[rows, cols] - plan.x_stack[0, tj, ti]) / source_gm.x_res
+                iy = (src_yy[rows, cols] - plan.y_stack[0, tj, ti]) / -source_gm.y_res
+                sampled = gather.grid_sample(window, ix, iy, interp)
+                if sampled.dtype != array.dtype:
+                    if np.dtype(array.dtype).kind in "ui":
+                        sampled = np.rint(sampled).astype(array.dtype)
+                    else:
+                        sampled = sampled.astype(array.dtype)
+                out[..., rows, cols] = sampled
+    return out
 
 
 def _reproject_on_device(data, source_gm, target_gm, interp_method, fill_value):
@@ -255,206 +257,185 @@ def _reproject_on_device(data, source_gm, target_gm, interp_method, fill_value):
     return fn(data)
 
 
-def _finish_reprojected(data_array, out, target_gm, data_array_expanded):
-    tile_h, tile_w = target_gm.tile_height, target_gm.tile_width
+def _as_target_array(var, image, target_gm, had_band_axis) -> DataArray:
+    tile_hw = (target_gm.tile_height, target_gm.tile_width)
     chunks = None
-    if data_array.chunks is not None:
-        chunks = tuple(c[0] for c in data_array.chunks[:-2]) + (tile_h, tile_w)
+    if var.chunks is not None:
+        chunks = tuple(c[0] for c in var.chunks[:-2]) + tile_hw
 
-    if data_array_expanded:
-        out = out[0, :, :]
-        dims = (target_gm.xy_dim_names[1], target_gm.xy_dim_names[0])
+    grid_dims = (target_gm.xy_dim_names[1], target_gm.xy_dim_names[0])
+    if had_band_axis:
+        dims = (var.dims[0],) + grid_dims
+    else:
+        image = image[0, :, :]
+        dims = grid_dims
         if chunks is not None:
             chunks = chunks[1:]
-    else:
-        dims = (
-            data_array.dims[0],
-            target_gm.xy_dim_names[1],
-            target_gm.xy_dim_names[0],
-        )
-    return DataArray(data=out, dims=dims, attrs=dict(data_array.attrs), chunks=chunks)
+    return DataArray(data=image, dims=dims, attrs=dict(var.attrs), chunks=chunks)
 
 
-def _reproject_block(window, ix, iy, interp_method, out_dtype):
-    """Per-tile gather + interpolation (reference reproject.py:268-335 math,
-    int32 indices — the reference's int16 cast limited padded windows to 32k
-    pixels; that constraint is consciously lifted here)."""
-    result = gather.grid_sample(window, ix, iy, interp_method)
-    if np.dtype(out_dtype) != result.dtype:
-        result = np.rint(result).astype(out_dtype) if np.dtype(
-            out_dtype
-        ).kind in "ui" else result.astype(out_dtype)
-    return result
-
-
-def _downscale_source_dataset(
+def _maybe_downscale(
     source_ds: Dataset,
     source_gm: GridMapping,
     target_gm: GridMapping,
-    transformer: Transformer,
+    inv: Transformer,
     interp_methods: InterpMethods | None,
     agg_methods: AggMethods | None,
     recover_nans: RecoverNans,
 ) -> tuple[Dataset, GridMapping]:
     """Clip + affine-downscale the source when its resolution is finer than
     the target's (reference reproject.py:338-382; SCALE_LIMIT gate)."""
-    bbox_trans = transformer.transform_bounds(*target_gm.xy_bbox)
-    xres_trans = (bbox_trans[2] - bbox_trans[0]) / target_gm.width
-    yres_trans = (bbox_trans[3] - bbox_trans[1]) / target_gm.height
-    x_scale = source_gm.x_res / xres_trans
-    y_scale = source_gm.y_res / yres_trans
-    if x_scale < SCALE_LIMIT or y_scale < SCALE_LIMIT:
-        bbox_trans = (
-            bbox_trans[0] - 2 * source_gm.x_res,
-            bbox_trans[1] - 2 * source_gm.y_res,
-            bbox_trans[2] + 2 * source_gm.x_res,
-            bbox_trans[3] + 2 * source_gm.y_res,
-        )
-        source_ds = clip_dataset_by_bbox(source_ds, bbox_trans, source_gm.xy_dim_names)
-        source_gm = GridMapping.from_dataset(source_ds)
-        w, h = round(x_scale * source_gm.width), round(y_scale * source_gm.height)
-        downscaled_size = (w if w >= 2 else 2, h if h >= 2 else 2)
-        downscale_target_gm = GridMapping.regular(
-            size=downscaled_size,
-            xy_min=(source_gm.xy_bbox[0], source_gm.xy_bbox[1]),
-            xy_res=(xres_trans, yres_trans),
-            crs=source_gm.crs,
-            tile_size=source_gm.tile_size,
-        )
-        old_names = source_gm.xy_var_names
-        old_dims = source_gm.xy_dim_names
-        source_ds = affine_transform_dataset(
-            source_ds,
-            downscale_target_gm,
-            source_gm=source_gm,
-            interp_methods=_prep_interp_methods_downscale(interp_methods),
-            agg_methods=agg_methods,
-            recover_nans=recover_nans,
-        )
-        # the affine keeps variable dims from the source, but assigns
-        # coords under the downscale GM's default names — for e.g. a
-        # geographic dataset whose coords are named x/y the two diverge
-        # and the dataset would stop being self-consistent (vars silently
-        # skipped downstream).  Re-assign under the source's names.
-        new_names = downscale_target_gm.xy_var_names
-        if new_names != old_names:
-            source_ds = source_ds.drop_vars(
-                [n for n in new_names if n in source_ds.variables]
-            ).assign_coords(
-                {
-                    old_names[0]: DataArray(
-                        np.asarray(downscale_target_gm.x_coords.data),
-                        dims=(old_dims[0],),
-                    ),
-                    old_names[1]: DataArray(
-                        np.asarray(downscale_target_gm.y_coords.data),
-                        dims=(old_dims[1],),
-                    ),
-                }
-            )
-        source_gm = GridMapping.from_dataset(source_ds)
+    span = inv.transform_bounds(*target_gm.xy_bbox)
+    res_in_source = (
+        (span[2] - span[0]) / target_gm.width,
+        (span[3] - span[1]) / target_gm.height,
+    )
+    x_scale = source_gm.x_res / res_in_source[0]
+    y_scale = source_gm.y_res / res_in_source[1]
+    if x_scale >= SCALE_LIMIT and y_scale >= SCALE_LIMIT:
+        return source_ds, source_gm
 
-    return source_ds, source_gm
+    margin_x, margin_y = 2 * source_gm.x_res, 2 * source_gm.y_res
+    clip_bbox = (
+        span[0] - margin_x,
+        span[1] - margin_y,
+        span[2] + margin_x,
+        span[3] + margin_y,
+    )
+    source_ds = clip_dataset_by_bbox(source_ds, clip_bbox, source_gm.xy_dim_names)
+    source_gm = GridMapping.from_dataset(source_ds)
+
+    new_size = tuple(
+        max(2, round(scale * extent))
+        for scale, extent in (
+            (x_scale, source_gm.width),
+            (y_scale, source_gm.height),
+        )
+    )
+    coarse_gm = GridMapping.regular(
+        size=new_size,
+        xy_min=(source_gm.xy_bbox[0], source_gm.xy_bbox[1]),
+        xy_res=res_in_source,
+        crs=source_gm.crs,
+        tile_size=source_gm.tile_size,
+    )
+    old_names = source_gm.xy_var_names
+    old_dims = source_gm.xy_dim_names
+    source_ds = affine_transform_dataset(
+        source_ds,
+        coarse_gm,
+        source_gm=source_gm,
+        interp_methods=_prep_interp_methods_downscale(interp_methods),
+        agg_methods=agg_methods,
+        recover_nans=recover_nans,
+    )
+    # the affine keeps variable dims from the source, but assigns coords
+    # under the downscale GM's default names — for e.g. a geographic
+    # dataset whose coords are named x/y the two diverge and the dataset
+    # would stop being self-consistent (vars silently skipped downstream).
+    # Re-assign under the source's names.
+    if coarse_gm.xy_var_names != old_names:
+        stale = [
+            n for n in coarse_gm.xy_var_names if n in source_ds.variables
+        ]
+        source_ds = source_ds.drop_vars(stale).assign_coords(
+            {
+                old_names[0]: DataArray(
+                    np.asarray(coarse_gm.x_coords.data), dims=(old_dims[0],)
+                ),
+                old_names[1]: DataArray(
+                    np.asarray(coarse_gm.y_coords.data), dims=(old_dims[1],)
+                ),
+            }
+        )
+    return source_ds, GridMapping.from_dataset(source_ds)
 
 
-def _get_scr_bboxes_indices(
-    transformer: Transformer,
+def _plan_source_windows(
+    inv: Transformer,
     source_gm: GridMapping,
     target_gm: GridMapping,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, tuple]:
+) -> _WindowPlan:
     """Per-target-tile source pixel windows, uniformized to the largest
     window (static shapes), plus per-tile window-origin coordinate stacks
     and the source padding needed where windows exceed the source extent
-    (reference reproject.py:385-469)."""
-    num_tiles_x = math.ceil(target_gm.width / target_gm.tile_width)
-    num_tiles_y = math.ceil(target_gm.height / target_gm.tile_height)
+    (reference reproject.py:385-469, vectorized)."""
+    ny = math.ceil(target_gm.height / target_gm.tile_height)
+    nx = math.ceil(target_gm.width / target_gm.tile_width)
+    x_res, y_res = source_gm.x_res, source_gm.y_res
+    x0 = float(np.asarray(source_gm.x_coords.data)[0])
+    y_vals = np.asarray(source_gm.y_coords.data)
+    y0 = float(y_vals[0])
 
     # analytic per-tile source bboxes via densified bounds transform
-    origin = (
-        float(np.asarray(source_gm.x_coords.data)[0]),
-        float(np.asarray(source_gm.y_coords.data)[0]),
+    spans = np.asarray(
+        [inv.transform_bounds(*xy_bbox) for xy_bbox in target_gm.xy_bboxes]
+    )  # (ny*nx, 4): x_lo, y_lo, x_hi, y_hi in source coords
+    i_lo = np.floor((spans[:, 0] - x0) / x_res).astype(np.int64)
+    i_hi = np.ceil((spans[:, 2] - x0) / x_res).astype(np.int64)
+    j_lo = np.floor((y0 - spans[:, 3]) / y_res).astype(np.int64)
+    j_hi = np.ceil((y0 - spans[:, 1]) / y_res).astype(np.int64)
+
+    # uniformize: grow every window (centered) to the largest extent so
+    # each tile's source window has the same, trace-static shape
+    win_w = int(np.max(i_hi - i_lo)) + 1
+    win_h = int(np.max(j_hi - j_lo)) + 1
+    i_start = i_lo - (win_w - (i_hi - i_lo)) // 2
+    j_start = j_lo - (win_h - (j_hi - j_lo)) // 2
+
+    i_min, i_max = int(i_start.min()), int(i_start.max()) + win_w
+    j_min, j_max = int(j_start.min()), int(j_start.max()) + win_h
+
+    # Window-origin coordinate stacks, gathered in one fancy-indexing pass
+    # per axis.  float32 like the reference (reproject.py:427-428): the
+    # goldens encode this quantization of the window origin; the fused
+    # device path keeps full precision instead.
+    x_line = x0 + (i_min + np.arange(i_max - i_min)) * x_res
+    y_step = float(y_vals[1] - y_vals[0])
+    y_line = y0 + (j_min + np.arange(j_max - j_min)) * y_step
+    taps_w = np.arange(win_w)[:, None]
+    taps_h = np.arange(win_h)[:, None]
+    x_stack = (
+        x_line[(i_start - i_min)[None, :] + taps_w]
+        .astype(np.float32)
+        .reshape(win_w, ny, nx)
     )
-    scr_ij_bboxes = np.full((4, num_tiles_y, num_tiles_x), -1, dtype=np.int32)
-    for idx, xy_bbox in enumerate(target_gm.xy_bboxes):
-        j, i = np.unravel_index(idx, (num_tiles_y, num_tiles_x))
-        source_xy_bbox = transformer.transform_bounds(*xy_bbox)
-        i_min = math.floor((source_xy_bbox[0] - origin[0]) / source_gm.x_res)
-        i_max = math.ceil((source_xy_bbox[2] - origin[0]) / source_gm.x_res)
-        j_min = math.floor((origin[1] - source_xy_bbox[3]) / source_gm.y_res)
-        j_max = math.ceil((origin[1] - source_xy_bbox[1]) / source_gm.y_res)
-        scr_ij_bboxes[:, j, i] = [i_min, j_min, i_max, j_max]
-
-    # Extend all windows to the largest one so every tile's source window
-    # has the same (static) shape
-    i_diff = scr_ij_bboxes[2] - scr_ij_bboxes[0]
-    j_diff = scr_ij_bboxes[3] - scr_ij_bboxes[1]
-    i_diff_max = int(np.max(i_diff)) + 1
-    j_diff_max = int(np.max(j_diff)) + 1
-    for i in range(num_tiles_x):
-        for j in range(num_tiles_y):
-            scr_ij_bbox = scr_ij_bboxes[:, j, i]
-
-            i_half = (i_diff_max - i_diff[j, i]) // 2
-            i_start = scr_ij_bbox[0] - i_half
-            i_end = i_start + i_diff_max
-
-            j_half = (j_diff_max - j_diff[j, i]) // 2
-            j_start = scr_ij_bbox[1] - j_half
-            j_end = j_start + j_diff_max
-
-            scr_ij_bboxes[:, j, i] = [i_start, j_start, i_end, j_end]
-
-    # Window-origin coordinates per tile.  float32 like the reference
-    # (reproject.py:427-428): the goldens encode this quantization of the
-    # window origin; the fused device path keeps full precision instead.
-    x_coords = np.zeros((i_diff_max, num_tiles_y, num_tiles_x), dtype=np.float32)
-    y_coords = np.zeros((j_diff_max, num_tiles_y, num_tiles_x), dtype=np.float32)
-    i_min = int(np.min(scr_ij_bboxes[0]))
-    i_max = int(np.max(scr_ij_bboxes[2]))
-    j_min = int(np.min(scr_ij_bboxes[[1, 3]]))
-    j_max = int(np.max(scr_ij_bboxes[[1, 3]]))
-    x0 = float(np.asarray(source_gm.x_coords.data)[0])
-    x_coord = x0 + (i_min + np.arange(i_max - i_min)) * source_gm.x_res
-    y_vals = np.asarray(source_gm.y_coords.data)
-    y_res_signed = float(y_vals[1] - y_vals[0])
-    y_coord = float(y_vals[0]) + (j_min + np.arange(j_max - j_min)) * y_res_signed
-    for i in range(num_tiles_x):
-        for j in range(num_tiles_y):
-            scr_ij_bbox = scr_ij_bboxes[:, j, i]
-
-            i_start = scr_ij_bbox[0] - i_min
-            i_end = i_start + i_diff_max
-            x_coords[:, j, i] = x_coord[i_start:i_end]
-
-            j_start = scr_ij_bbox[1] - j_min
-            j_end = j_start + j_diff_max
-            y_coords[:, j, i] = y_coord[j_start:j_end]
+    y_stack = (
+        y_line[(j_start - j_min)[None, :] + taps_h]
+        .astype(np.float32)
+        .reshape(win_h, ny, nx)
+    )
 
     pad_width = (
         (0, 0),
-        (
-            -min(0, int(j_min)),
-            max(0, int(j_max - source_gm.height)),
-        ),
-        (
-            -min(0, int(i_min)),
-            max(0, int(i_max - source_gm.width)),
-        ),
+        (-min(0, j_min), max(0, j_max - source_gm.height)),
+        (-min(0, i_min), max(0, i_max - source_gm.width)),
     )
-    scr_ij_bboxes[[1, 3]] += pad_width[1][0]
-    scr_ij_bboxes[[0, 2]] += pad_width[2][0]
+    bboxes = np.stack(
+        [
+            i_start + pad_width[2][0],
+            j_start + pad_width[1][0],
+            i_start + pad_width[2][0] + win_w,
+            j_start + pad_width[1][0] + win_h,
+        ]
+    ).astype(np.int32)
 
-    return scr_ij_bboxes, x_coords, y_coords, pad_width
+    return _WindowPlan(
+        bboxes=bboxes.reshape(4, ny, nx),
+        x_stack=x_stack,
+        y_stack=y_stack,
+        pad_width=pad_width,
+    )
 
 
-def _transform_gridpoints(
-    transformer: Transformer, target_gm: GridMapping
+def _target_centers_in_source(
+    inv: Transformer, target_gm: GridMapping
 ) -> tuple[np.ndarray, np.ndarray]:
     """Inverse-transform all target pixel centers into source CRS
     coordinates (reference reproject.py:472-496; here a single vectorized
     float64 evaluation of the native projection pipeline)."""
-    target_x = np.asarray(target_gm.x_coords.data, dtype=np.float64)
-    target_y = np.asarray(target_gm.y_coords.data, dtype=np.float64)
-    target_xx, target_yy = np.meshgrid(target_x, target_y)
-    source_xx, source_yy = transformer.transform(target_xx, target_yy)
-    return np.asarray(source_xx), np.asarray(source_yy)
+    centers_x = np.asarray(target_gm.x_coords.data, dtype=np.float64)
+    centers_y = np.asarray(target_gm.y_coords.data, dtype=np.float64)
+    grid_xx, grid_yy = np.meshgrid(centers_x, centers_y)
+    out_xx, out_yy = inv.transform(grid_xx, grid_yy)
+    return np.asarray(out_xx), np.asarray(out_yy)

@@ -95,6 +95,26 @@ def normalize_grid_mapping(ds: Dataset, gm: GridMapping) -> Dataset:
     return out
 
 
+def assemble_target_shell(
+    source_ds: Dataset,
+    source_gm: GridMapping,
+    target_gm: GridMapping,
+    axis_coords: Mapping[str, DataArray],
+) -> Dataset:
+    """The output-dataset shell shared by the rectify and reproject
+    engines: the source's non-spatial coordinates, the target grid's axis
+    coordinates (*axis_coords*, keyed by the target's xy var names), and a
+    CF ``spatial_ref`` scalar."""
+    carried = source_ds.coords.to_dataset().drop_vars(source_gm.xy_var_names)
+    coords = dict(carried.coords)
+    for axis in target_gm.xy_var_names:
+        coords[axis] = axis_coords[axis]
+    coords["spatial_ref"] = DataArray(
+        np.array(0), dims=(), attrs=target_gm.crs.to_cf()
+    )
+    return Dataset(coords=coords, attrs=dict(source_ds.attrs))
+
+
 def _select_variables(
     ds: Dataset, variables: str | Iterable[str] | None = None
 ) -> Dataset:
