@@ -989,12 +989,10 @@ def plan_phase_a_device(
 
     dst_h, dst_w = dst_shape
     with _T("phase_a.plan.normalize"):
-        gx = (
-            np.asarray(src_x, dtype=np.float64) - dst_x_offset
-        ) / dst_x_scale
-        gy = (
-            np.asarray(src_y, dtype=np.float64) - dst_y_offset
-        ) / dst_y_scale
+        gx = np.asarray(src_x, dtype=np.float64) - dst_x_offset
+        gx /= dst_x_scale
+        gy = np.asarray(src_y, dtype=np.float64) - dst_y_offset
+        gy /= dst_y_scale
     src_h, src_w = gx.shape
     if src_h < 2 or src_w < 2:
         return np.full((2, dst_h, dst_w), np.nan, dtype=np.float64)
@@ -1021,24 +1019,39 @@ def plan_phase_a_device(
     n_t = n_tj * n_ti
     _presence_t = _T("phase_a.plan.presence")
     _presence_t.__enter__()
+    # float32 is ample for the presence scan: the tile attribution below
+    # is dilated by at least one tile and the dilation radius rounds
+    # edge_len UP, so sub-pixel f32 rounding cannot change the outcome.
+    # Diffs run through two reused buffers instead of four fresh float64
+    # temporaries (this is a hot host path on single-core rigs).
+    gx32 = gx.astype(np.float32)
+    gy32 = gy.astype(np.float32)
+    d_row = np.empty((src_h - 1, src_w), np.float32)
+    d_col = np.empty((src_h, src_w - 1), np.float32)
     with np.errstate(invalid="ignore"):
-        node_i_px = np.nan_to_num(np.floor(gx), nan=-1.0)
-        node_j_px = np.nan_to_num(np.floor(gy), nan=-1.0)
-        inb = (
-            (node_i_px >= 0) & (node_i_px < n_ti * tile)
-            & (node_j_px >= 0) & (node_j_px < n_tj * tile)
-        )
         edge_len = 0.0
-        for arr in (gx, gy):
-            for ax in (0, 1):
-                d = np.abs(np.diff(arr, axis=ax))
-                if np.isfinite(d).any():
-                    edge_len = max(edge_len, float(np.nanmax(d)))
+        for arr in (gx32, gy32):
+            for buf, a, b in (
+                (d_row, arr[1:], arr[:-1]),
+                (d_col, arr[:, 1:], arr[:, :-1]),
+            ):
+                np.subtract(a, b, out=buf)
+                np.abs(buf, out=buf)
+                if np.isfinite(buf).any():
+                    edge_len = max(edge_len, float(np.nanmax(buf)))
+        # NaN coordinates compare False everywhere, dropping those nodes
+        # (the predecessor mapped them to tile -1 with the same effect)
+        node_i = np.floor(gx32)
+        node_j = np.floor(gy32)
+        inb = (
+            (node_i >= 0) & (node_i < n_ti * tile)
+            & (node_j >= 0) & (node_j < n_tj * tile)
+        )
     presence = np.zeros(n_t, dtype=bool)
     if inb.any():
         t_ids = (
-            (node_j_px[inb].astype(np.int64) // tile) * n_ti
-            + node_i_px[inb].astype(np.int64) // tile
+            (node_j[inb].astype(np.int64) // tile) * n_ti
+            + node_i[inb].astype(np.int64) // tile
         )
         presence[:] = np.bincount(t_ids, minlength=n_t) > 0
     presence = presence.reshape(n_tj, n_ti)
