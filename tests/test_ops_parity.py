@@ -136,3 +136,41 @@ def test_xy_bbox_parity():
     ref = compute_xy_bbox(xy)
     dev = tuple(float(v) for v in bbox_ops.compute_xy_bbox_jax(jnp.asarray(xy)))
     np.testing.assert_allclose(dev, ref)
+
+
+def test_resident_srw_phase_b_parity(monkeypatch):
+    """Phase-B resident SRW (lattice-planned, no full-map fetch) matches
+    the exact per-pixel gather on the OLCI-like swath: identical NaN
+    coverage, values within the documented sub-0.05 px position tolerance
+    of the bilinear taps."""
+    from tests.sampledata import create_olci_like_swath
+
+    from xcube_resampling_tpu.constants import UV_DELTA
+    from xcube_resampling_tpu.gridmapping import GridMapping
+    from xcube_resampling_tpu.ops import rectify_ops
+    from xcube_resampling_tpu.rectify import _compute_target_source_ij
+
+    monkeypatch.setenv("XRTPU_PHASEA", "device")
+    ds = create_olci_like_swath(width=400, height=520, tile_size=256)
+    source_gm = GridMapping.from_dataset(ds)
+    target_gm = source_gm.to_regular(tile_size=256)
+    ij = _compute_target_source_ij(source_gm, target_gm, UV_DELTA)
+    assert isinstance(ij, rectify_ops.DeviceIJMap)
+
+    band = jnp.asarray(np.asarray(ds.rad.values, np.float32)[None])
+    srw = rectify_ops._build_resident_srw_phase_b(
+        ij.device_map(), ds.rad.shape, np.nan, "bilinear"
+    )
+    assert srw is not None, "lattice SRW plan unexpectedly rejected"
+
+    monkeypatch.setenv("XRTPU_PHASEB_SRW", "0")
+    ij._phase_b_fns = {}
+    ref = np.asarray(
+        rectify_ops.make_device_var_image_fn_resident(ij, np.nan, "bilinear")(band)
+    )
+    got = np.asarray(srw(band))
+
+    np.testing.assert_array_equal(np.isnan(ref), np.isnan(got))
+    ok = ~np.isnan(ref)
+    # data range is ~100; 0.05 px of bilinear drift moves values < 0.5
+    assert float(np.max(np.abs(ref[ok] - got[ok]))) < 0.5

@@ -24,6 +24,8 @@ path (see `inverse_ij_map_jax`).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -1347,13 +1349,26 @@ def make_device_var_image_fn_resident(ij_map: DeviceIJMap, fill_value, interp_me
     gather per (interp, fill) — the map never leaves the device, source
     bands are staged on first use (reference semantics of
     `_compute_var_image_for_dest_line`, rectify.py:663-734; NaN map cells
-    produce the fill value)."""
+    produce the fill value).
+
+    For bilinear the gather-free SRW tap kernel resolves the coverage
+    interior when the map is smooth enough; planning fetches only a step
+    lattice + bit-packed validity (~0.5 MB) instead of the full map, so
+    the resident contract survives even on hosts where a full-map fetch
+    is expensive.  The coverage-edge band and any non-smooth geometry
+    stay on the exact per-pixel gather."""
     import jax
     import jax.numpy as jnp
 
     # repr() so a NaN fill (the default) still hits the cache: float('nan')
     # never equals itself, which would defeat the dict and retrace per band
     key = (interp_method, repr(float(fill_value)))
+    fn_cache = getattr(ij_map, "_phase_b_fns", None)
+    if fn_cache is None:
+        fn_cache = ij_map._phase_b_fns = {}
+    if key in fn_cache:
+        return fn_cache[key]
+
     kernel = _VAR_IMAGE_DEV_JIT.get(key)
     if kernel is None:
 
@@ -1372,12 +1387,155 @@ def make_device_var_image_fn_resident(ij_map: DeviceIJMap, fill_value, interp_me
 
     m_dev = ij_map.device_map()
 
-    def fn(src):
+    def gather_fn(src):
         if not type(src).__module__.startswith("jax"):
             src = jnp.asarray(src)
         return kernel(src, m_dev)
 
+    srw_env = os.environ.get("XRTPU_PHASEB_SRW", "")
+    want_srw = (
+        interp_method == "bilinear" if srw_env == "" else srw_env == "1"
+    )
+    if not want_srw:
+        fn_cache[key] = gather_fn
+        return gather_fn
+
+    # SRW planning needs the source extent, which arrives with the first
+    # band — build lazily and fall back to the gather kernel when the
+    # geometry rejects the separable plan
+    state: dict = {}
+
+    def fn(src):
+        if not type(src).__module__.startswith("jax"):
+            src = jnp.asarray(src)
+        impl = state.get("impl")
+        if impl is None:
+            impl = (
+                _build_resident_srw_phase_b(
+                    m_dev, (src.shape[-2], src.shape[-1]),
+                    fill_value, interp_method,
+                )
+                or gather_fn
+            )
+            state["impl"] = impl
+        return impl(src)
+
+    fn_cache[key] = fn
     return fn
+
+
+def _build_resident_srw_phase_b(m_dev, src_hw, fill_value, interp_method):
+    """Plan the SRW interior + gathered-edge composition for a device-
+    resident Phase-A map.  Fetches only step-lattice map samples, the
+    half-offset probe lattice (accuracy gate), and bit-packed validity.
+    Returns a callable or None when the geometry rejects the plan."""
+    import jax
+    import jax.numpy as jnp
+
+    from .srw import (
+        fields_from_lattice,
+        make_srw_fn,
+        make_srw_fn_batched,
+        plan_srw,
+    )
+
+    step = 16
+    out_h, out_w = int(m_dev.shape[-2]), int(m_dev.shape[-1])
+    if out_h < 2 * step or out_w < 2 * step:
+        return None
+    src_h, src_w = src_hw
+
+    ncj = (out_h - 1) // step + 2
+    nci = (out_w - 1) // step + 2
+    rsel = np.minimum(np.arange(ncj) * step, out_h - 1)
+    csel = np.minimum(np.arange(nci) * step, out_w - 1)
+    prow = np.minimum(rsel + step // 2, out_h - 1)
+    pcol = np.minimum(csel + step // 2, out_w - 1)
+
+    @jax.jit
+    def sample_kernel(m, rs, cs, pr, pc):
+        lat = m[:, rs[:, None], cs[None, :]]
+        prb = m[:, pr[:, None], pc[None, :]]
+        valid = jnp.isfinite(m[0]) & jnp.isfinite(m[1])
+        return jnp.packbits(valid.reshape(-1)), lat, prb
+
+    packed, lat, prb = jax.device_get(
+        sample_kernel(
+            m_dev,
+            jnp.asarray(rsel), jnp.asarray(csel),
+            jnp.asarray(prow), jnp.asarray(pcol),
+        )
+    )
+    valid = (
+        np.unpackbits(np.asarray(packed), count=out_h * out_w)
+        .astype(bool)
+        .reshape(out_h, out_w)
+    )
+    if not valid.any():
+        return None
+
+    lat = np.asarray(lat, dtype=np.float64)
+    prb = np.asarray(prb, dtype=np.float64)
+    fields = fields_from_lattice(
+        lat[0], lat[1], prb[0], prb[1],
+        valid[prow[:, None], pcol[None, :]], (prow, pcol),
+        step, src_h, src_w, out_h, out_w,
+    )
+    if fields is None:
+        return None
+    plan = plan_srw(None, None, fields=fields)
+    if plan is None:
+        return None
+
+    # interior = square erosion by (step + 2): strictly inside the
+    # coverage at the scale of the coarse lattice; everything else valid
+    # resolves through the exact per-pixel gather
+    from scipy.ndimage import minimum_filter
+
+    interior = (
+        minimum_filter(
+            valid.astype(np.uint8), size=2 * (step + 2) + 1,
+            mode="constant", cval=0,
+        )
+        > 0
+    )
+    if not interior.any():
+        return None
+
+    n_ops = plan.base_v.shape[1] * plan.d_v + plan.base_h.shape[0] * plan.d_h
+    n_elems = plan.src_h * plan.src_w + plan.out_h * plan.out_w
+    make = (
+        make_srw_fn_batched
+        if n_ops > 128 and n_elems < 64_000_000
+        else make_srw_fn
+    )
+    srw_fn = make(plan, interp_method, fill_value)
+
+    edge_rows, edge_cols = np.nonzero(valid & ~interior)
+    er_d = jnp.asarray(edge_rows.astype(np.int32))
+    ec_d = jnp.asarray(edge_cols.astype(np.int32))
+    interior_d = jnp.asarray(interior)
+    fill = jnp.float32(fill_value)
+
+    @jax.jit
+    def run(src, m, erd, ecd, inter):
+        from .reproject_ops import gather_interp
+
+        out = srw_fn(src)
+        out = jnp.where(inter, out, fill)
+        if erd.shape[0]:
+            ixe = m[0][erd, ecd].astype(jnp.float32)
+            iye = m[1][erd, ecd].astype(jnp.float32)
+            vals = gather_interp(
+                src, ixe, iye, interp_method, fill_value, jnp
+            )
+            out = out.at[..., erd, ecd].set(vals)
+        return out
+
+    def impl(src):
+        return run(src, m_dev, er_d, ec_d, interior_d)
+
+    return impl
 
 
 def make_device_var_image_fn(
