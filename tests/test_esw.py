@@ -80,7 +80,7 @@ def _rand(shape, seed=0):
     return np.random.default_rng(seed).random(shape, dtype=np.float32)
 
 
-@pytest.mark.parametrize("interp", ["bilinear", "nearest"])
+@pytest.mark.parametrize("interp", ["bilinear", "nearest", "triangular"])
 @pytest.mark.parametrize("case", [_utm_case, _severe_case])
 def test_esw_matches_gather(interp, case):
     source_gm, target_gm = case()
@@ -93,7 +93,7 @@ def test_esw_matches_gather(interp, case):
     b = np.asarray(gat(jnp.asarray(data)))
 
     assert np.isfinite(b).mean() > 0.5
-    _assert_exact(a, b, bilinear=interp == "bilinear")
+    _assert_exact(a, b, bilinear=interp != "nearest")
 
 
 def test_esw_batched():
@@ -114,11 +114,6 @@ def test_esw_plan_adapts_sample_count():
     # rotation-heavy: needs more than the minimal window, stays bounded
     assert 3 <= plan.n_samples <= 10
     assert plan.d_v <= 40 and plan.d_h <= 40
-
-
-def test_esw_rejects_triangular():
-    source_gm, target_gm = _utm_case()
-    assert make_esw_reproject_fn(source_gm, target_gm, "triangular") is None
 
 
 @pytest.mark.parametrize("interp", ["bilinear", "nearest"])

@@ -283,7 +283,7 @@ def test_sharded_esw_matches_gather_beyond_gate():
     mesh = make_mesh(("bands",))
     assert make_sharded_srw_step(mesh, source_gm, target_gm) is None
 
-    for interp in ("bilinear", "nearest"):
+    for interp in ("bilinear", "nearest", "triangular"):
         built = make_sharded_esw_step(
             mesh, source_gm, target_gm, interp_method=interp
         )

@@ -400,7 +400,7 @@ class _KernelCfg:
 
     __slots__ = (
         "n_samples", "d_v", "d_h", "col_tile", "row_tile", "bits_v",
-        "bits_h", "r_lo", "r_hi", "c_lo", "c_hi", "nearest",
+        "bits_h", "r_lo", "r_hi", "c_lo", "c_hi", "interp",
     )
 
     def __init__(self, **kw):
@@ -479,7 +479,8 @@ def _get_impls():
     def kernel(src, m_v, m_h, ixc, iyc, valid, bv, bh, sv, sh, j_off, i_off,
                fill, *, cfg):
         S = cfg.n_samples
-        nearest = cfg.nearest
+        nearest = cfg.interp == "nearest"
+        triangular = cfg.interp == "triangular"
         r_lo, r_hi, c_lo, c_hi = cfg.r_lo, cfg.r_hi, cfg.c_lo, cfg.c_hi
         out_h, out_w = ixc.shape
         src_h, src_w = src.shape[-2], src.shape[-1]
@@ -602,6 +603,9 @@ def _get_impls():
             zero = jnp.zeros(batch + (r1 - r0, out_w), jnp.float32)
             cv0 = zero
             cv1 = zero
+            # triangular blends the 2x2 taps per-triangle, so the two row
+            # samples must survive to the end instead of lerping early
+            tv = [zero, zero, zero, zero] if triangular else None
             for d in range(cfg.d_h):
                 idx = jnp.clip(base_t + d - c_lo, 0, ext_w - 1)
                 mg = jnp.take(m_rows, idx, axis=-1)  # (rt, out_w)
@@ -615,11 +619,31 @@ def _get_impls():
                     a = jnp.where(s0 >= s - 0.5, taken[s], a)
                     if s >= 2:
                         bb = jnp.where(s0 >= s - 1.5, taken[s], bb)
+                if triangular:
+                    sel0 = i0 == base_t + d
+                    sel1 = (i0 + 1) == base_t + d
+                    tv[0] = jnp.where(sel0, a, tv[0])  # v00
+                    tv[1] = jnp.where(sel0, bb, tv[1])  # v10
+                    tv[2] = jnp.where(sel1, a, tv[2])  # v01
+                    tv[3] = jnp.where(sel1, bb, tv[3])  # v11
+                    continue
                 colval = a if nearest else a + fy * (bb - a)
                 cv0 = jnp.where(i0 == base_t + d, colval, cv0)
                 if not nearest:
                     cv1 = jnp.where(i0 + 1 == base_t + d, colval, cv1)
-            out_tiles.append(cv0 if nearest else cv0 + fx * (cv1 - cv0))
+            if triangular:
+                # reference two-triangle split (gather.grid_sample): the
+                # u+v<1 triangle anchors at v00, the far one at v11
+                v00, v10, v01, v11 = tv
+                near = v00 + fx * (v01 - v00) + fy * (v10 - v00)
+                far = (
+                    v11
+                    + (1.0 - fx) * (v10 - v11)
+                    + (1.0 - fy) * (v01 - v11)
+                )
+                out_tiles.append(jnp.where(fx + fy < 1.0, near, far))
+            else:
+                out_tiles.append(cv0 if nearest else cv0 + fx * (cv1 - cv0))
         out = jnp.concatenate(out_tiles, axis=-2)
 
         return jnp.where(valid, out, fill)
@@ -649,8 +673,10 @@ def make_esw_fn(
     """
     import jax.numpy as jnp
 
-    if interp_method not in ("bilinear", "nearest"):
-        raise ValueError("ESW supports 'bilinear' and 'nearest' only")
+    if interp_method not in ("bilinear", "nearest", "triangular"):
+        raise ValueError(
+            "ESW supports 'bilinear', 'nearest' and 'triangular' only"
+        )
 
     p = plan
     u = uniform or {}
@@ -697,7 +723,7 @@ def make_esw_fn(
         r_hi=r_hi,
         c_lo=c_lo,
         c_hi=c_hi,
-        nearest=interp_method == "nearest",
+        interp=interp_method,
     )
 
     precompute, kernel = _get_impls()
@@ -765,7 +791,7 @@ def make_esw_reproject_fn(
     coordinate fields, so cropping does not change a single output bit."""
     from .srw import _source_window_gm
 
-    if interp_method not in ("bilinear", "nearest"):
+    if interp_method not in ("bilinear", "nearest", "triangular"):
         return None
     fields = _coarse_geometry(source_gm, target_gm, step)
     if fields is None:
@@ -863,7 +889,7 @@ def make_esw_region_fn(
     from .reproject_ops import make_gather_piece_fn
     from .srw import _iystar_from_fields, _raw_coarse_fields, _source_window_gm
 
-    if interp_method not in ("bilinear", "nearest"):
+    if interp_method not in ("bilinear", "nearest", "triangular"):
         return None
 
     out_h, out_w = target_gm.height, target_gm.width

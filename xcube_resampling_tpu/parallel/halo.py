@@ -500,9 +500,10 @@ def make_sharded_esw_step(
 
     from ..ops.esw import _max_row_deviation
 
-    if interp_method not in ("bilinear", "nearest"):
+    if interp_method not in ("bilinear", "nearest", "triangular"):
         return None
     nearest = interp_method == "nearest"
+    triangular = interp_method == "triangular"
     n = mesh.shape[axis_name]
     fields = _coarse_geometry(source_gm, target_gm, step)
     if fields is None:
@@ -678,6 +679,7 @@ def make_sharded_esw_step(
                 i0 = x0.astype(jnp.int32)
             cv0 = jnp.zeros(batch + (row_tile, out_w), jnp.float32)
             cv1 = cv0
+            tv = [cv0, cv0, cv0, cv0] if triangular else None
             for d in range(d_h):
                 idx2 = jnp.clip(base_t + d, 0, src_w - 1)
                 mg = jnp.take(m_rows, idx2, axis=-1)
@@ -689,11 +691,29 @@ def make_sharded_esw_step(
                     a = jnp.where(s0_sel >= s - 0.5, taken[s], a)
                     if s >= 2:
                         bb = jnp.where(s0_sel >= s - 1.5, taken[s], bb)
+                if triangular:
+                    sel0 = i0 == base_t + d
+                    sel1 = (i0 + 1) == base_t + d
+                    tv[0] = jnp.where(sel0, a, tv[0])  # v00
+                    tv[1] = jnp.where(sel0, bb, tv[1])  # v10
+                    tv[2] = jnp.where(sel1, a, tv[2])  # v01
+                    tv[3] = jnp.where(sel1, bb, tv[3])  # v11
+                    continue
                 colval = a if nearest else a + fy * (bb - a)
                 cv0 = jnp.where(i0 == base_t + d, colval, cv0)
                 if not nearest:
                     cv1 = jnp.where(i0 + 1 == base_t + d, colval, cv1)
-            acc = cv0 if nearest else cv0 + fx * (cv1 - cv0)
+            if triangular:
+                v00, v10, v01, v11 = tv
+                near = v00 + fx * (v01 - v00) + fy * (v10 - v00)
+                far = (
+                    v11
+                    + (1.0 - fx) * (v10 - v11)
+                    + (1.0 - fy) * (v01 - v11)
+                )
+                acc = jnp.where(fx + fy < 1.0, near, far)
+            else:
+                acc = cv0 if nearest else cv0 + fx * (cv1 - cv0)
             if t == tiles_per_band - 1 and tiles_per_band > 1:
                 keep = out_band_h - (tiles_per_band - 1) * row_tile
                 acc = acc[..., row_tile - keep :, :]
