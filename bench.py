@@ -40,7 +40,9 @@ def _pin_host_heap():
 
     try:
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
-        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD = -3
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD: big allocs on heap
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD: never shrink heap
+        libc.mallopt(-2, 16 << 20)  # M_TOP_PAD: grow in 16 MB strides
     except Exception:  # noqa: BLE001 - non-glibc hosts keep defaults
         return
     # Grow the sbrk heap with chunks UNDER the new threshold (a single
@@ -436,15 +438,17 @@ def bench_rectify(log):
     source_gm = GridMapping.from_dataset(ds)
     target_gm = source_gm.to_regular(tile_size=512)
 
-    # Phase A alone, warm (min-of-2 guards this VM's lazy-page-restore
-    # first-touch cost); the device tier returns a DeviceIJMap whose
-    # fetch-free handle we synchronize explicitly
+    # Phase A alone, warm (min-of-3 guards this VM's lazy-page-restore
+    # first-touch cost and its intermittent multi-second stalls).  The
+    # device tier synchronizes via a scalar probe: block_until_ready is a
+    # no-op on the remote backend, so earlier rounds' Phase-A numbers
+    # timed planning + dispatch but NOT the device execution.
     dt_a = float("inf")
-    for _i in range(2):
+    for _i in range(3):
         t0 = time.perf_counter()
         ij_map = _compute_target_source_ij(source_gm, target_gm, UV_DELTA)
         if isinstance(ij_map, rectify_ops.DeviceIJMap):
-            ij_map.device_map().block_until_ready()
+            float(ij_map.device_map()[0, 0, 0])
         dt_a = min(dt_a, time.perf_counter() - t0)
     tier = (
         "device" if isinstance(ij_map, rectify_ops.DeviceIJMap) else "host"

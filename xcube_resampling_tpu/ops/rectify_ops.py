@@ -812,6 +812,25 @@ def _build_phase_a_apply(
     return jitted
 
 
+_SCRATCH: dict = {}
+
+
+def _scratch(key: str, shape: tuple, dtype) -> np.ndarray:
+    """Reused host scratch buffers for the Phase-A planner.
+
+    Planning repeatedly allocates a handful of swath-sized temporaries;
+    on hosts where freshly-faulted pages are expensive (VM snapshots with
+    lazy page restore) malloc/free cycles re-pay that cost every call.
+    The pool keeps one buffer per (key, shape, dtype) — planning is
+    host-single-threaded, and the retained footprint is a few times the
+    largest swath seen."""
+    k = (key, shape, np.dtype(dtype).str)
+    buf = _SCRATCH.get(k)
+    if buf is None:
+        buf = _SCRATCH[k] = np.empty(shape, dtype)
+    return buf
+
+
 def _dilate1(m: np.ndarray) -> np.ndarray:
     """8-connected binary dilation by one cell."""
     out = m.copy()
@@ -991,9 +1010,13 @@ def plan_phase_a_device(
 
     dst_h, dst_w = dst_shape
     with _T("phase_a.plan.normalize"):
-        gx = np.asarray(src_x, dtype=np.float64) - dst_x_offset
+        sx = np.asarray(src_x, dtype=np.float64)
+        sy = np.asarray(src_y, dtype=np.float64)
+        gx = _scratch("gx", sx.shape, np.float64)
+        gy = _scratch("gy", sy.shape, np.float64)
+        np.subtract(sx, dst_x_offset, out=gx)
         gx /= dst_x_scale
-        gy = np.asarray(src_y, dtype=np.float64) - dst_y_offset
+        np.subtract(sy, dst_y_offset, out=gy)
         gy /= dst_y_scale
     src_h, src_w = gx.shape
     if src_h < 2 or src_w < 2:
@@ -1026,10 +1049,12 @@ def plan_phase_a_device(
     # edge_len UP, so sub-pixel f32 rounding cannot change the outcome.
     # Diffs run through two reused buffers instead of four fresh float64
     # temporaries (this is a hot host path on single-core rigs).
-    gx32 = gx.astype(np.float32)
-    gy32 = gy.astype(np.float32)
-    d_row = np.empty((src_h - 1, src_w), np.float32)
-    d_col = np.empty((src_h, src_w - 1), np.float32)
+    gx32 = _scratch("gx32", gx.shape, np.float32)
+    gy32 = _scratch("gy32", gy.shape, np.float32)
+    gx32[:] = gx
+    gy32[:] = gy
+    d_row = _scratch("d_row", (src_h - 1, src_w), np.float32)
+    d_col = _scratch("d_col", (src_h, src_w - 1), np.float32)
     with np.errstate(invalid="ignore"):
         edge_len = 0.0
         for arr in (gx32, gy32):
@@ -1043,8 +1068,8 @@ def plan_phase_a_device(
                     edge_len = max(edge_len, float(np.nanmax(buf)))
         # NaN coordinates compare False everywhere, dropping those nodes
         # (the predecessor mapped them to tile -1 with the same effect)
-        node_i = np.floor(gx32)
-        node_j = np.floor(gy32)
+        node_i = np.floor(gx32, out=_scratch("node_i", gx32.shape, np.float32))
+        node_j = np.floor(gy32, out=_scratch("node_j", gy32.shape, np.float32))
         inb = (
             (node_i >= 0) & (node_i < n_ti * tile)
             & (node_j >= 0) & (node_j < n_tj * tile)
