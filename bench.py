@@ -25,6 +25,20 @@ import numpy as np
 
 REFERENCE_MPIX_S = 4.9  # best sustained reference throughput (see docstring)
 
+_T0 = time.perf_counter()
+
+
+def _remaining() -> float:
+    """Seconds left of the run's wall-clock budget (XRTPU_BENCH_BUDGET_S,
+    default 1500 s).  Sections whose cold-cache compiles can exceed the
+    driver's timeout check this before starting, so a cache-cold run
+    degrades to a logged skip instead of an rc=124 kill that loses every
+    subsequent line."""
+    import os
+
+    budget = float(os.environ.get("XRTPU_BENCH_BUDGET_S", "1500"))
+    return budget - (time.perf_counter() - _T0)
+
 
 def _pin_host_heap():
     """Defeat this VM's lazy page restore for host-side numpy work.
@@ -257,7 +271,7 @@ def bench_reproject_global(log):
     return results
 
 
-def bench_global_mosaics(log):
+def bench_global_mosaics(log, exact=True, optin=True):
     """Config #3 extreme-warp mosaics — LAST in the run order: their
     one-time compiles take minutes through the remote XLA service, so a
     driver-side timeout should only ever lose these lines."""
@@ -282,10 +296,17 @@ def bench_global_mosaics(log):
     )
     results = {}
 
-    def _attempt(tag, build):
+    def _attempt(tag, build, min_budget=420.0):
         # the remote XLA service occasionally drops the connection mid-
         # compile ("response body closed ..."); one retry usually lands
         # because partial results were cached service-side
+        if _remaining() < min_budget:
+            log(
+                f"{tag}: skipped — {_remaining():.0f} s left of the bench "
+                f"budget, cold-cache compiles of this config need more "
+                f"(warm the cache by rerunning bench.py)"
+            )
+            return
         for attempt in (1, 2):
             try:
                 fn = build()
@@ -307,26 +328,31 @@ def bench_global_mosaics(log):
     # kernels over the remote service)
     from xcube_resampling_tpu.ops.srw import make_region_reproject_fn
 
-    _attempt(
-        "esw-mosaic, exact",
-        lambda: make_region_reproject_fn(
-            source_gm, target_gm, "bilinear", np.nan, exact=True
-        ),
-    )
-
-    # opt-in fast extreme-warp mode (two-pass filter semantics): whole-
-    # domain hybrid if it plans, else region decomposition
-    def _build_optin():
-        fn = make_srw_reproject_fn(
-            source_gm, target_gm, "bilinear", np.nan, allow_hybrid=True
+    if exact:
+        _attempt(
+            "esw-mosaic, exact",
+            lambda: make_region_reproject_fn(
+                source_gm, target_gm, "bilinear", np.nan, exact=True
+            ),
         )
-        if fn is None:
-            fn = make_region_reproject_fn(
-                source_gm, target_gm, "bilinear", np.nan
-            )
-        return fn
 
-    _attempt("srw-region, opt-in", _build_optin)
+    if optin:
+        # opt-in fast extreme-warp mode (two-pass filter semantics):
+        # whole-domain hybrid if it plans, else region decomposition.
+        # Cold-cache, this decomposition compiles for tens of minutes, so
+        # main() runs it dead last — after the phase table — where a
+        # driver timeout can only ever lose this single line.
+        def _build_optin():
+            fn = make_srw_reproject_fn(
+                source_gm, target_gm, "bilinear", np.nan, allow_hybrid=True
+            )
+            if fn is None:
+                fn = make_region_reproject_fn(
+                    source_gm, target_gm, "bilinear", np.nan
+                )
+            return fn
+
+        _attempt("srw-region, opt-in", _build_optin, min_budget=300.0)
     return results
 
 
@@ -583,7 +609,7 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"20k reproject bench failed: {e!r}")
     try:
-        bench_global_mosaics(log)
+        bench_global_mosaics(log, exact=True, optin=False)
     except Exception as e:  # noqa: BLE001
         log(f"global mosaic bench failed: {e!r}")
 
@@ -595,6 +621,14 @@ def main():
         log("engine phase breakdown:")
         for line in GLOBAL_TIMER.report().splitlines():
             log("  " + line)
+
+    # opt-in extreme-warp line LAST: its cold-cache compile is the only
+    # piece that can outlive the driver budget, and by now every other
+    # line (and the phase table) is already on the wire
+    try:
+        bench_global_mosaics(log, exact=False, optin=True)
+    except Exception as e:  # noqa: BLE001
+        log(f"opt-in extreme-warp bench failed: {e!r}")
 
 
 if __name__ == "__main__":
