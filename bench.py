@@ -415,6 +415,8 @@ def bench_rectify(log):
     device.  OLCI products have ~17 bands sharing one geometry, so both
     the single-geometry amortized number and the per-band throughput
     matter (reference workflow: rectify_sentinel3 notebook)."""
+    import os
+
     sys.path.insert(0, ".")
     import jax.numpy as jnp
 
@@ -460,6 +462,24 @@ def bench_rectify(log):
         f"{npix / dt / 1e6:.1f} Mpix/s ({dt:.2f} s warm, {dt_cold:.2f} s "
         f"cold, +{dt_fetch:.2f} s tunnel fetch)"
     )
+
+    # host tier for comparison: single-band products amortize nothing, so
+    # the C++ Phase A + host gather can win on rigs where every device
+    # round trip costs tens of ms; multi-band (the OLCI norm) belongs to
+    # the device tier below
+    os.environ["XRTPU_PHASEA"] = "host"
+    try:
+        rectify_dataset(ds, interp_methods=0)  # warm native load + pages
+        t0 = time.perf_counter()
+        out_h = rectify_dataset(ds, interp_methods=0)
+        _sync_scalar(out_h.rad)
+        dt_h = time.perf_counter() - t0
+        log(
+            f"rectify e2e single-band [host tier]: "
+            f"{npix / dt_h / 1e6:.1f} Mpix/s ({dt_h:.2f} s warm)"
+        )
+    finally:
+        del os.environ["XRTPU_PHASEA"]
 
     source_gm = GridMapping.from_dataset(ds)
     target_gm = source_gm.to_regular(tile_size=512)
