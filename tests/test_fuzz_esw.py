@@ -52,7 +52,9 @@ def test_fuzz_esw_exactness():
             )
         except ValueError:
             continue  # generated grid invalid (e.g. latitude overflow)
-        interp = "nearest" if rng.random() < 0.5 else "bilinear"
+        interp = ("nearest", "bilinear", "triangular")[
+            int(rng.integers(0, 3))
+        ]
         esw = make_esw_reproject_fn(sgm, tgm, interp, np.nan)
         if esw is None:
             continue
