@@ -621,24 +621,31 @@ def _inverse_ij_map_device_scatter(
 def _phase_a_tiled(gx, gy, tjs, tis, base_j, base_i, uv_delta, tile, win, nqi):
     """Tiled-window device Phase A: each (tile x tile) destination tile
     tests all quads of one statically-sized source window against its
-    pixels — a dense broadcast + min-rank reduction, no scatter and no
-    per-element gather (the round-2 scatter-min formulation ran seconds on
-    the TPU: XLA serializes colliding scatters).
+    pixels — a dense broadcast + min-rank reduction, no scatter (the
+    round-2 scatter-min formulation ran seconds on the TPU: XLA
+    serializes colliding scatters).
 
     ``base_j``/``base_i`` are per-tile window origins (host-planned from an
     exact coarse solve).  Winner selection re-derives the reference's
     first-writer-wins order (/root/reference/xcube_resampling/rectify.py:
     544-576) as a min over global row-major quad rank; the payload is
-    recovered by a second fused pass (rank == best), so nothing larger
-    than one tile's (pixels x quads) block ever materializes."""
-    import jax
+    recovered by a second fused pass (rank == best).
+
+    Layout note: corner values come from flat gathers of the full
+    coordinate image at computed quad-node indices — NOT from per-tile
+    ``dynamic_slice`` windows.  The window formulation forced eight
+    (win-1, win-1) -> (nq,) reshapes per tile under vmap, each a
+    sublane/lane relayout on TPU; the flat-gather form keeps every
+    intermediate in the natural (T, nq) / (T, P, nq) layout and runs the
+    whole pass as gathers + one fused broadcast/reduce chain."""
     import jax.numpy as jnp
-    from jax import lax
 
     ftype = gx.dtype
     src_h, src_w = gx.shape
-    nq = (win - 1) * (win - 1)
+    w_row = src_w  # flat row stride of the padded coordinate image
     inf = jnp.iinfo(jnp.int32).max
+    gxf = gx.reshape(-1)
+    gyf = gy.reshape(-1)
 
     iota_t = jnp.arange(tile, dtype=jnp.int32)
     q_dj = jnp.repeat(jnp.arange(win - 1, dtype=jnp.int32), win - 1)
@@ -646,99 +653,113 @@ def _phase_a_tiled(gx, gy, tjs, tis, base_j, base_i, uv_delta, tile, win, nqi):
     u_min = -uv_delta
     uv_max = 1.0 + 2 * uv_delta
 
-    def per_tile(tj, ti, bj, bi):
-        wx = lax.dynamic_slice(gx, (bj, bi), (win, win))
-        wy = lax.dynamic_slice(gy, (bj, bi), (win, win))
-        p0x = wx[:-1, :-1].reshape(nq)
-        p1x = wx[:-1, 1:].reshape(nq)
-        p2x = wx[1:, :-1].reshape(nq)
-        p3x = wx[1:, 1:].reshape(nq)
-        p0y = wy[:-1, :-1].reshape(nq)
-        p1y = wy[:-1, 1:].reshape(nq)
-        p2y = wy[1:, :-1].reshape(nq)
-        p3y = wy[1:, 1:].reshape(nq)
+    # global quad-node coordinates of every window quad: (T, nq)
+    qj = base_j[:, None] + q_dj[None, :]
+    qi = base_i[:, None] + q_di[None, :]
+    idx0 = qj * w_row + qi
+    p0x = jnp.take(gxf, idx0)
+    p1x = jnp.take(gxf, idx0 + 1)
+    p2x = jnp.take(gxf, idx0 + w_row)
+    p3x = jnp.take(gxf, idx0 + w_row + 1)
+    p0y = jnp.take(gyf, idx0)
+    p1y = jnp.take(gyf, idx0 + 1)
+    p2y = jnp.take(gyf, idx0 + w_row)
+    p3y = jnp.take(gyf, idx0 + w_row + 1)
 
-        det_a = jnp.nan_to_num(_fdet(p0x, p0y, p1x, p1y, p2x, p2y), nan=0.0)
-        det_b = jnp.nan_to_num(_fdet(p3x, p3y, p2x, p2y, p1x, p1y), nan=0.0)
-        safe_a = jnp.where(det_a == 0.0, 1.0, det_a)
-        safe_b = jnp.where(det_b == 0.0, 1.0, det_b)
+    det_a = jnp.nan_to_num(_fdet(p0x, p0y, p1x, p1y, p2x, p2y), nan=0.0)
+    det_b = jnp.nan_to_num(_fdet(p3x, p3y, p2x, p2y, p1x, p1y), nan=0.0)
+    safe_a = jnp.where(det_a == 0.0, 1.0, det_a)
+    safe_b = jnp.where(det_b == 0.0, 1.0, det_b)
 
-        # pixel centers of this tile in grid units: (P, 1) vs quads (1, Q)
-        px = (ti * tile + iota_t).astype(ftype) + ftype.type(0.5)
-        py = (tj * tile + iota_t).astype(ftype) + ftype.type(0.5)
-        dst_x = jnp.broadcast_to(px[None, :], (tile, tile)).reshape(-1, 1)
-        dst_y = jnp.broadcast_to(py[:, None], (tile, tile)).reshape(-1, 1)
+    # pixel centers in grid units: (T, P, 1) against quads (T, 1, nq)
+    px = (tis[:, None] * tile + iota_t[None, :]).astype(ftype) + ftype.type(
+        0.5
+    )
+    py = (tjs[:, None] * tile + iota_t[None, :]).astype(ftype) + ftype.type(
+        0.5
+    )
+    n_t = tjs.shape[0]
+    p_n = tile * tile
+    dst_x = jnp.broadcast_to(px[:, None, :], (n_t, tile, tile)).reshape(
+        n_t, p_n, 1
+    )
+    dst_y = jnp.broadcast_to(py[:, :, None], (n_t, tile, tile)).reshape(
+        n_t, p_n, 1
+    )
 
-        # pass 1 (O(P*Q)): acceptance + min global rank only
-        ua = _fu(dst_x, dst_y, p0x, p0y, p2x, p2y) / safe_a
-        va = _fv(dst_x, dst_y, p0x, p0y, p1x, p1y) / safe_a
-        ok_a = (
-            (det_a != 0.0) & (ua >= u_min) & (va >= u_min)
-            & (ua + va <= uv_max)
-        )
-        ub = _fu(dst_x, dst_y, p3x, p3y, p1x, p1y) / safe_b
-        vb = _fv(dst_x, dst_y, p3x, p3y, p2x, p2y) / safe_b
-        ok_b = (
-            (det_b != 0.0) & (ub >= u_min) & (vb >= u_min)
-            & (ub + vb <= uv_max)
-        )
-        accept = ok_a | ok_b
-        rank = ((bj + q_dj) * nqi + (bi + q_di))[None, :]
-        best = jnp.min(jnp.where(accept, rank, inf), axis=1)
+    # pass 1 (O(P*Q)): acceptance + min global rank only
+    e0x = p0x[:, None, :]
+    e0y = p0y[:, None, :]
+    ua = _fu(dst_x, dst_y, e0x, e0y, p2x[:, None, :], p2y[:, None, :]) / (
+        safe_a[:, None, :]
+    )
+    va = _fv(dst_x, dst_y, e0x, e0y, p1x[:, None, :], p1y[:, None, :]) / (
+        safe_a[:, None, :]
+    )
+    ok_a = (
+        (det_a[:, None, :] != 0.0) & (ua >= u_min) & (va >= u_min)
+        & (ua + va <= uv_max)
+    )
+    e3x = p3x[:, None, :]
+    e3y = p3y[:, None, :]
+    ub = _fu(dst_x, dst_y, e3x, e3y, p1x[:, None, :], p1y[:, None, :]) / (
+        safe_b[:, None, :]
+    )
+    vb = _fv(dst_x, dst_y, e3x, e3y, p2x[:, None, :], p2y[:, None, :]) / (
+        safe_b[:, None, :]
+    )
+    ok_b = (
+        (det_b[:, None, :] != 0.0) & (ub >= u_min) & (vb >= u_min)
+        & (ub + vb <= uv_max)
+    )
+    accept = ok_a | ok_b
+    rank = (qj * nqi + qi)[:, None, :]
+    best = jnp.min(jnp.where(accept, rank, inf), axis=2)  # (T, P)
 
-        # pass 2 (O(P)): re-solve the winner quad only.  `best` IS the
-        # global row-major quad id, so the local window offset falls out
-        found = best < inf
-        b = jnp.where(found, best, 0)
-        dqj = jnp.clip(b // nqi - bj, 0, win - 2)
-        dqi = jnp.clip(b % nqi - bi, 0, win - 2)
-        wf = dqj * win + dqi
-        wx_f = wx.reshape(-1)
-        wy_f = wy.reshape(-1)
-        w0x = jnp.take(wx_f, wf)
-        w1x = jnp.take(wx_f, wf + 1)
-        w2x = jnp.take(wx_f, wf + win)
-        w3x = jnp.take(wx_f, wf + win + 1)
-        w0y = jnp.take(wy_f, wf)
-        w1y = jnp.take(wy_f, wf + 1)
-        w2y = jnp.take(wy_f, wf + win)
-        w3y = jnp.take(wy_f, wf + win + 1)
-        dx = dst_x[:, 0]
-        dy = dst_y[:, 0]
-        wdet_a = jnp.nan_to_num(
-            _fdet(w0x, w0y, w1x, w1y, w2x, w2y), nan=0.0
-        )
-        wdet_b = jnp.nan_to_num(
-            _fdet(w3x, w3y, w2x, w2y, w1x, w1y), nan=0.0
-        )
-        wsafe_a = jnp.where(wdet_a == 0.0, 1.0, wdet_a)
-        wsafe_b = jnp.where(wdet_b == 0.0, 1.0, wdet_b)
-        wua = _fu(dx, dy, w0x, w0y, w2x, w2y) / wsafe_a
-        wva = _fv(dx, dy, w0x, w0y, w1x, w1y) / wsafe_a
-        wok_a = (
-            (wdet_a != 0.0) & (wua >= u_min) & (wva >= u_min)
-            & (wua + wva <= uv_max)
-        )
-        wub = _fu(dx, dy, w3x, w3y, w1x, w1y) / wsafe_b
-        wvb = _fv(dx, dy, w3x, w3y, w2x, w2y) / wsafe_b
-        gi = (bi + dqi).astype(ftype)
-        gj = (bj + dqj).astype(ftype)
-        src_if = jnp.where(
-            wok_a,
-            gi + jnp.clip(wua, 0.0, 1.0),
-            (gi + 1) - jnp.clip(wub, 0.0, 1.0),
-        )
-        src_jf = jnp.where(
-            wok_a,
-            gj + jnp.clip(wva, 0.0, 1.0),
-            (gj + 1) - jnp.clip(wvb, 0.0, 1.0),
-        )
-        out_i = jnp.where(found, src_if, jnp.nan)
-        out_j = jnp.where(found, src_jf, jnp.nan)
-        return out_i.reshape(tile, tile), out_j.reshape(tile, tile)
-
-    out_i, out_j = jax.vmap(per_tile)(tjs, tis, base_j, base_i)
-    return out_i, out_j  # (T, tile, tile) each
+    # pass 2 (O(P)): re-solve the winner quad only.  `best` IS the global
+    # row-major quad id; gather its corners straight from the flat image
+    found = best < inf
+    b = jnp.where(found, best, 0)
+    wqj = b // nqi
+    wqi = b % nqi
+    wf = wqj * w_row + wqi
+    w0x = jnp.take(gxf, wf)
+    w1x = jnp.take(gxf, wf + 1)
+    w2x = jnp.take(gxf, wf + w_row)
+    w3x = jnp.take(gxf, wf + w_row + 1)
+    w0y = jnp.take(gyf, wf)
+    w1y = jnp.take(gyf, wf + 1)
+    w2y = jnp.take(gyf, wf + w_row)
+    w3y = jnp.take(gyf, wf + w_row + 1)
+    dx = dst_x[:, :, 0]
+    dy = dst_y[:, :, 0]
+    wdet_a = jnp.nan_to_num(_fdet(w0x, w0y, w1x, w1y, w2x, w2y), nan=0.0)
+    wdet_b = jnp.nan_to_num(_fdet(w3x, w3y, w2x, w2y, w1x, w1y), nan=0.0)
+    wsafe_a = jnp.where(wdet_a == 0.0, 1.0, wdet_a)
+    wsafe_b = jnp.where(wdet_b == 0.0, 1.0, wdet_b)
+    wua = _fu(dx, dy, w0x, w0y, w2x, w2y) / wsafe_a
+    wva = _fv(dx, dy, w0x, w0y, w1x, w1y) / wsafe_a
+    wok_a = (
+        (wdet_a != 0.0) & (wua >= u_min) & (wva >= u_min)
+        & (wua + wva <= uv_max)
+    )
+    wub = _fu(dx, dy, w3x, w3y, w1x, w1y) / wsafe_b
+    wvb = _fv(dx, dy, w3x, w3y, w2x, w2y) / wsafe_b
+    gi = wqi.astype(ftype)
+    gj = wqj.astype(ftype)
+    src_if = jnp.where(
+        wok_a,
+        gi + jnp.clip(wua, 0.0, 1.0),
+        (gi + 1) - jnp.clip(wub, 0.0, 1.0),
+    )
+    src_jf = jnp.where(
+        wok_a,
+        gj + jnp.clip(wva, 0.0, 1.0),
+        (gj + 1) - jnp.clip(wvb, 0.0, 1.0),
+    )
+    out_i = jnp.where(found, src_if, jnp.nan)
+    out_j = jnp.where(found, src_jf, jnp.nan)
+    return out_i.reshape(n_t, tile, tile), out_j.reshape(n_t, tile, tile)
 
 
 _PHASE_A_TILED_JIT = None
