@@ -688,6 +688,224 @@ def test_new_families_wkt_cf_round_trip(code):
         assert abs(x1 - x2) < 1e-6 and abs(y1 - y2) < 1e-6
 
 
+def test_swiss_oblique_mercator_rigi():
+    """swisstopo's official LV03 reference point (Rigi) reproduces to
+    sub-mm through the EPSG 9814 double projection; Bern's origin maps to
+    the false origin exactly."""
+    lv03 = CRS.from_epsg(21781)
+    fwd, inv = lv03.projection()
+    lat = 47 + 3 / 60 + 28.956559 / 3600
+    lon = 8 + 29 / 60 + 11.111272 / 3600
+    x, y = fwd(np.float64(lon), np.float64(lat), np)
+    # the published reference decimals are truncated to cm-ish precision
+    assert abs(x - 679520.05) < 2e-3
+    assert abs(y - 212273.44) < 2e-3
+    lon2, lat2 = inv(x, y, np)
+    assert abs(lon2 - lon) < 1e-10 and abs(lat2 - lat) < 1e-10
+    x0, y0 = fwd(np.float64(7.439583333333333),
+                 np.float64(46.952405555555565), np)
+    assert abs(x0 - 600000.0) < 1e-6 and abs(y0 - 200000.0) < 1e-6
+
+
+def test_swiss_oblique_mercator_is_conformal():
+    """EPSG 9814 is conformal: the numerical Jacobian's two column
+    norms (scaled to isometric units) agree and the columns are
+    orthogonal."""
+    fwd, _ = CRS.from_epsg(2056).projection()
+    lon, lat = _scatter((6.0, 10.5), (45.8, 47.8), 64)
+    dxdl, dydl, dxdp, dydp = _jacobian(fwd, lon, lat)
+    phi = np.radians(lat)
+    e2 = CRS.from_epsg(2056).ellipsoid.e2
+    w2 = 1 - e2 * np.sin(phi) ** 2
+    # isometric scaling: d(lon) direction ~ nu cos(phi), d(lat) ~ rho
+    nu_cos = np.cos(phi) / np.sqrt(w2)
+    rho = (1 - e2) / w2 ** 1.5
+    h_l = np.hypot(dxdl, dydl) / nu_cos
+    h_p = np.hypot(dxdp, dydp) / rho
+    assert np.allclose(h_l, h_p, rtol=1e-6)
+    dot = (dxdl * dxdp + dydl * dydp)
+    assert np.all(np.abs(dot) / (h_l * h_p) < 1e-5)
+
+
+def test_oblique_mercator_rso_borneo_worked_example():
+    """EPSG guidance note 7-2 worked example for Timbalai 1948 / RSO
+    Borneo (Hotine variant B, EPSG 9815)."""
+    crs = CRS.from_string(
+        "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582466666667 "
+        "+gamma=53.13010236111111 +k=0.99984 +x_0=590476.87 "
+        "+y_0=442857.65 +a=6377298.556 +rf=300.8017"
+    )
+    fwd, inv = crs.projection()
+    lat = 5 + 23 / 60 + 14.1129 / 3600
+    lon = 115 + 48 / 60 + 19.8196 / 3600
+    x, y = fwd(np.float64(lon), np.float64(lat), np)
+    assert abs(x - 679245.73) < 0.02
+    assert abs(y - 596562.78) < 0.02
+    lon2, lat2 = inv(x, y, np)
+    assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-9
+
+
+def test_oblique_mercator_variant_a_offsets_differ():
+    """+no_uoff (EPSG 9812) drops the centre offset: same geometry, u
+    axis origin at the aposphere natural origin instead."""
+    base = (
+        "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582466666667 "
+        "+gamma=53.13010236111111 +k=0.99984 +a=6377298.556 +rf=300.8017"
+    )
+    fb, _ = CRS.from_string(base).projection()
+    fa, ia = CRS.from_string(base + " +no_uoff").projection()
+    x_b, y_b = fb(np.float64(115.5), np.float64(5.0), np)
+    x_a, y_a = fa(np.float64(115.5), np.float64(5.0), np)
+    # variant A equals variant B plus a constant skew-axis shift
+    du = (y_a - y_b)
+    dv = (x_a - x_b)
+    x_b2, y_b2 = fb(np.float64(114.2), np.float64(4.4), np)
+    x_a2, y_a2 = fa(np.float64(114.2), np.float64(4.4), np)
+    assert abs((y_a2 - y_b2) - du) < 1e-6
+    assert abs((x_a2 - x_b2) - dv) < 1e-6
+    assert abs(du) > 1.0  # the offset actually exists
+    # WKT round trip keeps variant A (method-name encoded)
+    crs_a = CRS.from_string(base + " +no_uoff")
+    rebuilt = CRS.from_wkt(crs_a.to_wkt())
+    fr, _ = rebuilt.projection()
+    xr, yr = fr(np.float64(115.5), np.float64(5.0), np)
+    assert abs(xr - x_a) < 1e-6 and abs(yr - y_a) < 1e-6
+
+
+def test_equirectangular_meridian_arc_and_epsg4087():
+    """Ellipsoidal eqc (EPSG 1028): y equals the meridian arc length
+    (independent numerical integration); x is linear in longitude."""
+    crs = CRS.from_epsg(4087)
+    fwd, inv = crs.projection()
+    for lat in (0.0, 23.5, 45.0, 67.0, 89.0):
+        x, y = fwd(np.float64(12.0), np.float64(lat), np)
+        assert abs(y - _meridian_arc(lat, WGS84)) < 1e-5
+    x, y = fwd(np.float64(90.0), np.float64(0.0), np)
+    assert abs(x - WGS84.a * np.pi / 2) < 1e-6
+    lon, lat = _scatter((-179.0, 179.0), (-89.0, 89.0), 128)
+    x, y = fwd(lon, lat, np)
+    lon2, lat2 = inv(x, y, np)
+    assert np.allclose(lon2, lon, atol=1e-9)
+    assert np.allclose(lat2, lat, atol=1e-9)
+
+
+def test_mollweide_area_and_shape():
+    """Mollweide invariants: the map is the standard 2:1 ellipse with
+    total area 4 pi R^2 (equal-area), and known node values match."""
+    crs = CRS.from_string("+proj=moll +ellps=WGS84")
+    fwd, inv = crs.projection()
+    r = WGS84.a
+    # full-globe corners: equator edge x = 2 sqrt2 R, pole y = sqrt2 R
+    x, y = fwd(np.float64(180.0 - 1e-9), np.float64(0.0), np)
+    assert abs(x - 2 * np.sqrt(2) * r) < 0.1
+    x, y = fwd(np.float64(0.0), np.float64(90.0), np)
+    assert abs(y - np.sqrt(2) * r) < 1e-6
+    # equal-area: Jacobian determinant == R^2 cos(phi) everywhere
+    lon, lat = _scatter((-170.0, 170.0), (-85.0, 85.0), 128)
+    dxdl, dydl, dxdp, dydp = _jacobian(fwd, lon, lat)
+    det = dxdl * dydp - dxdp * dydl
+    assert np.allclose(det, r * r * np.cos(np.radians(lat)), rtol=1e-4)
+    x, y = fwd(lon, lat, np)
+    lon2, lat2 = inv(x, y, np)
+    assert np.allclose(lon2, lon, atol=1e-8)
+    assert np.allclose(lat2, lat, atol=1e-8)
+
+
+def test_azimuthal_equidistant_radial_distances_are_geodesic():
+    """aeqd's defining property: the map distance from the centre equals
+    the geodesic distance (checked along a meridian against the meridian
+    arc integral), and azimuths are preserved."""
+    crs = CRS.from_string("+proj=aeqd +lat_0=0 +lon_0=10 +ellps=WGS84")
+    fwd, inv = crs.projection()
+    # along the central meridian the geodesic IS the meridian arc
+    for lat in (10.0, 35.0, 60.0, 85.0):
+        x, y = fwd(np.float64(10.0), np.float64(lat), np)
+        assert abs(x) < 1e-6
+        assert abs(y - _meridian_arc(lat, WGS84)) < 5e-4
+    # oblique scatter: round trip through Vincenty direct/inverse
+    lon, lat = _scatter((-60.0, 80.0), (-60.0, 60.0), 64)
+    x, y = fwd(lon, lat, np)
+    lon2, lat2 = inv(x, y, np)
+    assert np.allclose(lon2, lon, atol=1e-8)
+    assert np.allclose(lat2, lat, atol=1e-8)
+
+
+def test_azimuthal_equidistant_polar_and_spherical():
+    """Polar-aspect ellipsoidal aeqd uses the exact meridian arc; the
+    spherical branch is the closed form with angular distance."""
+    crs = CRS.from_string("+proj=aeqd +lat_0=90 +lon_0=0 +ellps=WGS84")
+    fwd, inv = crs.projection()
+    x, y = fwd(np.float64(0.0), np.float64(60.0), np)
+    rho_expect = _meridian_arc(90.0, WGS84) - _meridian_arc(60.0, WGS84)
+    assert abs(x) < 1e-6 and abs(-y - rho_expect) < 1e-5
+    lon2, lat2 = inv(x, y, np)
+    assert abs(lon2 - 0.0) < 1e-9 and abs(lat2 - 60.0) < 1e-9
+    sph = CRS.from_string("+proj=aeqd +lat_0=40 +lon_0=-100 +R=6371000")
+    fs, is_ = sph.projection()
+    # spherical: distance = R * central angle
+    x, y = fs(np.float64(-100.0), np.float64(50.0), np)
+    assert abs(y - 6371000 * np.radians(10.0)) < 1e-6
+    lon, lat = _scatter((-170.0, -30.0), (-40.0, 85.0), 64)
+    x, y = fs(lon, lat, np)
+    lon2, lat2 = is_(x, y, np)
+    assert np.allclose(lon2, lon, atol=1e-9)
+    assert np.allclose(lat2, lat, atol=1e-9)
+
+
+def test_vertical_perspective_limb_and_round_trip():
+    """nsper: the sub-satellite point maps to the origin, the limb is
+    NaN, and visible points round-trip."""
+    crs = CRS.from_string(
+        "+proj=nsper +h=35785831 +lat_0=10 +lon_0=25 +ellps=WGS84"
+    )
+    fwd, inv = crs.projection()
+    x, y = fwd(np.float64(25.0), np.float64(10.0), np)
+    assert abs(x) < 1e-9 and abs(y) < 1e-9
+    # far side of the earth is not visible
+    x, y = fwd(np.float64(-155.0), np.float64(-10.0), np)
+    assert np.isnan(x) and np.isnan(y)
+    lon, lat = _scatter((0.0, 50.0), (-20.0, 40.0), 64)
+    x, y = fwd(lon, lat, np)
+    assert np.isfinite(x).all()
+    lon2, lat2 = inv(x, y, np)
+    assert np.allclose(lon2, lon, atol=1e-8)
+    assert np.allclose(lat2, lat, atol=1e-8)
+
+
+@pytest.mark.parametrize(
+    "code_or_proj4",
+    [
+        2056,
+        21781,
+        4087,
+        "+proj=moll +lon_0=10 +ellps=WGS84",
+        "+proj=aeqd +lat_0=52 +lon_0=5 +ellps=GRS80",
+        "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.316 +gamma=53.13 "
+        "+k=0.99984 +x_0=590476.87 +y_0=442857.65 +ellps=GRS80",
+        "+proj=nsper +h=35785831 +lat_0=0 +lon_0=140 +ellps=WGS84",
+    ],
+)
+def test_round3_families_wkt_cf_round_trip(code_or_proj4):
+    """WKT and CF round trips preserve the forward transform for every
+    round-3 projection family."""
+    crs = (
+        CRS.from_epsg(code_or_proj4)
+        if isinstance(code_or_proj4, int)
+        else CRS.from_string(code_or_proj4)
+    )
+    fwd, _ = crs.projection()
+    probe_lon, probe_lat = 8.5, 47.0
+    if "nsper" in str(code_or_proj4) or "omerc" in str(code_or_proj4):
+        probe_lon, probe_lat = 115.5, 5.0
+    if "nsper" in str(code_or_proj4):
+        probe_lon = 141.0
+    x1, y1 = fwd(np.float64(probe_lon), np.float64(probe_lat), np)
+    for rebuilt in (CRS.from_wkt(crs.to_wkt()), CRS.from_cf(crs.to_cf())):
+        f2, _ = rebuilt.projection()
+        x2, y2 = f2(np.float64(probe_lon), np.float64(probe_lat), np)
+        assert abs(x1 - x2) < 1e-6 and abs(y1 - y2) < 1e-6
+
+
 def test_geostationary_wkt_round_trip_keeps_sweep():
     """The sweep axis survives the WKT round trip (it rides in the method
     name; WKT parameters are numeric-only)."""

@@ -145,10 +145,28 @@ def test_wkt_unsupported_method_raises():
     wkt = """PROJCS["x", GEOGCS["WGS 84", DATUM["WGS_1984",
         SPHEROID["WGS 84",6378137,298.257223563]],
         PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+        PROJECTION["Van_der_Grinten"],
+        PARAMETER["central_meridian",0], UNIT["metre",1]]"""
+    with pytest.raises(CRSError, match="[Vv]an"):
+        CRS.from_wkt(wkt)
+
+
+def test_wkt_azimuthal_equidistant_parses():
+    """aeqd joined the supported families in round 3; the WKT front door
+    must now accept it rather than raise."""
+    wkt = """PROJCS["x", GEOGCS["WGS 84", DATUM["WGS_1984",
+        SPHEROID["WGS 84",6378137,298.257223563]],
+        PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
         PROJECTION["Azimuthal_Equidistant"],
         PARAMETER["central_meridian",0], UNIT["metre",1]]"""
-    with pytest.raises(CRSError, match="[Aa]zimuthal"):
-        CRS.from_wkt(wkt)
+    crs = CRS.from_wkt(wkt)
+    assert crs.is_projected
+    fwd, inv = crs.projection()
+    import numpy as _np
+
+    x, y = fwd(_np.float64(10.0), _np.float64(20.0), _np)
+    lon, lat = inv(x, y, _np)
+    assert abs(lon - 10.0) < 1e-8 and abs(lat - 20.0) < 1e-8
 
 
 def test_wkt_orthographic_parses():
@@ -209,7 +227,7 @@ def test_proj4_tmerc_explicit():
 
 def test_proj4_unsupported_raises():
     with pytest.raises(CRSError):
-        CRS.from_proj4("+proj=aeqd +lon_0=0")
+        CRS.from_proj4("+proj=vandg +lon_0=0")
 
 
 def test_urn_form():

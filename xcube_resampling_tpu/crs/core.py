@@ -367,6 +367,10 @@ class CRS:
             if method == "geostationary":
                 sweep = str(self._params.get("sweep_angle_axis", "y"))
                 method = f"geostationary_sweep_{sweep}"
+            # variant A (natural-origin u,v axes) rides in the method name
+            # the same way; PARAMETER values are numeric-only
+            if method == "oblique_mercator" and self._params.get("_no_uoff"):
+                method = "hotine_oblique_mercator_variant_a"
             body = (
                 f'PROJCRS["{self._name}",BASEGEOGCRS["{self._datum_name}",{datum}],'
                 f'CONVERSION["{self._proj_name}",METHOD["{method}"],{params}],'
@@ -758,6 +762,45 @@ def _epsg(code: int) -> CRS | None:
             name="Amersfoort / RD New",
             datum_name="Amersfoort",
             epsg=28992,
+        )
+    elif code in (2056, 21781):
+        from .datum import BESSEL1841
+
+        lv95 = code == 2056
+        crs = CRS(
+            kind="projected",
+            ellipsoid=BESSEL1841,
+            proj_name="swiss_oblique_mercator",
+            params={
+                "latitude_of_projection_origin": 46.952405555555565,
+                "longitude_of_projection_origin": 7.439583333333333,
+                "scale_factor_at_projection_origin": 1.0,
+                "false_easting": 2600000.0 if lv95 else 600000.0,
+                "false_northing": 1200000.0 if lv95 else 200000.0,
+            },
+            name="CH1903+ / LV95" if lv95 else "CH1903 / LV03",
+            datum_name="CH1903+" if lv95 else "CH1903",
+            towgs84=(
+                (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)
+                if lv95
+                else (674.4, 15.1, 405.3, 0.0, 0.0, 0.0, 0.0)
+            ),
+            epsg=code,
+        )
+    elif code == 4087:
+        crs = CRS(
+            kind="projected",
+            ellipsoid=WGS84,
+            proj_name="equirectangular",
+            params={
+                "standard_parallel": 0.0,
+                "latitude_of_projection_origin": 0.0,
+                "longitude_of_central_meridian": 0.0,
+                "false_easting": 0.0,
+                "false_northing": 0.0,
+            },
+            name="WGS 84 / World Equidistant Cylindrical",
+            epsg=4087,
         )
     elif 2046 <= code <= 2055:
         # Hartebeesthoek94 / Lo15 .. Lo33 (odd central meridians, 2 deg

@@ -60,6 +60,12 @@ _PROJ = {
     "cea": "lambert_cylindrical_equal_area",
     "sinu": "sinusoidal",
     "ob_tran": "rotated_latitude_longitude",
+    "eqc": "equirectangular",
+    "moll": "mollweide",
+    "aeqd": "azimuthal_equidistant",
+    "omerc": "oblique_mercator",
+    "somerc": "swiss_oblique_mercator",
+    "nsper": "vertical_perspective",
 }
 
 
@@ -174,6 +180,8 @@ def crs_from_proj4(text: str):
             "lat_2": "sp2",
             "o_lat_p": "pole_lat",
             "o_lon_p": "pole_rot",
+            "alpha": "az",
+            "gamma": "gamma",
         }
         for src_key, dst_key in mapping.items():
             if src_key in kv:
@@ -183,6 +191,12 @@ def crs_from_proj4(text: str):
                 raise ValueError("+proj=geos needs +h=<satellite height>")
             generic["h"] = float(kv["h"])
             generic["sweep"] = str(kv.get("sweep", "y"))
+        if proj == "nsper":
+            if "h" not in kv:
+                raise ValueError("+proj=nsper needs +h=<viewpoint height>")
+            generic["h"] = float(kv["h"])
+        if proj == "omerc" and (kv.get("no_uoff") or kv.get("no_off")):
+            generic["no_uoff"] = True
         if proj == "tmerc" and str(kv.get("axis", "enu")) == "wsu":
             # the South African LO convention (+axis=wsu): westings and
             # southings -> the EPSG 9808 south-orientated TM family

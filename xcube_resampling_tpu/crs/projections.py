@@ -1085,6 +1085,669 @@ def make_transverse_mercator_south_orientated(params: dict, ell: Ellipsoid):
 
 
 # ---------------------------------------------------------------------------
+# Shared meridian-arc series (Snyder 3-21 forward, 3-26 inverse)
+# ---------------------------------------------------------------------------
+
+
+def _meridian_arc_coeffs(e2: float):
+    """(m0, m2, m4, m6, m8) with M(phi) = a (m0 phi - m2 sin2phi
+    + m4 sin4phi - m6 sin6phi + m8 sin8phi); the e^8 term keeps the arc
+    micrometer-exact for earth ellipsoids."""
+    e4, e6, e8 = e2 * e2, e2 ** 3, e2 ** 4
+    return (
+        1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256 - 175 * e8 / 16384,
+        3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024 + 105 * e8 / 4096,
+        15 * e4 / 256 + 45 * e6 / 1024 + 525 * e8 / 16384,
+        35 * e6 / 3072 + 175 * e8 / 12288,
+        315 * e8 / 131072,
+    )
+
+
+def _inv_rectifying_coeffs(e2: float):
+    """(p2, p4, p6, p8) with phi = mu + p2 sin2mu + p4 sin4mu + ..."""
+    sqrt1me2 = math.sqrt(1 - e2)
+    e1 = (1 - sqrt1me2) / (1 + sqrt1me2)
+    e1_2, e1_3, e1_4 = e1 * e1, e1 ** 3, e1 ** 4
+    return (
+        3 * e1 / 2 - 27 * e1_3 / 32,
+        21 * e1_2 / 16 - 55 * e1_4 / 32,
+        151 * e1_3 / 96,
+        1097 * e1_4 / 512,
+    )
+
+
+def _merid_arc(phi, a: float, mc, xp):
+    m0, m2, m4, m6, m8 = mc
+    return a * (
+        m0 * phi - m2 * xp.sin(2 * phi) + m4 * xp.sin(4 * phi)
+        - m6 * xp.sin(6 * phi) + m8 * xp.sin(8 * phi)
+    )
+
+
+def _inv_merid_arc(m, a: float, m0: float, pc, xp):
+    p2, p4, p6, p8 = pc
+    mu = m / (a * m0)
+    return (
+        mu + p2 * xp.sin(2 * mu) + p4 * xp.sin(4 * mu)
+        + p6 * xp.sin(6 * mu) + p8 * xp.sin(8 * mu)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equidistant Cylindrical / Equirectangular — EPSG 1028 (ellipsoidal)
+# ---------------------------------------------------------------------------
+
+
+def make_equirectangular(params: dict, ell: Ellipsoid):
+    """Equidistant cylindrical (EPSG 1028; ``+proj=eqc``; Plate Carrée when
+    the standard parallel is 0).  ``x = nu1 cos(phi1) dlam``,
+    ``y = M(phi) - M(phi0)`` with the meridian arc series — matching
+    PROJ's ellipsoidal eqc and EPSG:4087."""
+    sp = params.get("standard_parallel", 0.0)
+    if isinstance(sp, (list, tuple)):
+        sp = sp[0]
+    phi1 = math.radians(float(sp))
+    lat0 = float(params.get("latitude_of_projection_origin", 0.0))
+    lon0 = float(
+        params.get(
+            "longitude_of_central_meridian",
+            params.get("longitude_of_projection_origin", 0.0),
+        )
+    )
+    fe = float(params.get("false_easting", 0.0))
+    fn = float(params.get("false_northing", 0.0))
+    a, e2 = ell.a, ell.e2
+    lam0 = math.radians(lon0)
+    s1 = math.sin(phi1)
+    nu1_cos = a * math.cos(phi1) / math.sqrt(1 - e2 * s1 * s1)
+    mc = _meridian_arc_coeffs(e2)
+    pc = _inv_rectifying_coeffs(e2)
+    m_origin = float(_merid_arc(math.radians(lat0), a, mc, math))
+
+    def forward(lon, lat, xp):
+        lam = _d2r(xp, lon)
+        phi = _d2r(xp, lat)
+        dlam = (lam - lam0 + math.pi) % (2 * math.pi) - math.pi
+        x = nu1_cos * dlam
+        y = _merid_arc(phi, a, mc, xp) - m_origin
+        return fe + x, fn + y
+
+    def inverse(x, y, xp):
+        phi = _inv_merid_arc((y - fn) + m_origin, a, mc[0], pc, xp)
+        lam = (
+            lam0 + (x - fe) / nu1_cos + math.pi
+        ) % (2 * math.pi) - math.pi
+        return _r2d(xp, lam), _r2d(xp, phi)
+
+    return forward, inverse
+
+
+# ---------------------------------------------------------------------------
+# Mollweide — PROJ moll (spherical formulation on the semi-major axis)
+# ---------------------------------------------------------------------------
+
+
+def make_mollweide(params: dict, ell: Ellipsoid):
+    """Mollweide pseudocylindrical equal-area (``+proj=moll``).  PROJ's
+    implementation is spherical on radius ``a`` even for ellipsoidal
+    datums; this matches it.  The parametric angle solves
+    ``2 theta + sin 2theta = pi sin phi`` by a fixed-count Newton loop
+    (quadratic convergence; 10 steps reach float64 machine precision)."""
+    lon0 = float(
+        params.get(
+            "longitude_of_projection_origin",
+            params.get("longitude_of_central_meridian", 0.0),
+        )
+    )
+    fe = float(params.get("false_easting", 0.0))
+    fn = float(params.get("false_northing", 0.0))
+    r = ell.a
+    lam0 = math.radians(lon0)
+    cx = 2.0 * math.sqrt(2.0) / math.pi * r
+    cy = math.sqrt(2.0) * r
+
+    def forward(lon, lat, xp):
+        lam = _d2r(xp, lon)
+        phi = _d2r(xp, lat)
+        dlam = (lam - lam0 + math.pi) % (2 * math.pi) - math.pi
+        rhs = math.pi * xp.sin(phi)
+        theta = phi
+        for _ in range(10):
+            f = 2.0 * theta + xp.sin(2.0 * theta) - rhs
+            fp = 2.0 + 2.0 * xp.cos(2.0 * theta)
+            # the derivative vanishes at the poles where theta = phi is
+            # already exact; a floored divisor keeps the step finite
+            theta = theta - f / xp.where(fp < 1e-9, 1e-9, fp)
+        near_pole = xp.abs(xp.sin(phi)) > 1.0 - 1e-12
+        theta = xp.where(near_pole, xp.sign(phi) * (math.pi / 2), theta)
+        x = cx * dlam * xp.cos(theta)
+        y = cy * xp.sin(theta)
+        return fe + x, fn + y
+
+    def inverse(x, y, xp):
+        st = xp.clip((y - fn) / cy, -1.0, 1.0)
+        theta = xp.arcsin(st)
+        phi = xp.arcsin(
+            xp.clip((2.0 * theta + xp.sin(2.0 * theta)) / math.pi, -1.0, 1.0)
+        )
+        ct = xp.cos(theta)
+        polar = ct < 1e-12
+        dlam = xp.where(polar, 0.0, (x - fe) / (cx * xp.where(polar, 1.0, ct)))
+        lam = (lam0 + dlam + math.pi) % (2 * math.pi) - math.pi
+        return _r2d(xp, lam), _r2d(xp, phi)
+
+    return forward, inverse
+
+
+# ---------------------------------------------------------------------------
+# Azimuthal equidistant — CF azimuthal_equidistant, +proj=aeqd
+# ---------------------------------------------------------------------------
+
+
+def _vincenty_inverse(phi1: float, lam1: float, phi2, lam2, ell, xp):
+    """Geodesic distance + forward azimuth from a FIXED point (phi1, lam1)
+    to array points, by Vincenty's inverse formulas with a fixed iteration
+    count (12 steps: convergence is geometric at rate f/4 except within
+    ~0.1 deg of the antipode, which callers mask).  Returns (s, alpha1)."""
+    a = ell.a
+    f = ell.f
+    b = a * (1.0 - f)
+    u1 = math.atan((1 - f) * math.tan(phi1))
+    su1, cu1 = math.sin(u1), math.cos(u1)
+    u2 = xp.arctan((1 - f) * xp.tan(phi2))
+    su2, cu2 = xp.sin(u2), xp.cos(u2)
+    ell_l = (lam2 - lam1 + math.pi) % (2 * math.pi) - math.pi
+    lam = ell_l
+    for _ in range(12):
+        sl, cl = xp.sin(lam), xp.cos(lam)
+        s_sig = xp.sqrt(
+            (cu2 * sl) ** 2 + (cu1 * su2 - su1 * cu2 * cl) ** 2
+        )
+        c_sig = su1 * su2 + cu1 * cu2 * cl
+        sig = xp.arctan2(s_sig, c_sig)
+        s_safe = xp.where(s_sig < 1e-15, 1.0, s_sig)
+        sin_alpha = cu1 * cu2 * sl / s_safe
+        cos2_alpha = 1.0 - sin_alpha * sin_alpha
+        ca_safe = xp.where(cos2_alpha < 1e-15, 1.0, cos2_alpha)
+        cos_2sigm = xp.where(
+            cos2_alpha < 1e-15, 0.0, c_sig - 2.0 * su1 * su2 / ca_safe
+        )
+        big_c = f / 16.0 * cos2_alpha * (4.0 + f * (4.0 - 3.0 * cos2_alpha))
+        lam = ell_l + (1.0 - big_c) * f * sin_alpha * (
+            sig + big_c * s_sig * (
+                cos_2sigm
+                + big_c * c_sig * (-1.0 + 2.0 * cos_2sigm * cos_2sigm)
+            )
+        )
+    sl, cl = xp.sin(lam), xp.cos(lam)
+    s_sig = xp.sqrt((cu2 * sl) ** 2 + (cu1 * su2 - su1 * cu2 * cl) ** 2)
+    c_sig = su1 * su2 + cu1 * cu2 * cl
+    sig = xp.arctan2(s_sig, c_sig)
+    s_safe = xp.where(s_sig < 1e-15, 1.0, s_sig)
+    sin_alpha = cu1 * cu2 * sl / s_safe
+    cos2_alpha = 1.0 - sin_alpha * sin_alpha
+    ca_safe = xp.where(cos2_alpha < 1e-15, 1.0, cos2_alpha)
+    cos_2sigm = xp.where(
+        cos2_alpha < 1e-15, 0.0, c_sig - 2.0 * su1 * su2 / ca_safe
+    )
+    u_sq = cos2_alpha * (a * a - b * b) / (b * b)
+    big_a = 1.0 + u_sq / 16384.0 * (
+        4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq))
+    )
+    big_b = u_sq / 1024.0 * (
+        256.0 + u_sq * (-128.0 + u_sq * (74.0 - 47.0 * u_sq))
+    )
+    d_sig = big_b * s_sig * (
+        cos_2sigm
+        + big_b / 4.0 * (
+            c_sig * (-1.0 + 2.0 * cos_2sigm ** 2)
+            - big_b / 6.0 * cos_2sigm
+            * (-3.0 + 4.0 * s_sig ** 2) * (-3.0 + 4.0 * cos_2sigm ** 2)
+        )
+    )
+    s = b * big_a * (sig - d_sig)
+    alpha1 = xp.arctan2(cu2 * sl, cu1 * su2 - su1 * cu2 * cl)
+    return s, alpha1
+
+
+def _vincenty_direct(phi1: float, lam1: float, s, alpha1, ell, xp):
+    """Geodesic direct problem from a FIXED point: destination (phi2,
+    lam2) at distance ``s`` along initial azimuth ``alpha1``.  Fixed
+    8-step sigma iteration (converges in 3-4 for earth flattening)."""
+    a = ell.a
+    f = ell.f
+    b = a * (1.0 - f)
+    u1 = math.atan((1 - f) * math.tan(phi1))
+    su1, cu1 = math.sin(u1), math.cos(u1)
+    sa, ca = xp.sin(alpha1), xp.cos(alpha1)
+    sigma1 = xp.arctan2(math.tan(u1), ca)
+    sin_alpha = cu1 * sa
+    cos2_alpha = 1.0 - sin_alpha * sin_alpha
+    u_sq = cos2_alpha * (a * a - b * b) / (b * b)
+    big_a = 1.0 + u_sq / 16384.0 * (
+        4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq))
+    )
+    big_b = u_sq / 1024.0 * (
+        256.0 + u_sq * (-128.0 + u_sq * (74.0 - 47.0 * u_sq))
+    )
+    sigma = s / (b * big_a)
+    for _ in range(8):
+        cos_2sigm = xp.cos(2.0 * sigma1 + sigma)
+        s_sig, c_sig = xp.sin(sigma), xp.cos(sigma)
+        d_sig = big_b * s_sig * (
+            cos_2sigm
+            + big_b / 4.0 * (
+                c_sig * (-1.0 + 2.0 * cos_2sigm ** 2)
+                - big_b / 6.0 * cos_2sigm
+                * (-3.0 + 4.0 * s_sig ** 2)
+                * (-3.0 + 4.0 * cos_2sigm ** 2)
+            )
+        )
+        sigma = s / (b * big_a) + d_sig
+    s_sig, c_sig = xp.sin(sigma), xp.cos(sigma)
+    cos_2sigm = xp.cos(2.0 * sigma1 + sigma)
+    phi2 = xp.arctan2(
+        su1 * c_sig + cu1 * s_sig * ca,
+        (1 - f) * xp.sqrt(
+            sin_alpha ** 2 + (su1 * s_sig - cu1 * c_sig * ca) ** 2
+        ),
+    )
+    lam = xp.arctan2(s_sig * sa, cu1 * c_sig - su1 * s_sig * ca)
+    big_c = f / 16.0 * cos2_alpha * (4.0 + f * (4.0 - 3.0 * cos2_alpha))
+    ell_l = lam - (1.0 - big_c) * f * sin_alpha * (
+        sigma + big_c * s_sig * (
+            cos_2sigm
+            + big_c * c_sig * (-1.0 + 2.0 * cos_2sigm ** 2)
+        )
+    )
+    lam2 = lam1 + ell_l
+    return phi2, lam2
+
+
+def make_azimuthal_equidistant(params: dict, ell: Ellipsoid):
+    """Azimuthal equidistant (CF ``azimuthal_equidistant``;
+    ``+proj=aeqd``).  Spherical datums use the exact closed form; on
+    ellipsoids the projection IS the geodesic polar coordinate map, so
+    the forward runs Vincenty's inverse problem against the projection
+    centre and the inverse runs the direct problem — matching PROJ's
+    geodesic-based aeqd to sub-mm except within ~0.2 deg of the antipode
+    (where Vincenty's lambda iteration stalls and points land slightly
+    short; PROJ's Karney geodesics converge there)."""
+    lat0 = float(params.get("latitude_of_projection_origin", 0.0))
+    lon0 = float(params.get("longitude_of_projection_origin", 0.0))
+    fe = float(params.get("false_easting", 0.0))
+    fn = float(params.get("false_northing", 0.0))
+    a, e2 = ell.a, ell.e2
+    phi0 = math.radians(lat0)
+    lam0 = math.radians(lon0)
+
+    if e2 == 0.0:
+        s0, c0 = math.sin(phi0), math.cos(phi0)
+
+        def forward(lon, lat, xp):
+            lam = _d2r(xp, lon)
+            phi = _d2r(xp, lat)
+            dlam = (lam - lam0 + math.pi) % (2 * math.pi) - math.pi
+            s, c = xp.sin(phi), xp.cos(phi)
+            cos_c = xp.clip(s0 * s + c0 * c * xp.cos(dlam), -1.0, 1.0)
+            cang = xp.arccos(cos_c)
+            sin_c = xp.sin(cang)
+            k = xp.where(sin_c < 1e-12, 1.0, cang / xp.where(
+                sin_c < 1e-12, 1.0, sin_c
+            ))
+            x = a * k * c * xp.sin(dlam)
+            y = a * k * (c0 * s - s0 * c * xp.cos(dlam))
+            return fe + x, fn + y
+
+        def inverse(x, y, xp):
+            xr = (x - fe) / a
+            yr = (y - fn) / a
+            rho = xp.sqrt(xr * xr + yr * yr)
+            cang = xp.clip(rho, 0.0, math.pi)
+            s_c, c_c = xp.sin(cang), xp.cos(cang)
+            rho_s = xp.where(rho < 1e-12, 1.0, rho)
+            phi = xp.arcsin(
+                xp.clip(c_c * s0 + yr * s_c * c0 / rho_s, -1.0, 1.0)
+            )
+            lam = lam0 + xp.arctan2(
+                xr * s_c, rho_s * c_c * c0 - yr * s_c * s0
+            )
+            phi = xp.where(rho < 1e-12, phi0, phi)
+            lam = xp.where(rho < 1e-12, lam0, lam)
+            lam = (lam + math.pi) % (2 * math.pi) - math.pi
+            return _r2d(xp, lam), _r2d(xp, phi)
+
+        return forward, inverse
+
+    if abs(lat0) >= 89.999:
+        # polar aspect: rho is the meridian arc to the pole (Snyder 25-16)
+        north = lat0 > 0
+        mc = _meridian_arc_coeffs(e2)
+        pc = _inv_rectifying_coeffs(e2)
+        m_pole = float(_merid_arc(math.pi / 2, a, mc, math))
+
+        def forward(lon, lat, xp):
+            lam = _d2r(xp, lon)
+            phi = _d2r(xp, lat)
+            dlam = (lam - lam0 + math.pi) % (2 * math.pi) - math.pi
+            m = _merid_arc(phi, a, mc, xp)
+            rho = (m_pole - m) if north else (m_pole + m)
+            x = rho * xp.sin(dlam)
+            y = (-rho if north else rho) * xp.cos(dlam)
+            return fe + x, fn + y
+
+        def inverse(x, y, xp):
+            xr = x - fe
+            yr = y - fn
+            rho = xp.sqrt(xr * xr + yr * yr)
+            m = (m_pole - rho) if north else (rho - m_pole)
+            phi = _inv_merid_arc(m, a, mc[0], pc, xp)
+            dlam = xp.arctan2(xr, -yr if north else yr)
+            at_pole = rho < 1e-9
+            phi = xp.where(at_pole, phi0, phi)
+            dlam = xp.where(at_pole, 0.0, dlam)
+            lam = (lam0 + dlam + math.pi) % (2 * math.pi) - math.pi
+            return _r2d(xp, lam), _r2d(xp, phi)
+
+        return forward, inverse
+
+    def forward(lon, lat, xp):
+        lam = _d2r(xp, lon)
+        phi = _d2r(xp, lat)
+        s, alpha1 = _vincenty_inverse(phi0, lam0, phi, lam, ell, xp)
+        at_centre = s < 1e-9
+        x = xp.where(at_centre, 0.0, s * xp.sin(alpha1))
+        y = xp.where(at_centre, 0.0, s * xp.cos(alpha1))
+        return fe + x, fn + y
+
+    def inverse(x, y, xp):
+        xr = x - fe
+        yr = y - fn
+        s = xp.sqrt(xr * xr + yr * yr)
+        alpha1 = xp.arctan2(xr, yr)
+        phi, lam = _vincenty_direct(phi0, lam0, s, alpha1, ell, xp)
+        at_centre = s < 1e-9
+        phi = xp.where(at_centre, phi0, phi)
+        lam = xp.where(at_centre, lam0, lam)
+        lam = (lam + math.pi) % (2 * math.pi) - math.pi
+        return _r2d(xp, lam), _r2d(xp, phi)
+
+    return forward, inverse
+
+
+# ---------------------------------------------------------------------------
+# Hotine oblique Mercator — EPSG 9812 (variant A) / 9815 (variant B)
+# ---------------------------------------------------------------------------
+
+
+def make_oblique_mercator(params: dict, ell: Ellipsoid):
+    """Hotine oblique Mercator (CF ``oblique_mercator``; ``+proj=omerc``).
+    EPSG guidance note 7-2 formulas.  Default is variant B (EPSG 9815,
+    coordinates offset to the projection centre, matching PROJ's omerc
+    default); ``_no_uoff`` selects variant A (EPSG 9812 / ``+no_uoff``).
+    The inverse recovers geodetic latitude from the conformal latitude by
+    the shared Snyder series."""
+    lat0 = float(params.get("latitude_of_projection_origin", 0.0))
+    lonc = float(
+        params.get(
+            "longitude_of_projection_origin",
+            params.get("longitude_of_central_meridian", 0.0),
+        )
+    )
+    alpha_c = float(params.get("azimuth_of_central_line", 90.0))
+    gamma_c = float(params.get("rectified_grid_angle", alpha_c))
+    k_c = float(params.get("scale_factor_at_projection_origin", 1.0))
+    fe = float(params.get("false_easting", 0.0))
+    fn = float(params.get("false_northing", 0.0))
+    no_uoff = bool(params.get("_no_uoff", False))
+    a, e2 = ell.a, ell.e2
+    e = math.sqrt(e2)
+    phi0 = math.radians(lat0)
+    lamc = math.radians(lonc)
+    al = math.radians(alpha_c)
+    ga = math.radians(gamma_c)
+    s0, c0 = math.sin(phi0), math.cos(phi0)
+
+    big_b = math.sqrt(1.0 + e2 * c0 ** 4 / (1.0 - e2))
+    w0 = math.sqrt(1.0 - e2 * s0 * s0)
+    big_a = a * big_b * k_c * math.sqrt(1.0 - e2) / (w0 * w0)
+    t0 = math.tan(math.pi / 4 - phi0 / 2) / (
+        (1.0 - e * s0) / (1.0 + e * s0)
+    ) ** (e / 2)
+    big_d = max(big_b * math.sqrt(1.0 - e2) / (c0 * w0), 1.0)
+    sign0 = -1.0 if phi0 < 0 else 1.0
+    big_f = big_d + math.sqrt(big_d * big_d - 1.0) * sign0
+    big_h = big_f * t0 ** big_b
+    big_g = (big_f - 1.0 / big_f) / 2.0
+    gamma0 = math.asin(min(max(math.sin(al) / big_d, -1.0), 1.0))
+    lam0 = lamc - math.asin(
+        min(max(big_g * math.tan(gamma0), -1.0), 1.0)
+    ) / big_b
+    sg0, cg0 = math.sin(gamma0), math.cos(gamma0)
+    if no_uoff:
+        u_c = 0.0
+    elif abs(alpha_c - 90.0) < 1e-12:
+        u_c = big_a * (lamc - lam0)
+    else:
+        u_c = (big_a / big_b) * math.atan2(
+            math.sqrt(big_d * big_d - 1.0), math.cos(al)
+        ) * sign0
+    sgc, cgc = math.sin(ga), math.cos(ga)
+
+    def forward(lon, lat, xp):
+        lam = _d2r(xp, lon)
+        phi = _d2r(xp, lat)
+        phi_c = xp.clip(phi, -math.pi / 2 + 1e-9, math.pi / 2 - 1e-9)
+        s = xp.sin(phi_c)
+        t = xp.tan(math.pi / 4 - phi_c / 2) / (
+            (1.0 - e * s) / (1.0 + e * s)
+        ) ** (e / 2)
+        big_q = big_h / t ** big_b
+        big_s = (big_q - 1.0 / big_q) / 2.0
+        big_t = (big_q + 1.0 / big_q) / 2.0
+        dlam = (lam - lam0 + math.pi) % (2 * math.pi) - math.pi
+        big_v = xp.sin(big_b * dlam)
+        big_u = (-big_v * cg0 + big_s * sg0) / big_t
+        v = big_a * xp.log((1.0 - big_u) / (1.0 + big_u)) / (2.0 * big_b)
+        u = big_a * xp.arctan2(
+            big_s * cg0 + big_v * sg0, xp.cos(big_b * dlam)
+        ) / big_b - u_c
+        x = v * cgc + u * sgc
+        y = u * cgc - v * sgc
+        return fe + x, fn + y
+
+    def inverse(x, y, xp):
+        xr = x - fe
+        yr = y - fn
+        v = xr * cgc - yr * sgc
+        u = yr * cgc + xr * sgc + u_c
+        big_qp = xp.exp(-big_b * v / big_a)
+        big_sp = (big_qp - 1.0 / big_qp) / 2.0
+        big_tp = (big_qp + 1.0 / big_qp) / 2.0
+        big_vp = xp.sin(big_b * u / big_a)
+        big_up = xp.clip(
+            (big_vp * cg0 + big_sp * sg0) / big_tp, -1.0, 1.0
+        )
+        tp = (
+            big_h / xp.sqrt((1.0 + big_up) / (1.0 - big_up))
+        ) ** (1.0 / big_b)
+        chi = math.pi / 2 - 2.0 * xp.arctan(tp)
+        phi = _conformal_to_geodetic(chi, e2, xp)
+        dlam = -xp.arctan2(
+            big_sp * cg0 - big_vp * sg0, xp.cos(big_b * u / big_a)
+        ) / big_b
+        lam = (lam0 + dlam + math.pi) % (2 * math.pi) - math.pi
+        return _r2d(xp, lam), _r2d(xp, phi)
+
+    return forward, inverse
+
+
+# ---------------------------------------------------------------------------
+# Swiss oblique Mercator — EPSG 9814 (CH1903 / LV03, CH1903+ / LV95)
+# ---------------------------------------------------------------------------
+
+
+def make_swiss_oblique_mercator(params: dict, ell: Ellipsoid):
+    """Swiss oblique cylindrical (EPSG 9814; ``+proj=somerc``): double
+    projection ellipsoid -> conformal sphere -> oblique equatorial
+    Mercator.  The inverse solves the conformal-sphere latitude back to
+    geodetic with a fixed 8-step contraction (rate ~e^2/2, float64-exact
+    for earth ellipsoids)."""
+    lat0 = float(params.get("latitude_of_projection_origin", 0.0))
+    lon0 = float(params.get("longitude_of_projection_origin", 0.0))
+    k0 = float(params.get("scale_factor_at_projection_origin", 1.0))
+    fe = float(params.get("false_easting", 0.0))
+    fn = float(params.get("false_northing", 0.0))
+    a, e2 = ell.a, ell.e2
+    e = math.sqrt(e2)
+    phi0 = math.radians(lat0)
+    lam0 = math.radians(lon0)
+    s0, c0 = math.sin(phi0), math.cos(phi0)
+    alpha = math.sqrt(1.0 + e2 / (1.0 - e2) * c0 ** 4)
+    r_sph = a * k0 * math.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0)
+    b0 = math.asin(s0 / alpha)
+    big_k = (
+        math.log(math.tan(math.pi / 4 + b0 / 2))
+        - alpha * math.log(math.tan(math.pi / 4 + phi0 / 2))
+        + alpha * e / 2 * math.log(
+            (1.0 + e * s0) / (1.0 - e * s0)
+        )
+    )
+    sb0, cb0 = math.sin(b0), math.cos(b0)
+
+    def forward(lon, lat, xp):
+        lam = _d2r(xp, lon)
+        phi = _d2r(xp, lat)
+        phi_c = xp.clip(phi, -math.pi / 2 + 1e-9, math.pi / 2 - 1e-9)
+        s = xp.sin(phi_c)
+        big_s = (
+            alpha * xp.log(xp.tan(math.pi / 4 + phi_c / 2))
+            - alpha * e / 2 * xp.log((1.0 + e * s) / (1.0 - e * s))
+            + big_k
+        )
+        b = 2.0 * (xp.arctan(xp.exp(big_s)) - math.pi / 4)
+        ell_l = alpha * (
+            (lam - lam0 + math.pi) % (2 * math.pi) - math.pi
+        )
+        sb, cb = xp.sin(b), xp.cos(b)
+        sl, cl = xp.sin(ell_l), xp.cos(ell_l)
+        b_bar = xp.arcsin(xp.clip(cb0 * sb - sb0 * cb * cl, -1.0, 1.0))
+        l_bar = xp.arctan2(cb * sl, sb0 * sb + cb0 * cb * cl)
+        y = r_sph * l_bar
+        x = r_sph / 2.0 * xp.log(
+            (1.0 + xp.sin(b_bar)) / (1.0 - xp.sin(b_bar))
+        )
+        return fe + y, fn + x
+
+    def inverse(x, y, xp):
+        l_bar = (x - fe) / r_sph
+        b_bar = 2.0 * (xp.arctan(xp.exp((y - fn) / r_sph)) - math.pi / 4)
+        sbb, cbb = xp.sin(b_bar), xp.cos(b_bar)
+        slb, clb = xp.sin(l_bar), xp.cos(l_bar)
+        b = xp.arcsin(xp.clip(cb0 * sbb + sb0 * cbb * clb, -1.0, 1.0))
+        ell_l = xp.arctan2(cbb * slb, cb0 * cbb * clb - sb0 * sbb)
+        lam = (
+            lam0 + ell_l / alpha + math.pi
+        ) % (2 * math.pi) - math.pi
+        # invert S(phi): contraction phi <- g(phi) with |g'| ~ e^2/2
+        target = (
+            xp.log(xp.tan(math.pi / 4 + b / 2)) - big_k
+        ) / alpha
+        phi = b
+        for _ in range(8):
+            s = xp.sin(phi)
+            phi = 2.0 * (
+                xp.arctan(
+                    xp.exp(
+                        target
+                        + e / 2 * xp.log((1.0 + e * s) / (1.0 - e * s))
+                    )
+                )
+                - math.pi / 4
+            )
+        return _r2d(xp, lam), _r2d(xp, phi)
+
+    return forward, inverse
+
+
+# ---------------------------------------------------------------------------
+# Vertical perspective — CF vertical_perspective, +proj=nsper (spherical)
+# ---------------------------------------------------------------------------
+
+
+def make_vertical_perspective(params: dict, ell: Ellipsoid):
+    """Near-sided general vertical perspective (CF ``vertical_perspective``;
+    ``+proj=nsper``).  Spherical formulation on the semi-major axis
+    (Snyder SS23), matching PROJ's nsper; the inverse picks the
+    viewer-side root of the ray/sphere quadratic."""
+    h = float(
+        params.get(
+            "perspective_point_height", params.get("satellite_height", 0.0)
+        )
+    )
+    if h <= 0:
+        raise ValueError(
+            "vertical_perspective needs perspective_point_height > 0"
+        )
+    lat0 = float(params.get("latitude_of_projection_origin", 0.0))
+    lon0 = float(params.get("longitude_of_projection_origin", 0.0))
+    fe = float(params.get("false_easting", 0.0))
+    fn = float(params.get("false_northing", 0.0))
+    r = ell.a
+    big_p = 1.0 + h / r
+    phi0 = math.radians(lat0)
+    lam0 = math.radians(lon0)
+    s0, c0 = math.sin(phi0), math.cos(phi0)
+
+    def forward(lon, lat, xp):
+        lam = _d2r(xp, lon)
+        phi = _d2r(xp, lat)
+        dlam = (lam - lam0 + math.pi) % (2 * math.pi) - math.pi
+        s, c = xp.sin(phi), xp.cos(phi)
+        cos_c = s0 * s + c0 * c * xp.cos(dlam)
+        visible = cos_c >= 1.0 / big_p
+        k = (big_p - 1.0) / (big_p - cos_c)
+        x = r * k * c * xp.sin(dlam)
+        y = r * k * (c0 * s - s0 * c * xp.cos(dlam))
+        nan = float("nan")
+        return (
+            fe + xp.where(visible, x, nan),
+            fn + xp.where(visible, y, nan),
+        )
+
+    def inverse(x, y, xp):
+        xr = x - fe
+        yr = y - fn
+        rho2 = xr * xr + yr * yr
+        rho = xp.sqrt(rho2)
+        rp2 = (r * (big_p - 1.0)) ** 2
+        # cos(c) from rho (P - cos c) = R (P-1) sin c: viewer-side root
+        aa = rho2 + rp2
+        bb = 2.0 * rho2 * big_p
+        cc = rho2 * big_p * big_p - rp2
+        det = bb * bb - 4.0 * aa * cc
+        hit = det >= 0.0
+        det = xp.where(hit, det, 0.0)
+        cos_c = xp.clip((bb + xp.sqrt(det)) / (2.0 * aa), -1.0, 1.0)
+        sin_c = xp.sqrt(xp.clip(1.0 - cos_c * cos_c, 0.0, 1.0))
+        rho_s = xp.where(rho < 1e-9, 1.0, rho)
+        phi = xp.arcsin(
+            xp.clip(cos_c * s0 + yr * sin_c * c0 / rho_s, -1.0, 1.0)
+        )
+        lam = lam0 + xp.arctan2(
+            xr * sin_c, rho_s * cos_c * c0 - yr * sin_c * s0
+        )
+        phi = xp.where(rho < 1e-9, phi0, phi)
+        lam = xp.where(rho < 1e-9, lam0, lam)
+        nan = float("nan")
+        phi = xp.where(hit, phi, nan)
+        lam = xp.where(hit, (lam + math.pi) % (2 * math.pi) - math.pi, nan)
+        return _r2d(xp, lam), _r2d(xp, phi)
+
+    return forward, inverse
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1105,6 +1768,12 @@ PROJECTION_FACTORIES = {
     "transverse_mercator_south_orientated": (
         make_transverse_mercator_south_orientated
     ),
+    "equirectangular": make_equirectangular,
+    "mollweide": make_mollweide,
+    "azimuthal_equidistant": make_azimuthal_equidistant,
+    "oblique_mercator": make_oblique_mercator,
+    "swiss_oblique_mercator": make_swiss_oblique_mercator,
+    "vertical_perspective": make_vertical_perspective,
 }
 
 

@@ -222,6 +222,29 @@ _METHODS = {
         "transverse_mercator_south_orientated"
     ),
     "gauss_conform_south_orientated": "transverse_mercator_south_orientated",
+    "equidistant_cylindrical": "equirectangular",
+    "equidistant_cylindrical_spherical": "equirectangular",
+    "equirectangular": "equirectangular",
+    "plate_carree": "equirectangular",
+    "mollweide": "mollweide",
+    "azimuthal_equidistant": "azimuthal_equidistant",
+    "modified_azimuthal_equidistant": "azimuthal_equidistant",
+    "oblique_mercator": "oblique_mercator",
+    "hotine_oblique_mercator_variant_b": "oblique_mercator",
+    "hotine_oblique_mercator_azimuth_center": "oblique_mercator",
+    "rectified_skew_orthomorphic_center": "oblique_mercator",
+    # WKT1/GDAL "Hotine_Oblique_Mercator" and EPSG variant A keep the
+    # natural-origin (u, v) axes: +no_uoff
+    "hotine_oblique_mercator": "oblique_mercator_variant_a",
+    "hotine_oblique_mercator_variant_a": "oblique_mercator_variant_a",
+    "rectified_skew_orthomorphic_natural_origin": (
+        "oblique_mercator_variant_a"
+    ),
+    "swiss_oblique_cylindrical": "swiss_oblique_mercator",
+    "swiss_oblique_mercator": "swiss_oblique_mercator",
+    "vertical_perspective": "vertical_perspective",
+    "general_vertical_near_sided_perspective": "vertical_perspective",
+    "near_sided_perspective": "vertical_perspective",
 }
 
 #: EPSG/WKT1/proj parameter name -> generic key
@@ -254,10 +277,19 @@ _PARAMS = {
     "longitude_of_north_pole": ("pole_lon", True),
     "grid_north_pole_longitude": ("pole_lon", True),
     "north_pole_grid_longitude": ("pole_rot", True),
+    "azimuth": ("az", True),
+    "azimuth_of_initial_line": ("az", True),
+    "azimuth_at_projection_centre": ("az", True),
+    "azimuth_of_central_line": ("az", True),
+    "angle_from_rectified_to_skew_grid": ("gamma", True),
+    "rectified_grid_angle": ("gamma", True),
     # scales
     "scale_factor_at_natural_origin": ("k_0", False),
     "scale_factor": ("k_0", False),
     "scale_factor_at_projection_origin": ("k_0", False),
+    "scale_factor_on_initial_line": ("k_0", False),
+    "scale_factor_at_center": ("k_0", False),
+    "scale_factor_at_centre": ("k_0", False),
     # lengths
     "false_easting": ("x_0", False),
     "easting_at_false_origin": ("x_0", False),
@@ -417,6 +449,61 @@ def build_projected_params(family: str, g: dict) -> tuple[str, dict]:
             "scale_factor_at_central_meridian": k_0,
             "longitude_of_central_meridian": lon_0,
             "latitude_of_projection_origin": lat_0,
+            "false_easting": x_0,
+            "false_northing": y_0,
+        }
+    if family == "equirectangular":
+        return "equirectangular", {
+            "standard_parallel": float(sp1 if sp1 is not None else 0.0),
+            "latitude_of_projection_origin": lat_0,
+            "longitude_of_central_meridian": lon_0,
+            "false_easting": x_0,
+            "false_northing": y_0,
+        }
+    if family == "mollweide":
+        return "mollweide", {
+            "longitude_of_projection_origin": lon_0,
+            "false_easting": x_0,
+            "false_northing": y_0,
+        }
+    if family == "azimuthal_equidistant":
+        return "azimuthal_equidistant", {
+            "latitude_of_projection_origin": lat_0,
+            "longitude_of_projection_origin": lon_0,
+            "false_easting": x_0,
+            "false_northing": y_0,
+        }
+    if family in ("oblique_mercator", "oblique_mercator_variant_a"):
+        az = float(g.get("az", 90.0))
+        params = {
+            "latitude_of_projection_origin": lat_0,
+            "longitude_of_projection_origin": lon_0,
+            "azimuth_of_central_line": az,
+            "rectified_grid_angle": float(g.get("gamma", az)),
+            "scale_factor_at_projection_origin": k_0,
+            "false_easting": x_0,
+            "false_northing": y_0,
+        }
+        if family.endswith("_variant_a") or g.get("no_uoff"):
+            params["_no_uoff"] = True
+        return "oblique_mercator", params
+    if family == "swiss_oblique_mercator":
+        return "swiss_oblique_mercator", {
+            "latitude_of_projection_origin": lat_0,
+            "longitude_of_projection_origin": lon_0,
+            "scale_factor_at_projection_origin": k_0,
+            "false_easting": x_0,
+            "false_northing": y_0,
+        }
+    if family == "vertical_perspective":
+        if "h" not in g:
+            raise ValueError(
+                "vertical_perspective needs a perspective height parameter"
+            )
+        return "vertical_perspective", {
+            "perspective_point_height": float(g["h"]),
+            "latitude_of_projection_origin": lat_0,
+            "longitude_of_projection_origin": lon_0,
             "false_easting": x_0,
             "false_northing": y_0,
         }
