@@ -117,4 +117,31 @@ def test_fuzz_srw_parity():
             assert frac_diff < 0.05, (
                 f"{src_crs}->{tgt_crs}: nearest mismatch frac {frac_diff}"
             )
+
+        # triangular: bilinear - s*Delta decomposition; Delta sampled at
+        # the two-pass positions may pick the adjacent quad near cell
+        # boundaries, so bound the flip fraction and the bulk error
+        fn_t = make_srw_reproject_fn(sgm, tgm, "triangular", np.nan)
+        if fn_t is not None:
+            at = np.asarray(fn_t(jnp.asarray(data)))
+            bt = np.asarray(
+                make_fused_reproject_fn(sgm, tgm, "triangular", np.nan)(
+                    jnp.asarray(data)
+                )
+            )
+            both_t = ~np.isnan(at) & ~np.isnan(bt)
+            if both_t.any():
+                # the bilinear core of the decomposition carries the same
+                # two-pass-vs-direct deviation the bilinear contract above
+                # bounds at 0.1 on white noise; the correction term adds
+                # at most s <= 1/4 of a quad's second difference
+                dt = np.abs(at[both_t] - bt[both_t])
+                assert float(dt.max()) < 0.15, (
+                    f"{src_crs}->{tgt_crs}: triangular max diff "
+                    f"{float(dt.max())}"
+                )
+                assert float(np.quantile(dt, 0.5)) < 2e-2, (
+                    f"{src_crs}->{tgt_crs}: triangular median err "
+                    f"{float(np.quantile(dt, 0.5))}"
+                )
     assert engaged >= 5, f"only {engaged} configurations engaged SRW"

@@ -25,7 +25,7 @@ def _case(src=96, out=80):
     return source_gm, target_gm, data
 
 
-@pytest.mark.parametrize("interp", ["bilinear", "nearest"])
+@pytest.mark.parametrize("interp", ["bilinear", "nearest", "triangular"])
 def test_srw_matches_gather_kernel(interp):
     source_gm, target_gm, data = _case()
     srw = make_srw_reproject_fn(source_gm, target_gm, interp, np.nan,
@@ -41,6 +41,20 @@ def test_srw_matches_gather_kernel(interp):
     if interp == "bilinear":
         # identical coordinate approximation; only fp association differs
         np.testing.assert_allclose(a[both], b[both], atol=1e-4)
+    elif interp == "triangular":
+        # the bilinear - s*Delta correction samples Delta at the two-pass
+        # positions: pixels whose position sits within the gate tolerance
+        # of a cell boundary may pick the neighbouring quad's Delta —
+        # allow a tiny fraction of such flips, tight values elsewhere
+        close = np.abs(a[both] - b[both]) < 1e-3 * (
+            1.0 + np.abs(b[both])
+        )
+        assert close.mean() > 0.99
+        np.testing.assert_allclose(
+            np.sort(a[both])[both.sum() // 2],
+            np.sort(b[both])[both.sum() // 2],
+            rtol=1e-4,
+        )
     else:
         # two-pass nearest may flip to the equally-distant neighbour on
         # rounding boundaries (cf. the reference's own tie comment,
@@ -68,9 +82,35 @@ def test_srw_plan_reports_taps():
     assert 2 <= plan.d_h <= 48
 
 
-def test_srw_rejects_triangular():
+def test_srw_rejects_cubic():
     source_gm, target_gm, _ = _case()
-    assert make_srw_reproject_fn(source_gm, target_gm, "triangular") is None
+    assert make_srw_reproject_fn(source_gm, target_gm, "cubic") is None
+
+
+def test_srw_triangular_batched_exact_on_linear_field():
+    """On an affine source field the triangular correction term Delta is
+    identically zero, so SRW triangular must equal SRW bilinear exactly;
+    both kernel variants (looped and batched) agree with the gather."""
+    source_gm, target_gm, _ = _case()
+    src = 96
+    jj, ii = np.mgrid[0:src, 0:src].astype(np.float32)
+    data = 3.0 * ii - 2.0 * jj + 7.0
+    gat = make_fused_reproject_fn(
+        source_gm, target_gm, "triangular", np.nan
+    )
+    b = np.asarray(gat(jnp.asarray(data)))
+    for kwargs in (
+        dict(col_tile=32, row_tile=32),  # looped kernel
+        dict(),  # default tiling (may select the batched kernel)
+    ):
+        srw = make_srw_reproject_fn(
+            source_gm, target_gm, "triangular", np.nan, **kwargs
+        )
+        assert srw is not None
+        a = np.asarray(srw(jnp.asarray(data)))
+        both = ~np.isnan(a) & ~np.isnan(b)
+        assert both.mean() > 0.5
+        np.testing.assert_allclose(a[both], b[both], atol=1e-3)
 
 
 def test_srw_aligned_matches_gather_kernel():

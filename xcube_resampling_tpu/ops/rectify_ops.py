@@ -1440,7 +1440,9 @@ def make_device_var_image_fn_resident(ij_map: DeviceIJMap, fill_value, interp_me
 
     srw_env = os.environ.get("XRTPU_PHASEB_SRW", "")
     want_srw = (
-        interp_method == "bilinear" if srw_env == "" else srw_env == "1"
+        interp_method in ("bilinear", "triangular")
+        if srw_env == ""
+        else srw_env == "1"
     )
     if not want_srw:
         fn_cache[key] = gather_fn
@@ -1610,13 +1612,16 @@ def make_device_var_image_fn(
 
     # dispatch measured on v5e (OLCI-size map): the single-tap nearest
     # gather already streams acceptably (~515 Mpix/s) and beats SRW's
-    # multi-tap structure there, so SRW engages for bilinear only.
+    # multi-tap structure there, so SRW engages for the 4-tap interps
+    # (bilinear, and triangular via the bilinear - s*Delta correction).
     # XRTPU_PHASEB_SRW=0/1 forces the choice for experiments.
     srw_env = os.environ.get("XRTPU_PHASEB_SRW", "")
     use_srw = (
-        interp_method == "bilinear" if srw_env == "" else srw_env == "1"
+        interp_method in ("bilinear", "triangular")
+        if srw_env == ""
+        else srw_env == "1"
     )
-    if use_srw and interp_method in ("nearest", "bilinear"):
+    if use_srw and interp_method in ("nearest", "bilinear", "triangular"):
         from scipy.ndimage import binary_erosion
 
         from .srw import fields_from_ij_map, make_srw_fn, plan_srw

@@ -578,8 +578,11 @@ def make_srw_fn(plan: SRWPlan, interp_method: str = "bilinear", fill_value=np.na
     import jax
     import jax.numpy as jnp
 
-    if interp_method not in ("bilinear", "nearest"):
-        raise ValueError("SRW supports 'bilinear' and 'nearest' only")
+    if interp_method not in ("bilinear", "nearest", "triangular"):
+        raise ValueError(
+            "SRW supports 'bilinear', 'nearest' and 'triangular' only"
+        )
+    tri = interp_method == "triangular"
 
     p = plan
     base_v = jnp.asarray(p.base_v)
@@ -591,9 +594,17 @@ def make_srw_fn(plan: SRWPlan, interp_method: str = "bilinear", fill_value=np.na
     n_row_tiles = p.base_h.shape[0]
 
     def weight(pos, k):
-        if interp_method == "bilinear":
-            return jnp.maximum(0.0, 1.0 - jnp.abs(pos - k))
-        return (jnp.round(pos) == k).astype(jnp.float32)
+        if interp_method == "nearest":
+            return (jnp.round(pos) == k).astype(jnp.float32)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(pos - k))
+
+    def dweight(pos, k):
+        # the (1, -1) mixed-difference taps of the triangular correction:
+        # +1 at floor(pos), -1 at floor(pos)+1 (see kernel note below)
+        f = jnp.floor(pos)
+        return (f == k).astype(jnp.float32) - (f + 1.0 == k).astype(
+            jnp.float32
+        )
 
     @jax.jit
     def precompute(iystar_f, ix_f, iy_f):
@@ -610,16 +621,31 @@ def make_srw_fn(plan: SRWPlan, interp_method: str = "bilinear", fill_value=np.na
             & (iy_full > -0.5)
             & (iy_full < p.src_h - 0.5)
         )
-        return pos_v, pos_h, valid
+        if not tri:
+            return pos_v, pos_h, valid, jnp.zeros((), jnp.float32)
+        # triangular = bilinear - s * Delta with s = min(uv, (1-u)(1-v))
+        # (u, v) the x/y fractional parts (reference reproject.py:300-320
+        # two-triangle split, rearranged around the bilinear form)
+        u = ix_full - jnp.floor(ix_full)
+        vf = iy_full - jnp.floor(iy_full)
+        s = jnp.minimum(u * vf, (1.0 - u) * (1.0 - vf)).astype(jnp.float32)
+        return pos_v, pos_h, valid, s
 
-    pos_v_dev, pos_h_dev, valid_dev = precompute(
+    pos_v_dev, pos_h_dev, valid_dev, s_dev = precompute(
         jnp.asarray(p.iystar_c), jnp.asarray(p.ix_c), jnp.asarray(p.iy_c)
     )
 
     @jax.jit
-    def kernel(src, pos_v, pos_h, valid, bv, bh):
-        # vertical pass: (out_h, src_w)
+    def kernel(src, pos_v, pos_h, valid, bv, bh, s):
+        # vertical pass: (out_h, src_w).  For triangular a second
+        # accumulator carries the vertical (1, -1) difference through the
+        # SAME taps; the horizontal pass turns it into the quad's mixed
+        # second difference Delta = v00 - v01 - v10 + v11, and
+        # out = bilinear - s * Delta reproduces the reference's
+        # two-triangle interpolation exactly (both branches differ from
+        # bilinear by that rank-one term).
         v_tiles = []
+        vd_tiles = []
         for t in range(n_col_tiles):
             c0 = t * p.col_tile
             c1 = min((t + 1) * p.col_tile, p.src_w)
@@ -627,12 +653,19 @@ def make_srw_fn(plan: SRWPlan, interp_method: str = "bilinear", fill_value=np.na
             base_t = bv[:, t]
             tile_src = src[..., c0:c1]
             acc = jnp.zeros(src.shape[:-2] + (p.out_h, c1 - c0), dtype=jnp.float32)
+            acc_d = acc
             for d in range(p.d_v):
                 idx = jnp.clip(base_t + d, 0, p.src_h - 1)
-                w = weight(pos, (base_t + d)[:, None].astype(jnp.float32))
-                acc = acc + w * jnp.take(tile_src, idx, axis=-2)
+                k = (base_t + d)[:, None].astype(jnp.float32)
+                taken = jnp.take(tile_src, idx, axis=-2)
+                acc = acc + weight(pos, k) * taken
+                if tri:
+                    acc_d = acc_d + dweight(pos, k) * taken
             v_tiles.append(acc)
+            if tri:
+                vd_tiles.append(acc_d)
         v = jnp.concatenate(v_tiles, axis=-1)
+        vd = jnp.concatenate(vd_tiles, axis=-1) if tri else None
 
         # horizontal pass: (out_h, out_w)
         out_tiles = []
@@ -642,11 +675,19 @@ def make_srw_fn(plan: SRWPlan, interp_method: str = "bilinear", fill_value=np.na
             pos = pos_h[r0:r1, :]
             base_t = bh[t]
             tile_v = v[..., r0:r1, :]
+            tile_vd = vd[..., r0:r1, :] if tri else None
             acc = jnp.zeros(src.shape[:-2] + (r1 - r0, p.out_w), dtype=jnp.float32)
+            acc_d = acc
             for d in range(p.d_h):
                 idx = jnp.clip(base_t + d, 0, p.src_w - 1)
-                w = weight(pos, (base_t + d)[None, :].astype(jnp.float32))
-                acc = acc + w * jnp.take(tile_v, idx, axis=-1)
+                k = (base_t + d)[None, :].astype(jnp.float32)
+                acc = acc + weight(pos, k) * jnp.take(tile_v, idx, axis=-1)
+                if tri:
+                    acc_d = acc_d + dweight(pos, k) * jnp.take(
+                        tile_vd, idx, axis=-1
+                    )
+            if tri:
+                acc = acc - s[r0:r1, :] * acc_d
             out_tiles.append(acc)
         out = jnp.concatenate(out_tiles, axis=-2)
 
@@ -654,7 +695,9 @@ def make_srw_fn(plan: SRWPlan, interp_method: str = "bilinear", fill_value=np.na
         return jnp.where(valid, out, fill)
 
     def fn(src):
-        return kernel(src, pos_v_dev, pos_h_dev, valid_dev, base_v, base_h)
+        return kernel(
+            src, pos_v_dev, pos_h_dev, valid_dev, base_v, base_h, s_dev
+        )
 
     import os
 
@@ -726,8 +769,11 @@ def make_srw_fn_batched(
     import jax
     import jax.numpy as jnp
 
-    if interp_method not in ("bilinear", "nearest"):
-        raise ValueError("SRW supports 'bilinear' and 'nearest' only")
+    if interp_method not in ("bilinear", "nearest", "triangular"):
+        raise ValueError(
+            "SRW supports 'bilinear', 'nearest' and 'triangular' only"
+        )
+    tri = interp_method == "triangular"
 
     p = plan
     iystar_c = jnp.asarray(p.iystar_c)
@@ -744,9 +790,17 @@ def make_srw_fn_batched(
     out_h_pad = n_row_tiles * p.row_tile
 
     def weight(pos, k):
-        if interp_method == "bilinear":
-            return jnp.maximum(0.0, 1.0 - jnp.abs(pos - k))
-        return (jnp.round(pos) == k).astype(jnp.float32)
+        if interp_method == "nearest":
+            return (jnp.round(pos) == k).astype(jnp.float32)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(pos - k))
+
+    def dweight(pos, k):
+        # (1, -1) mixed-difference taps of the triangular correction
+        # (see make_srw_fn's kernel note)
+        f = jnp.floor(pos)
+        return (f == k).astype(jnp.float32) - (f + 1.0 == k).astype(
+            jnp.float32
+        )
 
     # geometry-static position fields and validity mask, materialized once
     # at build time in the layouts the tap loops consume
@@ -769,17 +823,27 @@ def make_srw_fn_batched(
             & (iy_full > -0.5)
             & (iy_full < p.src_h - 0.5)
         )
+        if tri:
+            u = pos_h - jnp.floor(pos_h)
+            vf = iy_full - jnp.floor(iy_full)
+            s = jnp.minimum(
+                u * vf, (1.0 - u) * (1.0 - vf)
+            ).astype(jnp.float32)
+        else:
+            s = jnp.zeros((), jnp.float32)
         if out_h_pad > p.out_h:
             pos_h = jnp.pad(pos_h, ((0, out_h_pad - p.out_h), (0, 0)))
         pos_ht = jnp.swapaxes(
             pos_h.reshape(n_row_tiles, p.row_tile, p.out_w), -1, -2
         )
-        return pos_t, pos_ht, valid
+        return pos_t, pos_ht, valid, s
 
-    pos_t_dev, pos_ht_dev, valid_dev = precompute(iystar_c, ix_c, iy_c)
+    pos_t_dev, pos_ht_dev, valid_dev, s_dev = precompute(
+        iystar_c, ix_c, iy_c
+    )
 
     @jax.jit
-    def kernel(src, pos_t, pos_ht, valid, bv, bh):
+    def kernel(src, pos_t, pos_ht, valid, bv, bh, s):
         batch = src.shape[:-2]
 
         src2 = src.astype(jnp.float32)
@@ -792,54 +856,74 @@ def make_srw_fn_batched(
         acc = jnp.zeros(
             (n_col_tiles,) + batch + (p.out_h, p.col_tile), jnp.float32
         )
+        acc_d = acc
         bvt = jnp.moveaxis(bv, -1, 0)  # (T, out_h)
         for d in range(p.d_v):
             idx = jnp.clip(bvt + d, 0, p.src_h - 1)
-            w = weight(pos_t, (bvt + d)[..., None].astype(jnp.float32))
+            k = (bvt + d)[..., None].astype(jnp.float32)
             idx_b = idx.reshape(
                 (n_col_tiles,) + (1,) * len(batch) + (p.out_h, 1)
             )
             taken = jnp.take_along_axis(src_t, idx_b, axis=-2)
-            acc = acc + w.reshape(
+            acc = acc + weight(pos_t, k).reshape(
                 (n_col_tiles,) + (1,) * len(batch) + (p.out_h, p.col_tile)
             ) * taken
-        v = jnp.moveaxis(acc, 0, -2).reshape(
-            batch + (p.out_h, src_w_pad)
-        )[..., : p.src_w]
+            if tri:
+                acc_d = acc_d + dweight(pos_t, k).reshape(
+                    (n_col_tiles,) + (1,) * len(batch)
+                    + (p.out_h, p.col_tile)
+                ) * taken
 
-        v2 = v
-        if out_h_pad > p.out_h:
-            pad = out_h_pad - p.out_h
-            v2 = jnp.pad(v2, [(0, 0)] * (v2.ndim - 2) + [(0, pad), (0, 0)])
-        v_t = jnp.swapaxes(
-            jnp.moveaxis(
-                v2.reshape(batch + (n_row_tiles, p.row_tile, p.src_w)), -3, 0
-            ),
-            -1,
-            -2,
-        )  # (T, ..., src_w, row_tile)
-        out_acc = jnp.zeros(
-            (n_row_tiles,) + batch + (p.out_w, p.row_tile), jnp.float32
-        )
-        for d in range(p.d_h):
-            idx = jnp.clip(bh + d, 0, p.src_w - 1)
-            w = weight(pos_ht, (bh + d)[:, :, None].astype(jnp.float32))
-            idx_b = idx.reshape(
-                (n_row_tiles,) + (1,) * len(batch) + (p.out_w, 1)
+        def _h_pass(acc_v, wfun):
+            v = jnp.moveaxis(acc_v, 0, -2).reshape(
+                batch + (p.out_h, src_w_pad)
+            )[..., : p.src_w]
+            v2 = v
+            if out_h_pad > p.out_h:
+                pad = out_h_pad - p.out_h
+                v2 = jnp.pad(
+                    v2, [(0, 0)] * (v2.ndim - 2) + [(0, pad), (0, 0)]
+                )
+            v_t = jnp.swapaxes(
+                jnp.moveaxis(
+                    v2.reshape(
+                        batch + (n_row_tiles, p.row_tile, p.src_w)
+                    ),
+                    -3,
+                    0,
+                ),
+                -1,
+                -2,
+            )  # (T, ..., src_w, row_tile)
+            out_acc = jnp.zeros(
+                (n_row_tiles,) + batch + (p.out_w, p.row_tile), jnp.float32
             )
-            taken = jnp.take_along_axis(v_t, idx_b, axis=-2)
-            out_acc = out_acc + w.reshape(
-                (n_row_tiles,) + (1,) * len(batch) + (p.out_w, p.row_tile)
-            ) * taken
-        out = jnp.moveaxis(jnp.swapaxes(out_acc, -1, -2), 0, -3).reshape(
-            batch + (out_h_pad, p.out_w)
-        )[..., : p.out_h, :]
+            for d in range(p.d_h):
+                idx = jnp.clip(bh + d, 0, p.src_w - 1)
+                w = wfun(pos_ht, (bh + d)[:, :, None].astype(jnp.float32))
+                idx_b = idx.reshape(
+                    (n_row_tiles,) + (1,) * len(batch) + (p.out_w, 1)
+                )
+                taken = jnp.take_along_axis(v_t, idx_b, axis=-2)
+                out_acc = out_acc + w.reshape(
+                    (n_row_tiles,) + (1,) * len(batch)
+                    + (p.out_w, p.row_tile)
+                ) * taken
+            return jnp.moveaxis(
+                jnp.swapaxes(out_acc, -1, -2), 0, -3
+            ).reshape(batch + (out_h_pad, p.out_w))[..., : p.out_h, :]
+
+        out = _h_pass(acc, weight)
+        if tri:
+            out = out - s * _h_pass(acc_d, dweight)
 
         fill = jnp.asarray(fill_value, dtype=out.dtype)
         return jnp.where(valid, out, fill)
 
     def fn(src):
-        return kernel(src, pos_t_dev, pos_ht_dev, valid_dev, base_v, base_h)
+        return kernel(
+            src, pos_t_dev, pos_ht_dev, valid_dev, base_v, base_h, s_dev
+        )
 
     return fn
 
@@ -1488,10 +1572,14 @@ def make_srw_reproject_fn(
     """
     import os
 
-    if interp_method not in ("bilinear", "nearest"):
+    if interp_method not in ("bilinear", "nearest", "triangular"):
         return None
     if os.environ.get("XRTPU_FAST_EXTREME_WARP", "") == "1":
         allow_hybrid = True
+    if interp_method == "triangular":
+        # only the tiled kernels implement the triangular correction term;
+        # severe warps fall through to the exact ESW tier
+        allow_hybrid = False
     fields = _coarse_geometry(source_gm, target_gm, step)
 
     # crop the source to the window the target actually taps: the vertical
@@ -1540,8 +1628,12 @@ def make_srw_reproject_fn(
     if not allow_hybrid and _twopass_slope(fields) > 0.2:
         return None
     tiled = plan_srw(source_gm, target_gm, step=step, fields=fields, **plan_kwargs)
-    aligned = plan_srw_aligned(
-        source_gm, target_gm, step=step, fields=fields, max_taps=24
+    aligned = (
+        plan_srw_aligned(
+            source_gm, target_gm, step=step, fields=fields, max_taps=24
+        )
+        if interp_method != "triangular"
+        else None
     )
     hybrid = (
         plan_srw_hybrid(
