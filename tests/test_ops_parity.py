@@ -90,6 +90,67 @@ def test_inverse_ij_map_jax_parity():
     np.testing.assert_allclose(dev, ref, rtol=1e-12, equal_nan=True)
 
 
+def test_inverse_ij_map_walk_parity():
+    """The planner-free Newton-walk Phase A must reproduce the host
+    kernel on a clean fold-free swath: identical NaN coverage, identical
+    winners, positions to float64 rounding (same triangle formulas, the
+    walk merely solves in normalized grid units)."""
+    from tests.sampledata import create_olci_like_swath
+
+    from xcube_resampling_tpu.gridmapping import GridMapping
+
+    ds = create_olci_like_swath(width=233, height=307, tile_size=128)
+    gm = GridMapping.from_dataset(ds)
+    tgm = gm.to_regular(tile_size=128)
+    src_xy = np.asarray(gm.xy_coords.data, dtype=np.float64)
+    x_min, _y_min, _x_max, y_max = tgm.xy_bbox
+    args = (
+        src_xy[0], src_xy[1], 0, 0, (tgm.height, tgm.width),
+        x_min, y_max, tgm.x_res, -tgm.y_res, UV_DELTA,
+    )
+
+    walked = rectify_ops.inverse_ij_map_walk(*args)
+    assert isinstance(walked, rectify_ops.DeviceIJMap)
+    wm = walked.as_numpy()
+    host = rectify_ops.inverse_ij_map(*args)
+
+    assert np.array_equal(np.isnan(wm), np.isnan(host))
+    np.testing.assert_allclose(
+        wm, host, rtol=1e-9, atol=1e-9, equal_nan=True
+    )
+
+
+def test_inverse_ij_map_walk_gate_rejections(monkeypatch):
+    """The walk must refuse swaths it cannot serve exactly: folded
+    geometry (mixed quad orientation), NaN coordinates, and the
+    XRTPU_PHASEA_WALK=0 kill switch (the tiered entry then falls to the
+    host-planned stencil kernel)."""
+    src_x, src_y = _swath(6, 7)
+    args = (0, 0, (20, 24), -3.0, 57.0, 0.5, -0.5, UV_DELTA)
+
+    # clean swath: the walk engages and the tiered entry uses it
+    assert rectify_ops.inverse_ij_map_walk(src_x, src_y, *args) is not None
+
+    # fold: flip one interior node far across the swath
+    folded_x = src_x.copy()
+    folded_x[3, 3] = src_x[3, 3] - 8.0
+    assert rectify_ops.inverse_ij_map_walk(folded_x, src_y, *args) is None
+
+    # NaN coordinates
+    nan_x = src_x.copy()
+    nan_x[2, 2] = np.nan
+    assert rectify_ops.inverse_ij_map_walk(nan_x, src_y, *args) is None
+
+    # kill switch: the tiered device entry must not touch the walk
+    monkeypatch.setenv("XRTPU_PHASEA_WALK", "0")
+
+    def _boom(*_a, **_k):
+        raise AssertionError("walk called despite XRTPU_PHASEA_WALK=0")
+
+    monkeypatch.setattr(rectify_ops, "inverse_ij_map_walk", _boom)
+    rectify_ops.inverse_ij_map_device(src_x, src_y, *args)
+
+
 def test_inverse_ij_map_jax_parity_2x2():
     lon = np.array([[1.0, 6.0], [0.0, 2.0]])
     lat = np.array([[56.0, 53.0], [52.0, 50.0]])

@@ -1355,6 +1355,327 @@ class DeviceIJMap:
         return self._np
 
 
+def _walk_gate(gx32: np.ndarray, gy32: np.ndarray, max_edge: float) -> bool:
+    """Host gate for the Newton-walk Phase A: the walk is exact only on
+    clean fold-free swaths — every coordinate finite, every quad's two
+    triangle determinants nonzero with a uniform orientation sign across
+    the image (a sign flip means the swath folds over itself, where the
+    reference's min-rank winner may sit arbitrarily far from the walk's
+    converged quad), and no quad edge longer than ``max_edge`` grid units
+    (antimeridian wraps / degenerate geometries would unbound the walk's
+    step size).  One vectorized float32 pass, ~10 ms on OLCI swaths."""
+    if not (np.isfinite(gx32).all() and np.isfinite(gy32).all()):
+        return False
+    p0x = gx32[:-1, :-1]
+    p1x = gx32[:-1, 1:]
+    p2x = gx32[1:, :-1]
+    p3x = gx32[1:, 1:]
+    p0y = gy32[:-1, :-1]
+    p1y = gy32[:-1, 1:]
+    p2y = gy32[1:, :-1]
+    p3y = gy32[1:, 1:]
+    det_a = (p1x - p0x) * (p2y - p0y) - (p2x - p0x) * (p1y - p0y)
+    if det_a.max() >= 0 and det_a.min() <= 0:
+        return False
+    det_b = (p2x - p3x) * (p1y - p3y) - (p1x - p3x) * (p2y - p3y)
+    if det_b.max() >= 0 and det_b.min() <= 0:
+        return False
+    edge = max(
+        float(np.abs(p1x - p0x).max()),
+        float(np.abs(p2x - p0x).max()),
+        float(np.abs(p1y - p0y).max()),
+        float(np.abs(p2y - p0y).max()),
+    )
+    return edge <= max_edge
+
+
+_WALK_JIT: dict = {}
+
+
+def _build_walk_kernel(
+    src_shape, dst_shape, dtype, uv_delta,
+    coarse_stride, coarse_iters, fine_iters,
+):
+    """Compile the multigrid Newton-walk Phase A (see
+    :func:`inverse_ij_map_walk`)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    src_h, src_w = src_shape
+    dst_h, dst_w = dst_shape
+    nqj, nqi = src_h - 1, src_w - 1
+    w_row = src_w
+    ft = dtype
+    u_min = -uv_delta
+    uv_max = 1.0 + 2 * uv_delta
+    inf = jnp.iinfo(jnp.int32).max
+
+    def tri_solve(gxf, gyf, qj, qi, px, py):
+        """Both triangle systems of quad (qj, qi) — the exact formulas of
+        the tiled kernel / host loop (reference rectify.py:530-573)."""
+        idx0 = qj * w_row + qi
+        p0x = jnp.take(gxf, idx0)
+        p1x = jnp.take(gxf, idx0 + 1)
+        p2x = jnp.take(gxf, idx0 + w_row)
+        p3x = jnp.take(gxf, idx0 + w_row + 1)
+        p0y = jnp.take(gyf, idx0)
+        p1y = jnp.take(gyf, idx0 + 1)
+        p2y = jnp.take(gyf, idx0 + w_row)
+        p3y = jnp.take(gyf, idx0 + w_row + 1)
+        det_a = jnp.nan_to_num(_fdet(p0x, p0y, p1x, p1y, p2x, p2y), nan=0.0)
+        det_b = jnp.nan_to_num(_fdet(p3x, p3y, p2x, p2y, p1x, p1y), nan=0.0)
+        safe_a = jnp.where(det_a == 0.0, 1.0, det_a)
+        safe_b = jnp.where(det_b == 0.0, 1.0, det_b)
+        ua = _fu(px, py, p0x, p0y, p2x, p2y) / safe_a
+        va = _fv(px, py, p0x, p0y, p1x, p1y) / safe_a
+        ub = _fu(px, py, p3x, p3y, p1x, p1y) / safe_b
+        vb = _fv(px, py, p3x, p3y, p2x, p2y) / safe_b
+        return det_a, ua, va, det_b, ub, vb
+
+    def walk_steps(gxf, gyf, qj, qi, px, py, n_iters):
+        """Fixed-count quad walk: each step solves the current quad's
+        triangle-A affine extension and jumps floor(u), floor(v) quads —
+        Newton's method on the piecewise-affine inverse, converging
+        geometrically on fold-free swaths."""
+
+        def body(_, carry):
+            qj, qi = carry
+            det_a, ua, va, det_b, ub, vb = tri_solve(
+                gxf, gyf, qj, qi, px, py
+            )
+            di_a = jnp.floor(ua)
+            dj_a = jnp.floor(va)
+            # triangle A degenerate: the B system spans the same quad
+            # from the far corner (offsets flip)
+            di = jnp.where(det_a != 0.0, di_a, jnp.floor(1.0 - ub))
+            dj = jnp.where(det_a != 0.0, dj_a, jnp.floor(1.0 - vb))
+            di = jnp.nan_to_num(di, nan=0.0, posinf=0.0, neginf=0.0)
+            dj = jnp.nan_to_num(dj, nan=0.0, posinf=0.0, neginf=0.0)
+            qi = jnp.clip(qi + di.astype(jnp.int32), 0, nqi - 1)
+            qj = jnp.clip(qj + dj.astype(jnp.int32), 0, nqj - 1)
+            return qj, qi
+
+        return lax.fori_loop(0, n_iters, body, (qj, qi))
+
+    @jax.jit
+    def walk(gx, gy):
+        gxf = gx.reshape(-1)
+        gyf = gy.reshape(-1)
+
+        # global affine seed: least-squares fit (i, j) ~ linear(gx, gy)
+        # over the swath nodes, centered for conditioning.  2x2 closed
+        # form per component; degenerate fits fall back to the centre.
+        n = src_h * src_w
+        ii = jnp.tile(jnp.arange(src_w, dtype=ft), src_h)
+        jj = jnp.repeat(jnp.arange(src_h, dtype=ft), src_w)
+        xm = jnp.mean(gxf)
+        ym = jnp.mean(gyf)
+        im = (src_w - 1) / 2.0
+        jm = (src_h - 1) / 2.0
+        xc = gxf - xm
+        yc = gyf - ym
+        sxx = jnp.dot(xc, xc) / n
+        sxy = jnp.dot(xc, yc) / n
+        syy = jnp.dot(yc, yc) / n
+        det_m = sxx * syy - sxy * sxy
+        det_m = jnp.where(jnp.abs(det_m) < 1e-30, 1e-30, det_m)
+        rix = jnp.dot(xc, ii - im) / n
+        riy = jnp.dot(yc, ii - im) / n
+        rjx = jnp.dot(xc, jj - jm) / n
+        rjy = jnp.dot(yc, jj - jm) / n
+        ai = (rix * syy - riy * sxy) / det_m
+        bi = (riy * sxx - rix * sxy) / det_m
+        aj = (rjx * syy - rjy * sxy) / det_m
+        bj = (rjy * sxx - rjx * sxy) / det_m
+
+        # coarse level: one sample per (stride x stride) destination block
+        ch = -(-dst_h // coarse_stride)
+        cw = -(-dst_w // coarse_stride)
+        pxc = (
+            jnp.arange(cw, dtype=ft)[None, :] * coarse_stride
+            + ft(0.5)
+        )
+        pyc = (
+            jnp.arange(ch, dtype=ft)[:, None] * coarse_stride
+            + ft(0.5)
+        )
+        pxc = jnp.broadcast_to(pxc, (ch, cw))
+        pyc = jnp.broadcast_to(pyc, (ch, cw))
+        qi0 = jnp.clip(
+            jnp.nan_to_num(
+                im + ai * (pxc - xm) + bi * (pyc - ym), nan=im
+            ).astype(jnp.int32),
+            0,
+            nqi - 1,
+        )
+        qj0 = jnp.clip(
+            jnp.nan_to_num(
+                jm + aj * (pxc - xm) + bj * (pyc - ym), nan=jm
+            ).astype(jnp.int32),
+            0,
+            nqj - 1,
+        )
+        qj_c, qi_c = walk_steps(gxf, gyf, qj0, qi0, pxc, pyc, coarse_iters)
+
+        # fine level: nearest upsample of the coarse quad guesses
+        qj_f = jnp.repeat(
+            jnp.repeat(qj_c, coarse_stride, axis=0), coarse_stride, axis=1
+        )[:dst_h, :dst_w]
+        qi_f = jnp.repeat(
+            jnp.repeat(qi_c, coarse_stride, axis=0), coarse_stride, axis=1
+        )[:dst_h, :dst_w]
+        px = jnp.broadcast_to(
+            jnp.arange(dst_w, dtype=ft)[None, :] + ft(0.5),
+            (dst_h, dst_w),
+        )
+        py = jnp.broadcast_to(
+            jnp.arange(dst_h, dtype=ft)[:, None] + ft(0.5),
+            (dst_h, dst_w),
+        )
+        qj, qi = walk_steps(gxf, gyf, qj_f, qi_f, px, py, fine_iters)
+
+        # acceptance + payload: min-rank select over the 3x3 quad
+        # neighbourhood of the converged guess — reproduces the host
+        # kernel's first-writer-wins (row-major quad rank) order, since a
+        # fold-free point is contained (within uv_delta) only by quads
+        # adjacent to its true quad
+        best_rank = jnp.full((dst_h, dst_w), inf, dtype=jnp.int32)
+        out_i = jnp.full((dst_h, dst_w), jnp.nan, dtype=ft)
+        out_j = jnp.full((dst_h, dst_w), jnp.nan, dtype=ft)
+        for dj in (-1, 0, 1):
+            for di in (-1, 0, 1):
+                cj = jnp.clip(qj + dj, 0, nqj - 1)
+                ci = jnp.clip(qi + di, 0, nqi - 1)
+                det_a, ua, va, det_b, ub, vb = tri_solve(
+                    gxf, gyf, cj, ci, px, py
+                )
+                ok_a = (
+                    (det_a != 0.0) & (ua >= u_min) & (va >= u_min)
+                    & (ua + va <= uv_max)
+                )
+                ok_b = (
+                    (det_b != 0.0) & (ub >= u_min) & (vb >= u_min)
+                    & (ub + vb <= uv_max)
+                )
+                ok = ok_a | ok_b
+                rank = cj * nqi + ci
+                gi = ci.astype(ft)
+                gj = cj.astype(ft)
+                src_if = jnp.where(
+                    ok_a,
+                    gi + jnp.clip(ua, 0.0, 1.0),
+                    (gi + 1) - jnp.clip(ub, 0.0, 1.0),
+                )
+                src_jf = jnp.where(
+                    ok_a,
+                    gj + jnp.clip(va, 0.0, 1.0),
+                    (gj + 1) - jnp.clip(vb, 0.0, 1.0),
+                )
+                better = ok & (rank < best_rank)
+                best_rank = jnp.where(better, rank, best_rank)
+                out_i = jnp.where(better, src_if, out_i)
+                out_j = jnp.where(better, src_jf, out_j)
+        return jnp.stack([out_i, out_j])
+
+    return walk
+
+
+def inverse_ij_map_walk(
+    src_x: np.ndarray,
+    src_y: np.ndarray,
+    src_i_min: int,
+    src_j_min: int,
+    dst_shape: tuple[int, int],
+    dst_x_offset: float,
+    dst_y_offset: float,
+    dst_x_scale: float,
+    dst_y_scale: float,
+    uv_delta: float,
+    coarse_stride: int = 8,
+    coarse_iters: int = 24,
+    fine_iters: int = 4,
+) -> "DeviceIJMap | None":
+    """Newton-walk device Phase A: a planner-free inverse map.
+
+    Instead of host-planned per-tile candidate windows (the tiled stencil
+    kernel's O(pixels x window-quads) broadcast), every destination pixel
+    *walks* the source quad lattice: a global affine seed, a strided
+    coarse walk, a full-resolution refinement, then an exact 3x3 min-rank
+    acceptance — pure gathers + element-wise math, no scatter, no host
+    planning beyond coordinate normalization and the fold-free gate.
+    Matches the host kernel bit-for-bit in float64 (same triangle
+    formulas, same row-major-rank winner; reference
+    /root/reference/xcube_resampling/rectify.py:458-576) on swaths that
+    pass :func:`_walk_gate`; returns None otherwise so callers fall back
+    to the tiled-stencil or host tiers.  The compiled kernel depends only
+    on the array shapes, so repeated geometries of one product family
+    reuse both the jit cache and the persistent compile cache."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..profiling import GLOBAL_TIMER as _T
+
+    dst_h, dst_w = dst_shape
+    src_h, src_w = src_x.shape
+    if src_h < 2 or src_w < 2 or dst_h < 1 or dst_w < 1:
+        return None
+
+    with _T("phase_a.walk.normalize"):
+        sx = np.asarray(src_x, dtype=np.float64)
+        sy = np.asarray(src_y, dtype=np.float64)
+        gx = _scratch("gx", sx.shape, np.float64)
+        gy = _scratch("gy", sy.shape, np.float64)
+        np.subtract(sx, dst_x_offset, out=gx)
+        gx /= dst_x_scale
+        np.subtract(sy, dst_y_offset, out=gy)
+        gy /= dst_y_scale
+
+    with _T("phase_a.walk.gate"):
+        gx32 = _scratch("gx32", gx.shape, np.float32)
+        gy32 = _scratch("gy32", gy.shape, np.float32)
+        gx32[:] = gx
+        gy32[:] = gy
+        if not _walk_gate(
+            gx32, gy32, max_edge=float(max(dst_h, dst_w))
+        ):
+            return None
+
+    if jax.config.read("jax_enable_x64") and jax.default_backend() == "cpu":
+        dt = jnp.float64
+        np_dt = np.float64
+    else:
+        dt = jnp.float32
+        np_dt = np.float32
+
+    key = (
+        (src_h, src_w), (dst_h, dst_w), np.dtype(np_dt).str,
+        float(uv_delta), coarse_stride, coarse_iters, fine_iters,
+    )
+    walk = _WALK_JIT.get(key)
+    if walk is None:
+        walk = _build_walk_kernel(
+            (src_h, src_w), (dst_h, dst_w), dt, float(uv_delta),
+            coarse_stride, coarse_iters, fine_iters,
+        )
+        _WALK_JIT[key] = walk
+
+    with _T("phase_a.walk.stage"):
+        gx_d = jnp.asarray(gx, dtype=dt)
+        gy_d = jnp.asarray(gy, dtype=dt)
+    with _T("phase_a.walk.dispatch"):
+        out_d = walk(gx_d, gy_d)
+
+    shim = PhaseAPlan(
+        dst_h=dst_h,
+        dst_w=dst_w,
+        src_i_min=src_i_min,
+        src_j_min=src_j_min,
+        dtype=dt,
+    )
+    return DeviceIJMap(shim, out_d)
+
+
 def inverse_ij_map_device(
     src_x: np.ndarray,
     src_y: np.ndarray,
@@ -1370,12 +1691,23 @@ def inverse_ij_map_device(
     max_win: int = 48,
 ) -> "DeviceIJMap | np.ndarray | None":
     """Whole-image device Phase A: the production TPU tier of
-    :func:`inverse_ij_map` (plan on host via :func:`plan_phase_a_device`,
-    run the tiled stencil kernel on device, keep the map device-resident).
+    :func:`inverse_ij_map`.
 
-    Returns a :class:`DeviceIJMap` (or a ready numpy map for degenerate
+    Tier order: the planner-free Newton walk
+    (:func:`inverse_ij_map_walk`) on clean fold-free swaths
+    (``XRTPU_PHASEA_WALK=0`` disables), then the host-planned tiled
+    stencil kernel (:func:`plan_phase_a_device`).  Returns a
+    :class:`DeviceIJMap` (or a ready numpy map for degenerate
     geometries), or None when the geometry is outside the device
     envelope; callers fall back to the tiled host path."""
+    if os.environ.get("XRTPU_PHASEA_WALK", "") != "0":
+        walked = inverse_ij_map_walk(
+            src_x, src_y, src_i_min, src_j_min, dst_shape,
+            dst_x_offset, dst_y_offset, dst_x_scale, dst_y_scale,
+            uv_delta,
+        )
+        if walked is not None:
+            return walked
     plan = plan_phase_a_device(
         src_x, src_y, src_i_min, src_j_min, dst_shape,
         dst_x_offset, dst_y_offset, dst_x_scale, dst_y_scale,
