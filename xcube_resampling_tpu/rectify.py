@@ -12,10 +12,14 @@ via its dask tests, test_rectify.py:295-388).
 
 Engine tiers, selected in :func:`_inverse_ij_map`:
 
-1. **device** — the whole Phase-A map in one XLA kernel on the
-   accelerator (``XRTPU_PHASEA=device`` forces, ``auto`` uses it when a
-   non-CPU backend is present);
-2. **host tiles** — per-destination-tile source windows from the bbox
+1. **device walk** — the planner-free Newton quad-walk
+   (:func:`.ops.rectify_ops.inverse_ij_map_walk`): pure gathers, no
+   host planning, engaged on clean fold-free swaths
+   (``XRTPU_PHASEA_WALK=0`` disables);
+2. **device stencil** — the host-planned tiled stencil kernel
+   (``XRTPU_PHASEA=device`` forces the device tiers, ``auto`` uses
+   them when a non-CPU backend is present);
+3. **host tiles** — per-destination-tile source windows from the bbox
    scan, each tile through the multithreaded C++ / vectorized numpy
    kernel.
 """
