@@ -193,6 +193,43 @@ def test_sharded_srw_matches_single_chip_srw():
     np.testing.assert_allclose(sharded[valid], single[valid], atol=1e-6)
 
 
+def test_sharded_srw_triangular_matches_single_chip():
+    """Triangular (bilinear - s*Delta) on the sharded SRW step must match
+    the single-chip triangular SRW kernel band-for-band."""
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs multiple devices")
+    from xcube_resampling_tpu.ops.srw import make_srw_fn, plan_srw
+    from xcube_resampling_tpu.parallel import make_sharded_srw_step
+
+    source_gm, data, target_gm = _source_case()
+    rng = np.random.default_rng(7)
+    data = (
+        rng.normal(size=data.shape).astype(np.float32).cumsum(0).cumsum(1)
+        / 40.0
+    )
+    plan = plan_srw(source_gm, target_gm)
+    assert plan is not None
+    single = np.asarray(
+        make_srw_fn(plan, "triangular", np.nan)(jnp.asarray(data))
+    )
+
+    mesh = make_mesh(("bands",))
+    built = make_sharded_srw_step(
+        mesh, source_gm, target_gm, interp_method="triangular"
+    )
+    assert built is not None
+    step_fn, (src_pad_h, out_h) = built
+    src = jnp.asarray(data)
+    if src_pad_h:
+        src = jnp.pad(src, ((0, src_pad_h), (0, 0)), constant_values=np.nan)
+    sharded = np.asarray(step_fn(src))[:out_h]
+
+    np.testing.assert_array_equal(np.isnan(sharded), np.isnan(single))
+    valid = ~np.isnan(single)
+    np.testing.assert_allclose(sharded[valid], single[valid], atol=1e-5)
+
+
 def test_sharded_srw_nearest_and_batched():
     n_dev = len(jax.devices())
     if n_dev < 2:

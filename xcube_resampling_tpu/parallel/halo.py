@@ -259,8 +259,9 @@ def make_sharded_srw_step(
     from jax import lax
     from jax.sharding import PartitionSpec as P
 
-    if interp_method not in ("bilinear", "nearest"):
+    if interp_method not in ("bilinear", "nearest", "triangular"):
         return None
+    tri = interp_method == "triangular"
     n = mesh.shape[axis_name]
     fields = _coarse_geometry(source_gm, target_gm, step)
     if fields is None:
@@ -376,16 +377,38 @@ def make_sharded_srw_step(
             & (iy_full > -0.5)
             & (iy_full < src_h - 0.5)
         )
-        return pos_v, pos_h, valid
+        if not tri:
+            return pos_v, pos_h, valid
+        # triangular = bilinear - s * Delta (see ops/srw.py make_srw_fn)
+        u = pos_h - jnp.floor(pos_h)
+        vf = iy_full - jnp.floor(iy_full)
+        s = jnp.minimum(u * vf, (1.0 - u) * (1.0 - vf)).astype(jnp.float32)
+        return pos_v, pos_h, valid, s
 
-    pos_v_dev, pos_h_dev, valid_dev = _precompute(iystar_c, ix_c, iy_c)
+    s_dev = None
+    if tri:
+        pos_v_dev, pos_h_dev, valid_dev, s_dev = _precompute(
+            iystar_c, ix_c, iy_c
+        )
+    else:
+        pos_v_dev, pos_h_dev, valid_dev = _precompute(iystar_c, ix_c, iy_c)
 
     def weight(pos, k):
-        if interp_method == "bilinear":
-            return jnp.maximum(0.0, 1.0 - jnp.abs(pos - k))
-        return (jnp.round(pos) == k).astype(jnp.float32)
+        if interp_method == "nearest":
+            return (jnp.round(pos) == k).astype(jnp.float32)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(pos - k))
 
-    def band_step(src_band, pos_v_band, pos_h_band, valid_band, bv_band, bh_band):
+    def dweight(pos, k):
+        f = jnp.floor(pos)
+        return (f == k).astype(jnp.float32) - (f + 1.0 == k).astype(
+            jnp.float32
+        )
+
+    def band_step(
+        src_band, pos_v_band, pos_h_band, valid_band, bv_band, bh_band,
+        *s_args,
+    ):
+        s_band = s_args[0] if tri else None
         idx = lax.axis_index(axis_name)
         if use_halo:
             ext = _exchange_halo(
@@ -397,8 +420,10 @@ def make_sharded_srw_step(
         # rows are zero-filled by ppermute and never tapped)
         off = idx * band_h - (halo if use_halo else 0)
 
-        # vertical pass: (out_band_h, src_w), per column tile
+        # vertical pass: (out_band_h, src_w), per column tile; triangular
+        # carries the (1, -1) difference through the same taps
         v_tiles = []
+        vd_tiles = []
         for t in range(n_col_tiles):
             c0 = t * col_tile
             c1 = min((t + 1) * col_tile, src_w)
@@ -408,12 +433,19 @@ def make_sharded_srw_step(
             acc = jnp.zeros(
                 src_band.shape[:-2] + (out_band_h, c1 - c0), dtype=jnp.float32
             )
+            acc_d = acc
             for d in range(d_v):
                 idx_g = jnp.clip(base_t + d, 0, src_h - 1)
-                w = weight(pos, (base_t + d)[:, None].astype(jnp.float32))
-                acc = acc + w * jnp.take(tile_src, idx_g - off, axis=-2)
+                k = (base_t + d)[:, None].astype(jnp.float32)
+                taken = jnp.take(tile_src, idx_g - off, axis=-2)
+                acc = acc + weight(pos, k) * taken
+                if tri:
+                    acc_d = acc_d + dweight(pos, k) * taken
             v_tiles.append(acc)
+            if tri:
+                vd_tiles.append(acc_d)
         v = jnp.concatenate(v_tiles, axis=-1)
+        vd = jnp.concatenate(vd_tiles, axis=-1) if tri else None
 
         # horizontal pass: row-local, per in-band row tile; the final
         # (overlapping) tile contributes only its uncovered tail rows
@@ -422,13 +454,21 @@ def make_sharded_srw_step(
             pos = pos_h_band[s0 : s0 + row_tile]
             base_t = bh_band[t]
             tile_v = v[..., s0 : s0 + row_tile, :]
+            tile_vd = vd[..., s0 : s0 + row_tile, :] if tri else None
             acc = jnp.zeros(
                 src_band.shape[:-2] + (row_tile, out_w), dtype=jnp.float32
             )
+            acc_d = acc
             for d in range(d_h):
                 idx2 = jnp.clip(base_t + d, 0, src_w - 1)
-                w = weight(pos, (base_t + d)[None, :].astype(jnp.float32))
-                acc = acc + w * jnp.take(tile_v, idx2, axis=-1)
+                k = (base_t + d)[None, :].astype(jnp.float32)
+                acc = acc + weight(pos, k) * jnp.take(tile_v, idx2, axis=-1)
+                if tri:
+                    acc_d = acc_d + dweight(pos, k) * jnp.take(
+                        tile_vd, idx2, axis=-1
+                    )
+            if tri:
+                acc = acc - s_band[s0 : s0 + row_tile] * acc_d
             if t == tiles_per_band - 1 and tiles_per_band > 1:
                 keep = out_band_h - (tiles_per_band - 1) * row_tile
                 acc = acc[..., row_tile - keep :, :]
@@ -442,22 +482,29 @@ def make_sharded_srw_step(
 
     batch_spec = [None] * src_batch_dims
     shard_map = _shard_map()
+    in_specs = (
+        P(*batch_spec, axis_name, None),
+        P(axis_name, None),
+        P(axis_name, None),
+        P(axis_name, None),
+        P(axis_name, None),
+        P(axis_name, None),
+    )
+    if tri:
+        in_specs = in_specs + (P(axis_name, None),)
     mapped = shard_map(
         band_step,
         mesh=mesh,
-        in_specs=(
-            P(*batch_spec, axis_name, None),
-            P(axis_name, None),
-            P(axis_name, None),
-            P(axis_name, None),
-            P(axis_name, None),
-            P(axis_name, None),
-        ),
+        in_specs=in_specs,
         out_specs=P(*batch_spec, axis_name, None),
     )
     jitted = jax.jit(mapped)
 
     def step_fn(src):
+        if tri:
+            return jitted(
+                src, pos_v_dev, pos_h_dev, valid_dev, bv_j, bh_j, s_dev
+            )
         return jitted(src, pos_v_dev, pos_h_dev, valid_dev, bv_j, bh_j)
 
     return step_fn, (src_pad_h, out_h)
