@@ -984,10 +984,12 @@ def make_esw_region_fn(
     def _win_or_full(win):
         return win if win is not None else (0, src_h_g, 0, src_w_g)
 
+    # group by piece shape only; n_samples is forced to the group max so
+    # members share one kernel (fewer compiled programs and dispatches —
+    # each program is a separate round trip through the remote service)
     groups: dict = {}
     for desc in esw_desc:
-        p = desc[6]
-        key = (desc[1] - desc[0], desc[3] - desc[2], p.n_samples)
+        key = (desc[1] - desc[0], desc[3] - desc[2])
         groups.setdefault(key, []).append(desc)
 
     def _demote_to_gather(desc):
@@ -995,7 +997,8 @@ def make_esw_region_fn(
         ixs, iys = _slice_raw(ix_r, iy_r, step, r0, r1, c0, c1)
         gather_desc.append((r0, r1, c0, c1, ixs, iys))
 
-    for (gh, gw, g_S), descs in groups.items():
+    for (gh, gw), descs in groups.items():
+        g_S = max(d[6].n_samples for d in descs)
         force = {
             "n_samples": g_S,
             "col_tile": 128,
@@ -1106,28 +1109,63 @@ def make_esw_region_fn(
         if members:
             vgroups.append((group_cfg, gh, gw, wh, ww, members))
 
-    for r0, r1, c0, c1, ixs, iys in gather_desc:
-        win = None
-        fr = _Fields(ixs, iys, None, step, src_h_g, src_w_g, r1 - r0, c1 - c0)
-        w = _source_window_gm(source_gm, fr, margin=8)
-        if w is not None:
-            _, win = w
-        j_off, i_off = (win[0], win[2]) if win is not None else (0, 0)
-        kernel, statics = make_gather_piece_fn(
-            ixs.astype(np.float32),
-            iys.astype(np.float32),
-            step,
-            r1 - r0,
-            c1 - c0,
-            src_h_g,
-            src_w_g,
-            j_off,
-            i_off,
-            interp_method,
-            fill_value,
-            return_parts=True,
+    # gather pieces: batch same-shaped pieces into one vmapped program
+    # (the quadtree emits many identically-sized singularity-adjacent
+    # leaves — compiling and dispatching each separately costs a remote
+    # round trip apiece); singletons keep the baked-offset kernel
+    ggroups: dict = {}
+    for d in gather_desc:
+        ggroups.setdefault((d[1] - d[0], d[3] - d[2]), []).append(d)
+    gather_vgroups = []  # (kernel, gh, gw, wh, ww, members)
+    for (gh, gw), ds_ in ggroups.items():
+        wins = []
+        for r0, r1, c0, c1, ixs, iys in ds_:
+            fr = _Fields(
+                ixs, iys, None, step, src_h_g, src_w_g, r1 - r0, c1 - c0
+            )
+            w = _source_window_gm(source_gm, fr, margin=8)
+            wins.append(w[1] if w is not None else (0, src_h_g, 0, src_w_g))
+        if len(ds_) == 1:
+            (r0, r1, c0, c1, ixs, iys), w0 = ds_[0], wins[0]
+            win = None if w0 == (0, src_h_g, 0, src_w_g) else w0
+            j_off, i_off = (win[0], win[2]) if win is not None else (0, 0)
+            kernel, statics = make_gather_piece_fn(
+                ixs.astype(np.float32),
+                iys.astype(np.float32),
+                step,
+                r1 - r0,
+                c1 - c0,
+                src_h_g,
+                src_w_g,
+                j_off,
+                i_off,
+                interp_method,
+                fill_value,
+                return_parts=True,
+            )
+            pieces.append((r0, r1, c0, c1, win, kernel, statics))
+            continue
+        from .reproject_ops import make_gather_piece_kernel_dyn
+
+        wh = min(src_h_g, max(w[1] - w[0] for w in wins))
+        ww = min(src_w_g, max(w[3] - w[2] for w in wins))
+        kernel = make_gather_piece_kernel_dyn(
+            step, gh, gw, src_h_g, src_w_g, interp_method, fill_value
         )
-        pieces.append((r0, r1, c0, c1, win, kernel, statics))
+        members = []
+        for (r0, r1, c0, c1, ixs, iys), w0 in zip(ds_, wins):
+            j0 = max(0, min(w0[0], src_h_g - wh))
+            i0 = max(0, min(w0[2], src_w_g - ww))
+            members.append(
+                (
+                    r0, c0, j0, i0,
+                    (
+                        ixs.astype(np.float32),
+                        iys.astype(np.float32),
+                    ),
+                )
+            )
+        gather_vgroups.append((kernel, gh, gw, wh, ww, members))
 
     import jax
     import jax.numpy as jnp
@@ -1185,6 +1223,44 @@ def make_esw_region_fn(
 
         group_fns.append(
             make_group_fn(offs, stacked, starts_rc, piece_kernel, wh, ww)
+        )
+
+    for g_kernel, gh, gw, wh, ww, members in gather_vgroups:
+        ix_st = jnp.stack([jnp.asarray(m[4][0]) for m in members])
+        iy_st = jnp.stack([jnp.asarray(m[4][1]) for m in members])
+        offs = jnp.asarray(
+            [[m[2], m[3]] for m in members], dtype=jnp.int32
+        )
+        starts_rc = [(m[0], m[1]) for m in members]
+
+        def make_gather_group_fn(kernel, offs, ix_st, iy_st, starts_rc, wh, ww):
+            @jax.jit
+            def run(src, out, offs, ix_st, iy_st):
+                def one(off, ixc, iyc):
+                    start = (0,) * (src.ndim - 2) + (off[0], off[1])
+                    win = jax.lax.dynamic_slice(
+                        src, start, src.shape[:-2] + (wh, ww)
+                    )
+                    return kernel(win, ixc, iyc, off[0], off[1])
+
+                out_stack = jax.vmap(one)(offs, ix_st, iy_st)
+                for i, (r0, c0) in enumerate(starts_rc):
+                    out = jax.lax.dynamic_update_slice(
+                        out,
+                        out_stack[i],
+                        (0,) * (out.ndim - 2) + (r0, c0),
+                    )
+                return out
+
+            def group_fn(src, out):
+                return run(src, out, offs, ix_st, iy_st)
+
+            return group_fn
+
+        group_fns.append(
+            make_gather_group_fn(
+                g_kernel, offs, ix_st, iy_st, starts_rc, wh, ww
+            )
         )
 
     set_piece = jax.jit(

@@ -260,3 +260,66 @@ def make_gather_piece_fn(
         return kernel(src, ix_c, iy_c)
 
     return fn
+
+
+def make_gather_piece_kernel_dyn(
+    step: int,
+    out_h: int,
+    out_w: int,
+    src_h_g: int,
+    src_w_g: int,
+    interp_method: str = "bilinear",
+    fill_value: float = np.nan,
+):
+    """Offset-as-argument variant of :func:`make_gather_piece_fn`: the
+    window origin ``(j_off, i_off)`` is a traced int32 pair instead of a
+    baked Python constant, so same-shaped mosaic pieces share ONE
+    compiled kernel and run as one vmapped dispatch (window slicing via
+    per-piece ``dynamic_slice`` happens in the caller).  Same global-
+    index-space arithmetic — bit-identical results."""
+    import jax.numpy as jnp
+
+    nearest = interp_method == "nearest"
+
+    def kernel(src, ix_field, iy_field, j_off, i_off):
+        rows = jnp.arange(out_h, dtype=jnp.float32)[:, None]
+        cols = jnp.arange(out_w, dtype=jnp.float32)[None, :]
+        ix = _interp_field(ix_field, rows, cols, step, jnp)
+        iy = _interp_field(iy_field, rows, cols, step, jnp)
+        valid = (
+            (ix > -0.5) & (ix < src_w_g - 0.5)
+            & (iy > -0.5) & (iy < src_h_g - 0.5)
+        )
+        ix = jnp.clip(ix, 0, src_w_g - 1)
+        iy = jnp.clip(iy, 0, src_h_g - 1)
+        if nearest:
+            jx = jnp.rint(ix).astype(jnp.int32) - i_off
+            jy = jnp.rint(iy).astype(jnp.int32) - j_off
+            vals = src[..., jy, jx]
+        else:
+            x0f = jnp.floor(ix)
+            y0f = jnp.floor(iy)
+            fx = ix - x0f
+            fy = iy - y0f
+            x0g = x0f.astype(jnp.int32)
+            y0g = y0f.astype(jnp.int32)
+            x1 = jnp.clip(x0g + 1, 0, src_w_g - 1) - i_off
+            y1 = jnp.clip(y0g + 1, 0, src_h_g - 1) - j_off
+            x0 = x0g - i_off
+            y0 = y0g - j_off
+            v00 = src[..., y0, x0]
+            v01 = src[..., y0, x1]
+            v10 = src[..., y1, x0]
+            v11 = src[..., y1, x1]
+            if interp_method == "triangular":
+                near = v00 + fx * (v01 - v00) + fy * (v10 - v00)
+                far = v11 + (1.0 - fx) * (v10 - v11) + (1.0 - fy) * (v01 - v11)
+                vals = jnp.where(fx + fy < 1.0, near, far)
+            else:
+                vu0 = v00 + fx * (v01 - v00)
+                vu1 = v10 + fx * (v11 - v10)
+                vals = vu0 + fy * (vu1 - vu0)
+        fill = jnp.asarray(fill_value, dtype=vals.dtype)
+        return jnp.where(valid, vals, fill)
+
+    return kernel
