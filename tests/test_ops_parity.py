@@ -199,11 +199,12 @@ def test_xy_bbox_parity():
     np.testing.assert_allclose(dev, ref)
 
 
-def test_resident_srw_phase_b_parity(monkeypatch):
+@pytest.mark.parametrize("interp", ["bilinear", "triangular"])
+def test_resident_srw_phase_b_parity(monkeypatch, interp):
     """Phase-B resident SRW (lattice-planned, no full-map fetch) matches
     the exact per-pixel gather on the OLCI-like swath: identical NaN
     coverage, values within the documented sub-0.05 px position tolerance
-    of the bilinear taps."""
+    of the taps (triangular rides the bilinear - s*Delta form)."""
     from tests.sampledata import create_olci_like_swath
 
     from xcube_resampling_tpu.constants import UV_DELTA
@@ -220,18 +221,18 @@ def test_resident_srw_phase_b_parity(monkeypatch):
 
     band = jnp.asarray(np.asarray(ds.rad.values, np.float32)[None])
     srw = rectify_ops._build_resident_srw_phase_b(
-        ij.device_map(), ds.rad.shape, np.nan, "bilinear"
+        ij.device_map(), ds.rad.shape, np.nan, interp
     )
     assert srw is not None, "lattice SRW plan unexpectedly rejected"
 
     monkeypatch.setenv("XRTPU_PHASEB_SRW", "0")
     ij._phase_b_fns = {}
     ref = np.asarray(
-        rectify_ops.make_device_var_image_fn_resident(ij, np.nan, "bilinear")(band)
+        rectify_ops.make_device_var_image_fn_resident(ij, np.nan, interp)(band)
     )
     got = np.asarray(srw(band))
 
     np.testing.assert_array_equal(np.isnan(ref), np.isnan(got))
     ok = ~np.isnan(ref)
-    # data range is ~100; 0.05 px of bilinear drift moves values < 0.5
+    # data range is ~100; 0.05 px of tap drift moves values < 0.5
     assert float(np.max(np.abs(ref[ok] - got[ok]))) < 0.5
