@@ -19,3 +19,16 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _fresh_reproject_plan_cache():
+    """The device-reproject plan memo is keyed on geometry + env flags;
+    tests that monkeypatch tier builders must never see another test's
+    cached tier function."""
+    yield
+    from xcube_resampling_tpu import reproject
+
+    reproject._DEVICE_FN_CACHE.clear()

@@ -206,7 +206,48 @@ def _gather_through_windows(
     return out
 
 
+_DEVICE_FN_CACHE: "dict[tuple, object]" = {}
+_DEVICE_FN_CACHE_MAX = 4
+
+
+def _gm_fingerprint(gm) -> tuple:
+    return (
+        str(gm.crs), tuple(gm.size), tuple(gm.xy_res), tuple(gm.xy_bbox),
+        bool(gm.is_j_axis_up),
+    )
+
+
 def _reproject_on_device(data, source_gm, target_gm, interp_method, fill_value):
+    """Tiered device reproject with a small plan memo: the compiled tier
+    function depends only on the grid-mapping pair, interp, fill and the
+    tier env flags — per-variable and repeated-call workloads reuse it
+    instead of replanning (the exact-mosaic tier plans for ~14 s per
+    geometry)."""
+    import os
+
+    key = (
+        _gm_fingerprint(source_gm), _gm_fingerprint(target_gm),
+        interp_method, repr(float(fill_value)),
+        os.environ.get("XRTPU_EXACT", ""),
+        os.environ.get("XRTPU_FAST_EXTREME_WARP", ""),
+        os.environ.get("XRTPU_NO_EXACT_MOSAIC", ""),
+        os.environ.get("XRTPU_PALLAS", ""),
+    )
+    fn = _DEVICE_FN_CACHE.pop(key, None)
+    if fn is not None:
+        _DEVICE_FN_CACHE[key] = fn  # re-insert: LRU order
+        return fn(data)
+    fn = _build_device_reproject_fn(
+        source_gm, target_gm, interp_method, fill_value
+    )
+    _DEVICE_FN_CACHE[key] = fn
+    while len(_DEVICE_FN_CACHE) > _DEVICE_FN_CACHE_MAX:
+        # oldest entry out (its device statics can be hundreds of MB)
+        _DEVICE_FN_CACHE.pop(next(iter(_DEVICE_FN_CACHE)))
+    return fn(data)
+
+
+def _build_device_reproject_fn(source_gm, target_gm, interp_method, fill_value):
     import os
 
     from .ops.esw import make_esw_reproject_fn
@@ -254,7 +295,7 @@ def _reproject_on_device(data, source_gm, target_gm, interp_method, fill_value):
         fn = make_fused_reproject_fn(
             source_gm, target_gm, interp_method, fill_value
         )
-    return fn(data)
+    return fn
 
 
 def _as_target_array(var, image, target_gm, had_band_axis) -> DataArray:
