@@ -728,14 +728,7 @@ def make_esw_fn(
 
     precompute, kernel = _get_impls()
 
-    sv_j = jnp.asarray(s_v) if s_v is not None else None
-    sh_j = jnp.asarray(s_h) if s_h is not None else None
-    mv_dev, mh_dev, ixc_dev, iyc_dev, valid_dev = precompute(
-        jnp.asarray(p.iystar_c),
-        jnp.asarray(p.ix_c),
-        jnp.asarray(p.iy_c),
-        sv_j,
-        sh_j,
+    pre_kwargs = dict(
         step=p.step,
         half=half,
         out_h=p.out_h,
@@ -745,6 +738,25 @@ def make_esw_fn(
         src_w_g=p.src_w_g,
         c_lo=c_lo,
         ext_w=p.src_w - c_lo + c_hi,
+    )
+    if return_parts == "cfg_raw":
+        # for vmapped mosaic groups: the caller stacks the RAW coarse
+        # inputs across pieces and runs ONE vmapped precompute per group
+        # (N eager precompute dispatches -> 1)
+        return cfg, (
+            p.iystar_c, p.ix_c, p.iy_c, s_v, s_h,
+            p.base_v, p.base_h, p.j_off, p.i_off,
+        ), pre_kwargs
+
+    sv_j = jnp.asarray(s_v) if s_v is not None else None
+    sh_j = jnp.asarray(s_h) if s_h is not None else None
+    mv_dev, mh_dev, ixc_dev, iyc_dev, valid_dev = precompute(
+        jnp.asarray(p.iystar_c),
+        jnp.asarray(p.ix_c),
+        jnp.asarray(p.iy_c),
+        sv_j,
+        sh_j,
+        **pre_kwargs,
     )
 
     statics = (
@@ -1089,16 +1101,17 @@ def make_esw_region_fn(
                 if force["use_shift_h"]
                 else 0,
             }
-        members = []  # (r0, c0, j0, i0, statics) — the vmapped group
+        members = []  # (r0, c0, j0, i0, raw_parts) — the vmapped group
         group_cfg = None
+        group_prekw = None
         for desc, win2, plan2 in replans:
             r0, r1, c0, c1 = desc[:4]
             if plan2 is not None:
-                group_cfg, statics = make_esw_fn(
+                group_cfg, raw, group_prekw = make_esw_fn(
                     plan2, interp_method, fill_value,
-                    return_parts="raw", uniform=uniform,
+                    return_parts="cfg_raw", uniform=uniform,
                 )
-                members.append((r0, c0, win2[0], win2[2], statics))
+                members.append((r0, c0, win2[0], win2[2], raw))
             else:
                 # forced layout did not fit this piece: fall back to its
                 # own probe plan (costs one extra compile + dispatch)
@@ -1107,7 +1120,9 @@ def make_esw_region_fn(
                 )
                 pieces.append((r0, r1, c0, c1, desc[5], kernel, statics))
         if members:
-            vgroups.append((group_cfg, gh, gw, wh, ww, members))
+            vgroups.append(
+                (group_cfg, group_prekw, gh, gw, wh, ww, members)
+            )
 
     # gather pieces: batch same-shaped pieces into one vmapped program
     # (the quadtree emits many identically-sized singularity-adjacent
@@ -1171,7 +1186,7 @@ def make_esw_region_fn(
     import jax.numpy as jnp
     from functools import partial
 
-    _, kernel_impl = _get_impls()
+    precompute_impl, kernel_impl = _get_impls()
 
     # one jitted program per GROUP: vmap the shared kernel over the
     # group's pieces (window slicing via per-piece dynamic_slice starts)
@@ -1179,12 +1194,47 @@ def make_esw_region_fn(
     # jit would exceed what the XLA service will compile, while eager
     # per-piece dispatch pays the host round trip dozens of times
     group_fns = []
-    for group_cfg, gh, gw, wh, ww, members in vgroups:
-        stacked = tuple(
-            jnp.stack([m[4][k] for m in members])
-            if members[0][4][k] is not None
+    for group_cfg, group_prekw, gh, gw, wh, ww, members in vgroups:
+        # stack the RAW coarse inputs on the host and run ONE vmapped
+        # precompute per group (each eager precompute is a device round
+        # trip — N per group before, 1 now)
+        raws = [m[4] for m in members]
+        iystar_st = jnp.asarray(np.stack([r[0] for r in raws]))
+        ix_st = jnp.asarray(np.stack([r[1] for r in raws]))
+        iy_st = jnp.asarray(np.stack([r[2] for r in raws]))
+        sv_st = (
+            jnp.asarray(np.stack([r[3] for r in raws]))
+            if raws[0][3] is not None
             else None
-            for k in range(len(members[0][4]))
+        )
+        sh_st = (
+            jnp.asarray(np.stack([r[4] for r in raws]))
+            if raws[0][4] is not None
+            else None
+        )
+        pre1 = partial(precompute_impl, **group_prekw)
+        mv, mh, ixc, iyc, valid = jax.vmap(
+            pre1,
+            in_axes=(
+                0, 0, 0,
+                0 if sv_st is not None else None,
+                0 if sh_st is not None else None,
+            ),
+        )(iystar_st, ix_st, iy_st, sv_st, sh_st)
+        n_m = len(members)
+        stacked = (
+            mv, mh, ixc, iyc, valid,
+            jnp.asarray(np.stack([r[5] for r in raws])),
+            jnp.asarray(np.stack([r[6] for r in raws])),
+            sv_st,
+            sh_st,
+            jnp.asarray(
+                np.asarray([r[7] for r in raws], dtype=np.float32)
+            ),
+            jnp.asarray(
+                np.asarray([r[8] for r in raws], dtype=np.int32)
+            ),
+            jnp.asarray(np.full(n_m, fill_value, dtype=np.float32)),
         )
         offs = jnp.asarray(
             [[m[2], m[3]] for m in members], dtype=jnp.int32
