@@ -30,13 +30,14 @@ _T0 = time.perf_counter()
 
 def _remaining() -> float:
     """Seconds left of the run's wall-clock budget (XRTPU_BENCH_BUDGET_S,
-    default 1500 s).  Sections whose cold-cache compiles can exceed the
-    driver's timeout check this before starting, so a cache-cold run
-    degrades to a logged skip instead of an rc=124 kill that loses every
-    subsequent line."""
+    default 1100 s — round 2's run was killed externally at an unknown
+    timeout, so stay comfortably inside plausible driver limits).
+    Sections whose cold-cache compiles can exceed the driver's timeout
+    check this before starting, so a cache-cold run degrades to a logged
+    skip instead of an rc=124 kill that loses every subsequent line."""
     import os
 
-    budget = float(os.environ.get("XRTPU_BENCH_BUDGET_S", "1500"))
+    budget = float(os.environ.get("XRTPU_BENCH_BUDGET_S", "1100"))
     return budget - (time.perf_counter() - _T0)
 
 
@@ -583,8 +584,9 @@ def main():
     # Persistent compilation cache: every XLA compile goes through the
     # remote service (minutes for the mosaic programs, and even sub-second
     # local compiles cost whole round trips), so persist EVERYTHING.  The
-    # committed .jax_cache ships the warmed entries; a fully-warm run
-    # spends seconds, not minutes, in compilation.
+    # workspace-local .jax_cache (gitignored, persists across runs on this
+    # rig) holds the warmed entries; a fully-warm run spends seconds, not
+    # minutes, in compilation.
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
