@@ -282,3 +282,79 @@ class TestAddSpatialRef:
             self.store, crs, crs_var_name="spatial_ref_test", xy_dim_names=("x", "y")
         )
         assert self.group["data"].attrs.get("grid_mapping") == "spatial_ref_test"
+
+
+# ---------------------------------------------------------------------------
+# CF coordinate round trip through a zarr store
+# (reference tests/gridmapping/test_cfconv.py:335-380 — xarray's
+# decode_cf promotion semantics, on the zarrlite/xrlite store path.
+# Deviation: this framework promotes grid-mapping variables named
+# ``crs``/``spatial_ref`` to coordinates on open, where plain
+# xarray.open_zarr keeps them as data variables.)
+# ---------------------------------------------------------------------------
+
+
+def _gen_cf_1d():
+    rng = np.random.default_rng(3)
+    noise = DataArray(rng.random((11, 11)), dims=("lat", "lon"))
+    crs = DataArray(np.array(0), dims=(), attrs=CRS.from_epsg(4326).to_cf())
+    lon = DataArray(np.linspace(10, 12, 11), dims=("lon",))
+    lat = DataArray(np.linspace(50, 52, 11), dims=("lat",))
+    return noise, crs, lon, lat
+
+
+def _gen_cf_2d():
+    rng = np.random.default_rng(3)
+    noise = DataArray(rng.random((11, 11)), dims=("y", "x"))
+    crs = DataArray(np.array(0), dims=(), attrs=CRS.from_epsg(4326).to_cf())
+    lon2, lat2 = np.meshgrid(np.linspace(10, 12, 11), np.linspace(50, 52, 11))
+    lon = DataArray(lon2, dims=("y", "x"))
+    lat = DataArray(lat2, dims=("y", "x"))
+    return noise, crs, lon, lat
+
+
+def _roundtrip(ds):
+    store = zarrlite.MemoryStore()
+    zarrlite.write_dataset(ds, store)
+    out = zarrlite.open_dataset(store)
+    return set(out.data_vars), set(out.coords)
+
+
+def test_cf_1d_coords():
+    noise, crs, lon, lat = _gen_cf_1d()
+    data_vars, coords = _roundtrip(
+        Dataset(dict(noise=noise, crs=crs), coords=dict(lon=lon, lat=lat))
+    )
+    assert data_vars == {"noise"}
+    assert coords == {"lon", "lat", "crs"}
+
+
+def test_cf_1d_data_vars():
+    noise, crs, lon, lat = _gen_cf_1d()
+    data_vars, coords = _roundtrip(
+        Dataset(dict(noise=noise, crs=crs, lon=lon, lat=lat))
+    )
+    # 1-D vars named like their dimension are coordinates by convention
+    assert data_vars == {"noise"}
+    assert coords == {"lon", "lat", "crs"}
+
+
+def test_cf_2d_coords():
+    noise, crs, lon, lat = _gen_cf_2d()
+    data_vars, coords = _roundtrip(
+        Dataset(dict(noise=noise, crs=crs), coords=dict(lon=lon, lat=lat))
+    )
+    # the writer records the CF ``coordinates`` attribute, so the 2-D
+    # lon/lat keep their coordinate status through the store
+    assert data_vars == {"noise"}
+    assert coords == {"lon", "lat", "crs"}
+
+
+def test_cf_2d_data_vars():
+    noise, crs, lon, lat = _gen_cf_2d()
+    data_vars, coords = _roundtrip(
+        Dataset(dict(noise=noise, crs=crs, lon=lon, lat=lat))
+    )
+    # written as plain data variables, 2-D lon/lat stay data variables
+    assert data_vars == {"noise", "lon", "lat"}
+    assert coords == {"crs"}

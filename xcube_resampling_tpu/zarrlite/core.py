@@ -460,15 +460,35 @@ def consolidate_metadata(store) -> None:
 
 def write_dataset(ds: Dataset, store, compressor: str | None = None) -> None:
     """Persist an xrlite Dataset in zarr v2 layout (xarray-compatible:
-    ``_ARRAY_DIMENSIONS`` attributes are written)."""
+    ``_ARRAY_DIMENSIONS`` attributes are written, and non-dimension
+    coordinates are recorded in each data variable's CF ``coordinates``
+    attribute the way xarray's encoder does, so 2-D lon/lat coords keep
+    their coordinate status through a store round trip)."""
     g = group(store, overwrite=False)
     if ds.attrs:
         g.attrs.update(**ds.attrs)
+    # non-dimension coordinates (e.g. 2-D lon/lat): 1-D coords named like
+    # their dimension re-promote by naming convention alone
+    aux_coords = [
+        n
+        for n, v in ds.coords.items()
+        if not (v.ndim == 1 and v.dims == (n,))
+    ]
     for name, var in ds.variables.items():
         data = np.asarray(var.data)
         chunks = (
             tuple(c[0] for c in var.chunks) if var.chunks else None
         )
+        attrs = dict(var.attrs)
+        if name in ds.data_vars and "coordinates" not in attrs:
+            applicable = [
+                c
+                for c in aux_coords
+                if c != name
+                and set(ds.coords[c].dims) <= set(var.dims)
+            ]
+            if applicable:
+                attrs["coordinates"] = " ".join(applicable)
         arr = g.create_array(
             name,
             data.shape,
@@ -476,7 +496,7 @@ def write_dataset(ds: Dataset, store, compressor: str | None = None) -> None:
             chunks=chunks,
             fill_value=None,
             compressor=compressor,
-            attrs=var.attrs,
+            attrs=attrs,
             dims=var.dims,
         )
         arr.write(data)
@@ -503,6 +523,12 @@ def open_dataset(store, lazy: bool = False) -> Dataset:
         dims = tuple(attrs.pop("_ARRAY_DIMENSIONS", ())) or tuple(
             f"dim_{i}" for i in range(arr.ndim)
         )
+        # CF decoding: names listed in a variable's ``coordinates``
+        # attribute are coordinates of the dataset (how 2-D lon/lat
+        # keep coordinate status; xarray decode_cf parity)
+        listed = attrs.pop("coordinates", "")
+        if isinstance(listed, str):
+            coord_names.update(listed.split())
         data = LazyArray(arr) if lazy and arr.ndim >= 2 else arr.read()
         arrays[name] = DataArray(
             data,
