@@ -1188,6 +1188,14 @@ def make_esw_region_fn(
 
     precompute_impl, kernel_impl = _get_impls()
 
+    def _jit_canvas(fun, out_argnum):
+        # donate the canvas so the per-group update is in place (one
+        # full-canvas copy saved per program); CPU ignores donation and
+        # warns, so only donate on accelerators
+        if jax.default_backend() == "cpu":
+            return jax.jit(fun)
+        return jax.jit(fun, donate_argnums=(out_argnum,))
+
     # one jitted program per GROUP: vmap the shared kernel over the
     # group's pieces (window slicing via per-piece dynamic_slice starts)
     # and scatter the stacked results into the canvas — a whole-mosaic
@@ -1248,7 +1256,6 @@ def make_esw_region_fn(
                 0 if s is not None else None for s in stacked
             )
 
-            @jax.jit
             def run(src, out, offs, *stacked):
                 def one(off, *st):
                     start = (0,) * (src.ndim - 2) + (off[0], off[1])
@@ -1265,6 +1272,8 @@ def make_esw_region_fn(
                         (0,) * (out.ndim - 2) + (r0, c0),
                     )
                 return out
+
+            run = _jit_canvas(run, 1)
 
             def group_fn(src, out):
                 return run(src, out, offs, *stacked)
@@ -1284,7 +1293,6 @@ def make_esw_region_fn(
         starts_rc = [(m[0], m[1]) for m in members]
 
         def make_gather_group_fn(kernel, offs, ix_st, iy_st, starts_rc, wh, ww):
-            @jax.jit
             def run(src, out, offs, ix_st, iy_st):
                 def one(off, ixc, iyc):
                     start = (0,) * (src.ndim - 2) + (off[0], off[1])
@@ -1302,6 +1310,8 @@ def make_esw_region_fn(
                     )
                 return out
 
+            run = _jit_canvas(run, 1)
+
             def group_fn(src, out):
                 return run(src, out, offs, ix_st, iy_st)
 
@@ -1313,11 +1323,15 @@ def make_esw_region_fn(
             )
         )
 
+    set_piece_kwargs = (
+        {} if jax.default_backend() == "cpu" else {"donate_argnums": (0,)}
+    )
     set_piece = jax.jit(
         lambda out, piece, r0, c0: jax.lax.dynamic_update_slice(
             out, piece, (0,) * (out.ndim - 2) + (r0, c0)
         ),
         static_argnums=(2, 3),
+        **set_piece_kwargs,
     )
 
     def fn(src):
