@@ -1620,6 +1620,10 @@ def inverse_ij_map_walk(
     src_h, src_w = src_x.shape
     if src_h < 2 or src_w < 2 or dst_h < 1 or dst_w < 1:
         return None
+    if src_h * src_w > 2**30:
+        # the walk gathers through int32 flat indices; swaths beyond
+        # ~1 Gpix (none exist in practice) take the stencil tiers
+        return None
 
     with _T("phase_a.walk.normalize"):
         sx = np.asarray(src_x, dtype=np.float64)
