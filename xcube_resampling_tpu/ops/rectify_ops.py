@@ -1539,43 +1539,55 @@ def _build_walk_kernel(
         # neighbourhood of the converged guess — reproduces the host
         # kernel's first-writer-wins (row-major quad rank) order, since a
         # fold-free point is contained (within uv_delta) only by quads
-        # adjacent to its true quad
+        # adjacent to its true quad.  fori_loop keeps the trace one
+        # candidate body instead of nine (remote compiles are expensive).
+        offsets = jnp.asarray(
+            [(dj, di) for dj in (-1, 0, 1) for di in (-1, 0, 1)],
+            dtype=jnp.int32,
+        )
+
+        def cand_body(k, state):
+            best_rank, out_i, out_j = state
+            cj = jnp.clip(qj + offsets[k, 0], 0, nqj - 1)
+            ci = jnp.clip(qi + offsets[k, 1], 0, nqi - 1)
+            det_a, ua, va, det_b, ub, vb = tri_solve(
+                gxf, gyf, cj, ci, px, py
+            )
+            ok_a = (
+                (det_a != 0.0) & (ua >= u_min) & (va >= u_min)
+                & (ua + va <= uv_max)
+            )
+            ok_b = (
+                (det_b != 0.0) & (ub >= u_min) & (vb >= u_min)
+                & (ub + vb <= uv_max)
+            )
+            ok = ok_a | ok_b
+            rank = cj * nqi + ci
+            gi = ci.astype(ft)
+            gj = cj.astype(ft)
+            src_if = jnp.where(
+                ok_a,
+                gi + jnp.clip(ua, 0.0, 1.0),
+                (gi + 1) - jnp.clip(ub, 0.0, 1.0),
+            )
+            src_jf = jnp.where(
+                ok_a,
+                gj + jnp.clip(va, 0.0, 1.0),
+                (gj + 1) - jnp.clip(vb, 0.0, 1.0),
+            )
+            better = ok & (rank < best_rank)
+            return (
+                jnp.where(better, rank, best_rank),
+                jnp.where(better, src_if, out_i),
+                jnp.where(better, src_jf, out_j),
+            )
+
         best_rank = jnp.full((dst_h, dst_w), inf, dtype=jnp.int32)
         out_i = jnp.full((dst_h, dst_w), jnp.nan, dtype=ft)
         out_j = jnp.full((dst_h, dst_w), jnp.nan, dtype=ft)
-        for dj in (-1, 0, 1):
-            for di in (-1, 0, 1):
-                cj = jnp.clip(qj + dj, 0, nqj - 1)
-                ci = jnp.clip(qi + di, 0, nqi - 1)
-                det_a, ua, va, det_b, ub, vb = tri_solve(
-                    gxf, gyf, cj, ci, px, py
-                )
-                ok_a = (
-                    (det_a != 0.0) & (ua >= u_min) & (va >= u_min)
-                    & (ua + va <= uv_max)
-                )
-                ok_b = (
-                    (det_b != 0.0) & (ub >= u_min) & (vb >= u_min)
-                    & (ub + vb <= uv_max)
-                )
-                ok = ok_a | ok_b
-                rank = cj * nqi + ci
-                gi = ci.astype(ft)
-                gj = cj.astype(ft)
-                src_if = jnp.where(
-                    ok_a,
-                    gi + jnp.clip(ua, 0.0, 1.0),
-                    (gi + 1) - jnp.clip(ub, 0.0, 1.0),
-                )
-                src_jf = jnp.where(
-                    ok_a,
-                    gj + jnp.clip(va, 0.0, 1.0),
-                    (gj + 1) - jnp.clip(vb, 0.0, 1.0),
-                )
-                better = ok & (rank < best_rank)
-                best_rank = jnp.where(better, rank, best_rank)
-                out_i = jnp.where(better, src_if, out_i)
-                out_j = jnp.where(better, src_jf, out_j)
+        _, out_i, out_j = lax.fori_loop(
+            0, 9, cand_body, (best_rank, out_i, out_j)
+        )
         return jnp.stack([out_i, out_j])
 
     return walk
