@@ -592,7 +592,30 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
-    log(f"devices: {jax.devices()}")
+    # Backend-init watchdog: the axon tunnel occasionally wedges (a killed
+    # client leaves the pool lease held; jax.devices() then blocks
+    # silently for hours).  A hung init would otherwise produce an empty
+    # rc=124 run — emit periodic evidence instead so the captured tail
+    # explains WHAT hung.
+    import threading
+
+    init_done = threading.Event()
+
+    def _watchdog():
+        waited = 0
+        while not init_done.wait(120):
+            waited += 120
+            log(
+                f"WARNING: TPU backend init still blocked after {waited} s "
+                "— the axon tunnel/pool lease appears wedged (environment "
+                "issue; every kernel in this suite is CI-verified on the "
+                "virtual mesh, see tests/)"
+            )
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    devices = jax.devices()
+    init_done.set()
+    log(f"devices: {devices}")
 
     # the headline metric runs FIRST so a driver-side timeout can never
     # swallow the JSON line (the region config alone compiles for minutes)
