@@ -136,6 +136,34 @@ def test_esw_region_mosaic_matches_gather(interp):
     _assert_exact(a, b, bilinear=interp == "bilinear")
 
 
+@pytest.mark.slow
+def test_esw_region_mosaic_singular_domain_grouped():
+    """Domain-scale config with the projection singularity inside the
+    target (the global-grid benchmark class): the shape-keyed piece
+    groups, the batched gather-fallback group and the canvas scatter
+    together still reproduce the whole-target gather kernel exactly."""
+    source_gm = GridMapping.regular(
+        size=(720, 360), xy_min=(-180.0, -90.0), xy_res=0.5,
+        crs="epsg:4326",
+    )
+    target_gm = GridMapping.regular(
+        size=(1024, 1024), xy_min=(2000000.0, 1000000.0), xy_res=6000.0,
+        crs="epsg:3035",
+    )
+    fn = make_esw_region_fn(source_gm, target_gm, "bilinear", np.nan)
+    assert fn is not None
+    data = _rand((source_gm.height, source_gm.width), seed=11)
+    a = np.asarray(fn(jnp.asarray(data)))
+    b = np.asarray(
+        make_fused_reproject_fn(source_gm, target_gm, "bilinear", np.nan)(
+            jnp.asarray(data)
+        )
+    )
+    assert np.array_equal(np.isnan(a), np.isnan(b))
+    both = ~np.isnan(a)
+    assert float(np.abs(a[both] - b[both]).max()) < 1e-6
+
+
 def _severe_ds(source_gm, data):
     from xcube_resampling_tpu.crs import CRS
     from xcube_resampling_tpu.xrlite import DataArray, Dataset
