@@ -46,6 +46,39 @@ def _rand_swath(rng):
     return lon, lat
 
 
+def test_fuzz_hybrid_parity():
+    """Same contract for the hybrid (corner-walk-seeded tiled stencil)
+    tier: host-kernel-identical winners and NaN coverage on every swath
+    it engages, across random rotated/sheared/curved geometries."""
+    rng = np.random.default_rng(20260818)
+    engaged = 0
+    for _case in range(24):
+        src_x, src_y = _rand_swath(rng)
+        x0 = float(np.nanmin(src_x)) + rng.uniform(-5, 20)
+        y1 = float(np.nanmax(src_y)) - rng.uniform(-5, 20)
+        res = rng.uniform(0.4, 2.5)
+        dst_w = int(rng.integers(30, 160))
+        dst_h = int(rng.integers(30, 160))
+        args = (
+            0, 0, (dst_h, dst_w), x0, y1, res, -res, UV_DELTA,
+        )
+        hyb = rectify_ops.inverse_ij_map_hybrid(src_x, src_y, *args)
+        if hyb is None:
+            continue
+        engaged += 1
+        hm = hyb.as_numpy()
+        host = rectify_ops.inverse_ij_map(src_x, src_y, *args)
+        assert np.array_equal(np.isnan(hm), np.isnan(host)), (
+            f"case {_case}: NaN coverage mismatch "
+            f"({(np.isnan(hm) != np.isnan(host)).sum()} px)"
+        )
+        np.testing.assert_allclose(
+            hm, host, rtol=1e-9, atol=1e-9, equal_nan=True,
+            err_msg=f"case {_case}",
+        )
+    assert engaged >= 16, f"hybrid engaged only {engaged}/24 cases"
+
+
 def test_fuzz_walk_parity():
     rng = np.random.default_rng(20260817)
     engaged = 0

@@ -120,6 +120,62 @@ def test_inverse_ij_map_walk_parity():
     )
 
 
+def test_inverse_ij_map_hybrid_parity():
+    """The hybrid (corner-walk-seeded tiled stencil) Phase A must
+    reproduce the host kernel on a clean fold-free swath: identical NaN
+    coverage, identical winners, positions to float64 rounding (same
+    triangle formulas and min-rank winner order; only the candidate
+    enumeration differs)."""
+    from tests.sampledata import create_olci_like_swath
+
+    from xcube_resampling_tpu.gridmapping import GridMapping
+
+    ds = create_olci_like_swath(width=233, height=307, tile_size=128)
+    gm = GridMapping.from_dataset(ds)
+    tgm = gm.to_regular(tile_size=128)
+    src_xy = np.asarray(gm.xy_coords.data, dtype=np.float64)
+    x_min, _y_min, _x_max, y_max = tgm.xy_bbox
+    args = (
+        src_xy[0], src_xy[1], 0, 0, (tgm.height, tgm.width),
+        x_min, y_max, tgm.x_res, -tgm.y_res, UV_DELTA,
+    )
+
+    hyb = rectify_ops.inverse_ij_map_hybrid(*args)
+    assert isinstance(hyb, rectify_ops.DeviceIJMap)
+    hm = hyb.as_numpy()
+    host = rectify_ops.inverse_ij_map(*args)
+
+    assert np.array_equal(np.isnan(hm), np.isnan(host))
+    np.testing.assert_allclose(
+        hm, host, rtol=1e-9, atol=1e-9, equal_nan=True
+    )
+
+
+def test_inverse_ij_map_hybrid_gate_and_kill_switch(monkeypatch):
+    """The hybrid tier must refuse folded/NaN swaths (same gate as the
+    walk) and honour XRTPU_PHASEA_HYBRID=0 in the tiered entry."""
+    src_x, src_y = _swath(16, 17)
+    args = (0, 0, (40, 44), -3.0, 57.0, 0.5, -0.5, UV_DELTA)
+
+    assert rectify_ops.inverse_ij_map_hybrid(src_x, src_y, *args) is not None
+
+    folded_x = src_x.copy()
+    folded_x[8, 8] = src_x[8, 8] - 18.0
+    assert rectify_ops.inverse_ij_map_hybrid(folded_x, src_y, *args) is None
+
+    nan_x = src_x.copy()
+    nan_x[2, 2] = np.nan
+    assert rectify_ops.inverse_ij_map_hybrid(nan_x, src_y, *args) is None
+
+    monkeypatch.setenv("XRTPU_PHASEA_HYBRID", "0")
+
+    def _boom(*_a, **_k):
+        raise AssertionError("hybrid called despite XRTPU_PHASEA_HYBRID=0")
+
+    monkeypatch.setattr(rectify_ops, "inverse_ij_map_hybrid", _boom)
+    rectify_ops.inverse_ij_map_device(src_x, src_y, *args)
+
+
 def test_inverse_ij_map_walk_gate_rejections(monkeypatch):
     """The walk must refuse swaths it cannot serve exactly: folded
     geometry (mixed quad orientation), NaN coordinates, and the

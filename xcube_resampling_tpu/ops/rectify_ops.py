@@ -1392,6 +1392,93 @@ def _walk_gate(gx32: np.ndarray, gy32: np.ndarray, max_edge: float) -> bool:
 _WALK_JIT: dict = {}
 
 
+def _tri_solve_flat(gxf, gyf, w_row, qj, qi, px, py):
+    """Both triangle systems of quad (qj, qi), corners gathered from the
+    flat coordinate images — the exact formulas of the tiled kernel /
+    host loop (reference rectify.py:530-573)."""
+    import jax.numpy as jnp
+
+    idx0 = qj * w_row + qi
+    p0x = jnp.take(gxf, idx0)
+    p1x = jnp.take(gxf, idx0 + 1)
+    p2x = jnp.take(gxf, idx0 + w_row)
+    p3x = jnp.take(gxf, idx0 + w_row + 1)
+    p0y = jnp.take(gyf, idx0)
+    p1y = jnp.take(gyf, idx0 + 1)
+    p2y = jnp.take(gyf, idx0 + w_row)
+    p3y = jnp.take(gyf, idx0 + w_row + 1)
+    det_a = jnp.nan_to_num(_fdet(p0x, p0y, p1x, p1y, p2x, p2y), nan=0.0)
+    det_b = jnp.nan_to_num(_fdet(p3x, p3y, p2x, p2y, p1x, p1y), nan=0.0)
+    safe_a = jnp.where(det_a == 0.0, 1.0, det_a)
+    safe_b = jnp.where(det_b == 0.0, 1.0, det_b)
+    ua = _fu(px, py, p0x, p0y, p2x, p2y) / safe_a
+    va = _fv(px, py, p0x, p0y, p1x, p1y) / safe_a
+    ub = _fu(px, py, p3x, p3y, p1x, p1y) / safe_b
+    vb = _fv(px, py, p3x, p3y, p2x, p2y) / safe_b
+    return det_a, ua, va, det_b, ub, vb
+
+
+def _walk_steps_flat(gxf, gyf, w_row, nqj, nqi, qj, qi, px, py, n_iters):
+    """Fixed-count quad walk: each step solves the current quad's
+    triangle-A affine extension and jumps floor(u), floor(v) quads —
+    Newton's method on the piecewise-affine inverse, converging
+    geometrically on fold-free swaths."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    def body(_, carry):
+        qj, qi = carry
+        det_a, ua, va, det_b, ub, vb = _tri_solve_flat(
+            gxf, gyf, w_row, qj, qi, px, py
+        )
+        di_a = jnp.floor(ua)
+        dj_a = jnp.floor(va)
+        # triangle A degenerate: the B system spans the same quad
+        # from the far corner (offsets flip)
+        di = jnp.where(det_a != 0.0, di_a, jnp.floor(1.0 - ub))
+        dj = jnp.where(det_a != 0.0, dj_a, jnp.floor(1.0 - vb))
+        di = jnp.nan_to_num(di, nan=0.0, posinf=0.0, neginf=0.0)
+        dj = jnp.nan_to_num(dj, nan=0.0, posinf=0.0, neginf=0.0)
+        qi = jnp.clip(qi + di.astype(jnp.int32), 0, nqi - 1)
+        qj = jnp.clip(qj + dj.astype(jnp.int32), 0, nqj - 1)
+        return qj, qi
+
+    return lax.fori_loop(0, n_iters, body, (qj, qi))
+
+
+def _affine_seed(gxf, gyf, src_h, src_w, ft):
+    """Global affine seed: least-squares fit (i, j) ~ linear(gx, gy) over
+    the swath nodes, centered for conditioning.  2x2 closed form per
+    component; degenerate fits fall back to the centre.  Returns
+    (xm, ym, im, jm, ai, bi, aj, bj) such that
+    i ~ im + ai*(x-xm) + bi*(y-ym), j ~ jm + aj*(x-xm) + bj*(y-ym)."""
+    import jax.numpy as jnp
+
+    n = src_h * src_w
+    ii = jnp.tile(jnp.arange(src_w, dtype=ft), src_h)
+    jj = jnp.repeat(jnp.arange(src_h, dtype=ft), src_w)
+    xm = jnp.mean(gxf)
+    ym = jnp.mean(gyf)
+    im = (src_w - 1) / 2.0
+    jm = (src_h - 1) / 2.0
+    xc = gxf - xm
+    yc = gyf - ym
+    sxx = jnp.dot(xc, xc) / n
+    sxy = jnp.dot(xc, yc) / n
+    syy = jnp.dot(yc, yc) / n
+    det_m = sxx * syy - sxy * sxy
+    det_m = jnp.where(jnp.abs(det_m) < 1e-30, 1e-30, det_m)
+    rix = jnp.dot(xc, ii - im) / n
+    riy = jnp.dot(yc, ii - im) / n
+    rjx = jnp.dot(xc, jj - jm) / n
+    rjy = jnp.dot(yc, jj - jm) / n
+    ai = (rix * syy - riy * sxy) / det_m
+    bi = (riy * sxx - rix * sxy) / det_m
+    aj = (rjx * syy - rjy * sxy) / det_m
+    bj = (rjy * sxx - rjx * sxy) / det_m
+    return xm, ym, im, jm, ai, bi, aj, bj
+
+
 def _build_walk_kernel(
     src_shape, dst_shape, dtype, uv_delta,
     coarse_stride, coarse_iters, fine_iters,
@@ -1411,83 +1498,22 @@ def _build_walk_kernel(
     uv_max = 1.0 + 2 * uv_delta
     inf = jnp.iinfo(jnp.int32).max
 
-    def tri_solve(gxf, gyf, qj, qi, px, py):
-        """Both triangle systems of quad (qj, qi) — the exact formulas of
-        the tiled kernel / host loop (reference rectify.py:530-573)."""
-        idx0 = qj * w_row + qi
-        p0x = jnp.take(gxf, idx0)
-        p1x = jnp.take(gxf, idx0 + 1)
-        p2x = jnp.take(gxf, idx0 + w_row)
-        p3x = jnp.take(gxf, idx0 + w_row + 1)
-        p0y = jnp.take(gyf, idx0)
-        p1y = jnp.take(gyf, idx0 + 1)
-        p2y = jnp.take(gyf, idx0 + w_row)
-        p3y = jnp.take(gyf, idx0 + w_row + 1)
-        det_a = jnp.nan_to_num(_fdet(p0x, p0y, p1x, p1y, p2x, p2y), nan=0.0)
-        det_b = jnp.nan_to_num(_fdet(p3x, p3y, p2x, p2y, p1x, p1y), nan=0.0)
-        safe_a = jnp.where(det_a == 0.0, 1.0, det_a)
-        safe_b = jnp.where(det_b == 0.0, 1.0, det_b)
-        ua = _fu(px, py, p0x, p0y, p2x, p2y) / safe_a
-        va = _fv(px, py, p0x, p0y, p1x, p1y) / safe_a
-        ub = _fu(px, py, p3x, p3y, p1x, p1y) / safe_b
-        vb = _fv(px, py, p3x, p3y, p2x, p2y) / safe_b
-        return det_a, ua, va, det_b, ub, vb
-
-    def walk_steps(gxf, gyf, qj, qi, px, py, n_iters):
-        """Fixed-count quad walk: each step solves the current quad's
-        triangle-A affine extension and jumps floor(u), floor(v) quads —
-        Newton's method on the piecewise-affine inverse, converging
-        geometrically on fold-free swaths."""
-
-        def body(_, carry):
-            qj, qi = carry
-            det_a, ua, va, det_b, ub, vb = tri_solve(
-                gxf, gyf, qj, qi, px, py
-            )
-            di_a = jnp.floor(ua)
-            dj_a = jnp.floor(va)
-            # triangle A degenerate: the B system spans the same quad
-            # from the far corner (offsets flip)
-            di = jnp.where(det_a != 0.0, di_a, jnp.floor(1.0 - ub))
-            dj = jnp.where(det_a != 0.0, dj_a, jnp.floor(1.0 - vb))
-            di = jnp.nan_to_num(di, nan=0.0, posinf=0.0, neginf=0.0)
-            dj = jnp.nan_to_num(dj, nan=0.0, posinf=0.0, neginf=0.0)
-            qi = jnp.clip(qi + di.astype(jnp.int32), 0, nqi - 1)
-            qj = jnp.clip(qj + dj.astype(jnp.int32), 0, nqj - 1)
-            return qj, qi
-
-        return lax.fori_loop(0, n_iters, body, (qj, qi))
-
     @jax.jit
     def walk(gx, gy):
         gxf = gx.reshape(-1)
         gyf = gy.reshape(-1)
 
-        # global affine seed: least-squares fit (i, j) ~ linear(gx, gy)
-        # over the swath nodes, centered for conditioning.  2x2 closed
-        # form per component; degenerate fits fall back to the centre.
-        n = src_h * src_w
-        ii = jnp.tile(jnp.arange(src_w, dtype=ft), src_h)
-        jj = jnp.repeat(jnp.arange(src_h, dtype=ft), src_w)
-        xm = jnp.mean(gxf)
-        ym = jnp.mean(gyf)
-        im = (src_w - 1) / 2.0
-        jm = (src_h - 1) / 2.0
-        xc = gxf - xm
-        yc = gyf - ym
-        sxx = jnp.dot(xc, xc) / n
-        sxy = jnp.dot(xc, yc) / n
-        syy = jnp.dot(yc, yc) / n
-        det_m = sxx * syy - sxy * sxy
-        det_m = jnp.where(jnp.abs(det_m) < 1e-30, 1e-30, det_m)
-        rix = jnp.dot(xc, ii - im) / n
-        riy = jnp.dot(yc, ii - im) / n
-        rjx = jnp.dot(xc, jj - jm) / n
-        rjy = jnp.dot(yc, jj - jm) / n
-        ai = (rix * syy - riy * sxy) / det_m
-        bi = (riy * sxx - rix * sxy) / det_m
-        aj = (rjx * syy - rjy * sxy) / det_m
-        bj = (rjy * sxx - rjx * sxy) / det_m
+        def tri_solve(gxf, gyf, qj, qi, px, py):
+            return _tri_solve_flat(gxf, gyf, w_row, qj, qi, px, py)
+
+        def walk_steps(gxf, gyf, qj, qi, px, py, n_iters):
+            return _walk_steps_flat(
+                gxf, gyf, w_row, nqj, nqi, qj, qi, px, py, n_iters
+            )
+
+        xm, ym, im, jm, ai, bi, aj, bj = _affine_seed(
+            gxf, gyf, src_h, src_w, ft
+        )
 
         # coarse level: one sample per (stride x stride) destination block
         ch = -(-dst_h // coarse_stride)
@@ -1692,6 +1718,351 @@ def inverse_ij_map_walk(
     return DeviceIJMap(shim, out_d)
 
 
+_HYBRID_JIT: dict = {}
+
+#: static window-node buckets for the hybrid kernel — few buckets keep the
+#: compile-cache small while letting the window track the dst/src scale
+_HYBRID_WINS = (8, 12, 16, 24, 32, 48)
+
+
+def _build_hybrid_kernel(
+    src_shape, dst_shape, dtype, uv_delta,
+    tile, win, margin, coarse_iters, refine_iters,
+):
+    """Compile the hybrid Phase A (see :func:`inverse_ij_map_hybrid`):
+    device coarse walk on the tile-corner lattice, per-tile static source
+    windows loaded with batched ``dynamic_slice`` (contiguous rows — no
+    per-pixel random gathers), then the dense pixels-x-window-quads
+    min-rank acceptance of the tiled kernel as pure fused broadcasts."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    src_h, src_w = src_shape
+    dst_h, dst_w = dst_shape
+    nqj, nqi = src_h - 1, src_w - 1
+    w_row = src_w
+    ft = dtype
+    u_min = -uv_delta
+    uv_max = 1.0 + 2 * uv_delta
+    inf = jnp.iinfo(jnp.int32).max
+    n_tj = -(-dst_h // tile)
+    n_ti = -(-dst_w // tile)
+    # coarse lattice: every 8th tile corner (stride 8*tile dst pixels)
+    cs = 8
+    n_cj = (n_tj // cs) + 2
+    n_ci = (n_ti // cs) + 2
+
+    @jax.jit
+    def hybrid(gx, gy):
+        gxf = gx.reshape(-1)
+        gyf = gy.reshape(-1)
+        xm, ym, im, jm, ai, bi, aj, bj = _affine_seed(
+            gxf, gyf, src_h, src_w, ft
+        )
+
+        # ---- stage 1: walk the tile-corner lattice ----
+        # coarse level (stride cs corners), seeded by the affine fit
+        pxc = jnp.broadcast_to(
+            (jnp.arange(n_ci, dtype=ft) * (cs * tile))[None, :], (n_cj, n_ci)
+        )
+        pyc = jnp.broadcast_to(
+            (jnp.arange(n_cj, dtype=ft) * (cs * tile))[:, None], (n_cj, n_ci)
+        )
+        qi0 = jnp.clip(
+            jnp.nan_to_num(
+                im + ai * (pxc - xm) + bi * (pyc - ym), nan=im
+            ).astype(jnp.int32),
+            0,
+            nqi - 1,
+        )
+        qj0 = jnp.clip(
+            jnp.nan_to_num(
+                jm + aj * (pxc - xm) + bj * (pyc - ym), nan=jm
+            ).astype(jnp.int32),
+            0,
+            nqj - 1,
+        )
+        qj_c, qi_c = _walk_steps_flat(
+            gxf, gyf, w_row, nqj, nqi, qj0, qi0, pxc, pyc, coarse_iters
+        )
+
+        # full corner lattice ((n_tj+1) x (n_ti+1)): nearest upsample of
+        # the coarse guesses, then a short refinement walk
+        qj_f = jnp.repeat(jnp.repeat(qj_c, cs, axis=0), cs, axis=1)[
+            : n_tj + 1, : n_ti + 1
+        ]
+        qi_f = jnp.repeat(jnp.repeat(qi_c, cs, axis=0), cs, axis=1)[
+            : n_tj + 1, : n_ti + 1
+        ]
+        pxf = jnp.broadcast_to(
+            (jnp.arange(n_ti + 1, dtype=ft) * tile)[None, :],
+            (n_tj + 1, n_ti + 1),
+        )
+        pyf = jnp.broadcast_to(
+            (jnp.arange(n_tj + 1, dtype=ft) * tile)[:, None],
+            (n_tj + 1, n_ti + 1),
+        )
+        cqj, cqi = _walk_steps_flat(
+            gxf, gyf, w_row, nqj, nqi, qj_f, qi_f, pxf, pyf, refine_iters
+        )
+
+        # ---- stage 2: per-tile window bases + span-fit flag ----
+        def corner_minmax(c):
+            lo = jnp.minimum(
+                jnp.minimum(c[:-1, :-1], c[:-1, 1:]),
+                jnp.minimum(c[1:, :-1], c[1:, 1:]),
+            )
+            hi = jnp.maximum(
+                jnp.maximum(c[:-1, :-1], c[:-1, 1:]),
+                jnp.maximum(c[1:, :-1], c[1:, 1:]),
+            )
+            return lo, hi
+
+        qj_lo, qj_hi = corner_minmax(cqj)
+        qi_lo, qi_hi = corner_minmax(cqi)
+        # window quads [base, base+win-2] must cover
+        # [q_lo - margin, q_hi + margin]
+        fits = jnp.all(
+            (qj_hi - qj_lo <= win - 2 - 2 * margin)
+            & (qi_hi - qi_lo <= win - 2 - 2 * margin)
+        )
+        base_j = jnp.clip(qj_lo - margin, 0, src_h - win).reshape(-1)
+        base_i = jnp.clip(qi_lo - margin, 0, src_w - win).reshape(-1)
+
+        # ---- stage 3: window node loads (batched contiguous slices) ----
+        def load(b_j, b_i):
+            return (
+                lax.dynamic_slice(gx, (b_j, b_i), (win, win)),
+                lax.dynamic_slice(gy, (b_j, b_i), (win, win)),
+            )
+
+        wx, wy = jax.vmap(load)(base_j, base_i)  # (T, win, win)
+
+        # quad corners as 4D window views: (T, win-1, win-1)
+        p0x = wx[:, :-1, :-1]
+        p1x = wx[:, :-1, 1:]
+        p2x = wx[:, 1:, :-1]
+        p3x = wx[:, 1:, 1:]
+        p0y = wy[:, :-1, :-1]
+        p1y = wy[:, :-1, 1:]
+        p2y = wy[:, 1:, :-1]
+        p3y = wy[:, 1:, 1:]
+        det_a = jnp.nan_to_num(_fdet(p0x, p0y, p1x, p1y, p2x, p2y), nan=0.0)
+        det_b = jnp.nan_to_num(_fdet(p3x, p3y, p2x, p2y, p1x, p1y), nan=0.0)
+        safe_a = jnp.where(det_a == 0.0, 1.0, det_a)
+        safe_b = jnp.where(det_b == 0.0, 1.0, det_b)
+
+        # global row-major quad rank of every window quad: (T, wq, wq)
+        wq = win - 1
+        dj = jnp.arange(wq, dtype=jnp.int32)
+        qj_g = base_j[:, None, None] + dj[None, :, None]
+        qi_g = base_i[:, None, None] + dj[None, None, :]
+        rank = qj_g * nqi + qi_g
+
+        # pixel centers of every tile: (T, P) with T row-major (tj, ti)
+        iota_t = jnp.arange(tile, dtype=jnp.int32)
+        tjs = jnp.repeat(jnp.arange(n_tj, dtype=jnp.int32), n_ti)
+        tis = jnp.tile(jnp.arange(n_ti, dtype=jnp.int32), n_tj)
+        pxr = (tis[:, None] * tile + iota_t[None, :]).astype(ft) + ft(0.5)
+        pyr = (tjs[:, None] * tile + iota_t[None, :]).astype(ft) + ft(0.5)
+        n_t = n_tj * n_ti
+        p_n = tile * tile
+        dst_x = jnp.broadcast_to(
+            pxr[:, None, :], (n_t, tile, tile)
+        ).reshape(n_t, p_n, 1, 1)
+        dst_y = jnp.broadcast_to(
+            pyr[:, :, None], (n_t, tile, tile)
+        ).reshape(n_t, p_n, 1, 1)
+
+        def solve_uv():
+            """The pixels-x-quads broadcast chain ((T, P, wq, wq) fused
+            terms): acceptance masks + both triangle solutions."""
+            e0x = p0x[:, None]
+            e0y = p0y[:, None]
+            ua = _fu(
+                dst_x, dst_y, e0x, e0y, p2x[:, None], p2y[:, None]
+            ) / safe_a[:, None]
+            va = _fv(
+                dst_x, dst_y, e0x, e0y, p1x[:, None], p1y[:, None]
+            ) / safe_a[:, None]
+            ok_a = (
+                (det_a[:, None] != 0.0) & (ua >= u_min) & (va >= u_min)
+                & (ua + va <= uv_max)
+            )
+            e3x = p3x[:, None]
+            e3y = p3y[:, None]
+            ub = _fu(
+                dst_x, dst_y, e3x, e3y, p1x[:, None], p1y[:, None]
+            ) / safe_b[:, None]
+            vb = _fv(
+                dst_x, dst_y, e3x, e3y, p2x[:, None], p2y[:, None]
+            ) / safe_b[:, None]
+            ok_b = (
+                (det_b[:, None] != 0.0) & (ub >= u_min) & (vb >= u_min)
+                & (ub + vb <= uv_max)
+            )
+            return ua, va, ok_a, ub, vb, ok_b
+
+        # pass 1: min global rank of the accepting quads (fused reduce —
+        # the (T, P, wq, wq) terms are never materialized)
+        ua, va, ok_a, ub, vb, ok_b = solve_uv()
+        accept = ok_a | ok_b
+        best = jnp.min(
+            jnp.where(accept, rank[:, None], inf), axis=(2, 3)
+        )  # (T, P)
+
+        # pass 2: payload of the winner (rank == best selects exactly one
+        # quad; min-reduce carries its value out without a gather)
+        sel = accept & (rank[:, None] == best[:, :, None, None])
+        gi = qi_g.astype(ft)[:, None]
+        gj = qj_g.astype(ft)[:, None]
+        src_if = jnp.where(
+            ok_a,
+            gi + jnp.clip(ua, 0.0, 1.0),
+            (gi + 1) - jnp.clip(ub, 0.0, 1.0),
+        )
+        src_jf = jnp.where(
+            ok_a,
+            gj + jnp.clip(va, 0.0, 1.0),
+            (gj + 1) - jnp.clip(vb, 0.0, 1.0),
+        )
+        big = ft(jnp.inf)
+        out_i = jnp.min(jnp.where(sel, src_if, big), axis=(2, 3))
+        out_j = jnp.min(jnp.where(sel, src_jf, big), axis=(2, 3))
+        found = best < inf
+        out_i = jnp.where(found, out_i, jnp.nan)
+        out_j = jnp.where(found, out_j, jnp.nan)
+
+        # ---- assembly: (T, t, t) -> (2, dst_h, dst_w) ----
+        o_i = out_i.reshape(n_tj, n_ti, tile, tile).transpose(0, 2, 1, 3)
+        o_j = out_j.reshape(n_tj, n_ti, tile, tile).transpose(0, 2, 1, 3)
+        hp, wp = n_tj * tile, n_ti * tile
+        full_map = jnp.stack(
+            [o_i.reshape(hp, wp), o_j.reshape(hp, wp)]
+        )
+        return full_map[:, :dst_h, :dst_w], fits
+
+    return hybrid
+
+
+def inverse_ij_map_hybrid(
+    src_x: np.ndarray,
+    src_y: np.ndarray,
+    src_i_min: int,
+    src_j_min: int,
+    dst_shape: tuple[int, int],
+    dst_x_offset: float,
+    dst_y_offset: float,
+    dst_x_scale: float,
+    dst_y_scale: float,
+    uv_delta: float,
+    tile: int = 8,
+    margin: int = 2,
+    coarse_iters: int = 24,
+    refine_iters: int = 6,
+) -> "DeviceIJMap | None":
+    """Hybrid device Phase A: coarse walk seeds, dense tiled acceptance.
+
+    The pure Newton walk (:func:`inverse_ij_map_walk`) is exact but pays
+    ~70 random flat gathers per destination pixel (fine walk + 3x3
+    acceptance); on TPU those serialize at ~10^8 elements/s and dominate
+    the whole rectify.  Here the per-pixel work is gather-free: walks run
+    only on the tile-corner lattice (1/tile^2 of the pixels), each tile
+    loads one static (win x win) source-coordinate window as contiguous
+    ``dynamic_slice`` rows, and every pixel tests all window quads with
+    the tiled kernel's dense min-rank broadcast (exact first-writer-wins
+    winner, reference rectify.py:544-576).  A device flag confirms every
+    tile's corner-walk span fits its window (margin quads of slack); on
+    failure the caller escalates to the next window bucket and finally
+    falls back to the walk/planner tiers, so the contract stays
+    host-kernel-identical winners and NaN coverage on gated swaths."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..profiling import GLOBAL_TIMER as _T
+
+    dst_h, dst_w = dst_shape
+    src_h, src_w = src_x.shape
+    if src_h < 2 or src_w < 2 or dst_h < tile or dst_w < tile:
+        return None
+    if src_h * src_w > 2**30:
+        return None
+
+    with _T("phase_a.hybrid.normalize"):
+        sx = np.asarray(src_x, dtype=np.float64)
+        sy = np.asarray(src_y, dtype=np.float64)
+        gx = _scratch("gx", sx.shape, np.float64)
+        gy = _scratch("gy", sy.shape, np.float64)
+        np.subtract(sx, dst_x_offset, out=gx)
+        gx /= dst_x_scale
+        np.subtract(sy, dst_y_offset, out=gy)
+        gy /= dst_y_scale
+
+    with _T("phase_a.hybrid.gate"):
+        gx32 = _scratch("gx32", gx.shape, np.float32)
+        gy32 = _scratch("gy32", gy.shape, np.float32)
+        gx32[:] = gx
+        gy32[:] = gy
+        if not _walk_gate(gx32, gy32, max_edge=float(max(dst_h, dst_w))):
+            return None
+        # window sizing: quads a tile can span ~ tile / min displacement
+        # of one source step (either axis), plus acceptance margins
+        e1 = np.maximum(
+            np.abs(gx32[:, 1:] - gx32[:, :-1]),
+            np.abs(gy32[:, 1:] - gy32[:, :-1]),
+        )
+        e2 = np.maximum(
+            np.abs(gx32[1:] - gx32[:-1]),
+            np.abs(gy32[1:] - gy32[:-1]),
+        )
+        emin = max(min(float(e1.min()), float(e2.min())), 1e-9)
+        win0 = int(np.ceil(tile / emin)) + 2 * margin + 3
+
+    wins = [w for w in _HYBRID_WINS if w >= win0]
+    if not wins or win0 > _HYBRID_WINS[-1]:
+        return None
+    wins = [min(w, src_h, src_w) for w in wins]
+
+    if jax.config.read("jax_enable_x64") and jax.default_backend() == "cpu":
+        dt = jnp.float64
+        np_dt = np.float64
+    else:
+        dt = jnp.float32
+        np_dt = np.float32
+
+    with _T("phase_a.hybrid.stage"):
+        gx_d = jnp.asarray(gx, dtype=dt)
+        gy_d = jnp.asarray(gy, dtype=dt)
+
+    for win in wins:
+        key = (
+            (src_h, src_w), (dst_h, dst_w), np.dtype(np_dt).str,
+            float(uv_delta), tile, win, margin, coarse_iters, refine_iters,
+        )
+        fn = _HYBRID_JIT.get(key)
+        if fn is None:
+            fn = _build_hybrid_kernel(
+                (src_h, src_w), (dst_h, dst_w), dt, float(uv_delta),
+                tile, win, margin, coarse_iters, refine_iters,
+            )
+            _HYBRID_JIT[key] = fn
+        with _T("phase_a.hybrid.dispatch"):
+            out_d, fits = fn(gx_d, gy_d)
+        with _T("phase_a.hybrid.flag_fetch"):
+            ok = bool(fits)
+        if ok:
+            shim = PhaseAPlan(
+                dst_h=dst_h,
+                dst_w=dst_w,
+                src_i_min=src_i_min,
+                src_j_min=src_j_min,
+                dtype=dt,
+            )
+            return DeviceIJMap(shim, out_d)
+    return None
+
+
 def inverse_ij_map_device(
     src_x: np.ndarray,
     src_y: np.ndarray,
@@ -1709,13 +2080,23 @@ def inverse_ij_map_device(
     """Whole-image device Phase A: the production TPU tier of
     :func:`inverse_ij_map`.
 
-    Tier order: the planner-free Newton walk
+    Tier order: the hybrid walk-seeded stencil
+    (:func:`inverse_ij_map_hybrid`, gather-free per-pixel work —
+    ``XRTPU_PHASEA_HYBRID=0`` disables), the planner-free Newton walk
     (:func:`inverse_ij_map_walk`) on clean fold-free swaths
     (``XRTPU_PHASEA_WALK=0`` disables), then the host-planned tiled
     stencil kernel (:func:`plan_phase_a_device`).  Returns a
     :class:`DeviceIJMap` (or a ready numpy map for degenerate
     geometries), or None when the geometry is outside the device
     envelope; callers fall back to the tiled host path."""
+    if os.environ.get("XRTPU_PHASEA_HYBRID", "") != "0":
+        hybrid = inverse_ij_map_hybrid(
+            src_x, src_y, src_i_min, src_j_min, dst_shape,
+            dst_x_offset, dst_y_offset, dst_x_scale, dst_y_scale,
+            uv_delta,
+        )
+        if hybrid is not None:
+            return hybrid
     if os.environ.get("XRTPU_PHASEA_WALK", "") != "0":
         walked = inverse_ij_map_walk(
             src_x, src_y, src_i_min, src_j_min, dst_shape,
