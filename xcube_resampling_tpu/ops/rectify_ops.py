@@ -1718,22 +1718,183 @@ def inverse_ij_map_walk(
     return DeviceIJMap(shim, out_d)
 
 
-_HYBRID_JIT: dict = {}
+_HYBRID_SEED_JIT: dict = {}
+_HYBRID_DENSE_JIT: dict = {}
 
-#: static window-node buckets for the hybrid kernel — few buckets keep the
-#: compile-cache small while letting the window track the dst/src scale
-_HYBRID_WINS = (8, 12, 16, 24, 32, 48)
+#: static window-node buckets for the hybrid dense kernel — few buckets
+#: keep the compile-cache small; the exact bucket is chosen from spans
+#: measured on device, so no bucket is ever compiled speculatively
+_HYBRID_WINS = (8, 12, 16, 20, 24, 32, 48)
 
 
-def _build_hybrid_kernel(
-    src_shape, dst_shape, dtype, uv_delta,
-    tile, win, margin, coarse_iters, refine_iters,
+def _hybrid_corner_walk(
+    gx, gy, src_shape, dst_shape, dtype, tile, coarse_iters, refine_iters
 ):
-    """Compile the hybrid Phase A (see :func:`inverse_ij_map_hybrid`):
-    device coarse walk on the tile-corner lattice, per-tile static source
-    windows loaded with batched ``dynamic_slice`` (contiguous rows — no
-    per-pixel random gathers), then the dense pixels-x-window-quads
-    min-rank acceptance of the tiled kernel as pure fused broadcasts."""
+    """Affine seed + multigrid walk on the tile-corner lattice: quad
+    guesses for every corner of the (tile x tile) destination tiling,
+    computed with ~1/tile^2 of the per-pixel walk's gather traffic."""
+    import jax.numpy as jnp
+
+    src_h, src_w = src_shape
+    dst_h, dst_w = dst_shape
+    nqj, nqi = src_h - 1, src_w - 1
+    w_row = src_w
+    ft = dtype
+    n_tj = -(-dst_h // tile)
+    n_ti = -(-dst_w // tile)
+    cs = 8  # coarse lattice: every 8th tile corner
+    n_cj = (n_tj // cs) + 2
+    n_ci = (n_ti // cs) + 2
+
+    gxf = gx.reshape(-1)
+    gyf = gy.reshape(-1)
+    xm, ym, im, jm, ai, bi, aj, bj = _affine_seed(
+        gxf, gyf, src_h, src_w, ft
+    )
+    pxc = jnp.broadcast_to(
+        (jnp.arange(n_ci, dtype=ft) * (cs * tile))[None, :], (n_cj, n_ci)
+    )
+    pyc = jnp.broadcast_to(
+        (jnp.arange(n_cj, dtype=ft) * (cs * tile))[:, None], (n_cj, n_ci)
+    )
+    qi0 = jnp.clip(
+        jnp.nan_to_num(im + ai * (pxc - xm) + bi * (pyc - ym), nan=im)
+        .astype(jnp.int32),
+        0,
+        nqi - 1,
+    )
+    qj0 = jnp.clip(
+        jnp.nan_to_num(jm + aj * (pxc - xm) + bj * (pyc - ym), nan=jm)
+        .astype(jnp.int32),
+        0,
+        nqj - 1,
+    )
+    qj_c, qi_c = _walk_steps_flat(
+        gxf, gyf, w_row, nqj, nqi, qj0, qi0, pxc, pyc, coarse_iters
+    )
+    qj_f = jnp.repeat(jnp.repeat(qj_c, cs, axis=0), cs, axis=1)[
+        : n_tj + 1, : n_ti + 1
+    ]
+    qi_f = jnp.repeat(jnp.repeat(qi_c, cs, axis=0), cs, axis=1)[
+        : n_tj + 1, : n_ti + 1
+    ]
+    pxf = jnp.broadcast_to(
+        (jnp.arange(n_ti + 1, dtype=ft) * tile)[None, :],
+        (n_tj + 1, n_ti + 1),
+    )
+    pyf = jnp.broadcast_to(
+        (jnp.arange(n_tj + 1, dtype=ft) * tile)[:, None],
+        (n_tj + 1, n_ti + 1),
+    )
+    return _walk_steps_flat(
+        gxf, gyf, w_row, nqj, nqi, qj_f, qi_f, pxf, pyf, refine_iters
+    )
+
+
+def _hybrid_corner_minmax(c):
+    """Per-tile min/max of the four surrounding corner-lattice values."""
+    import jax.numpy as jnp
+
+    lo = jnp.minimum(
+        jnp.minimum(c[:-1, :-1], c[:-1, 1:]),
+        jnp.minimum(c[1:, :-1], c[1:, 1:]),
+    )
+    hi = jnp.maximum(
+        jnp.maximum(c[:-1, :-1], c[:-1, 1:]),
+        jnp.maximum(c[1:, :-1], c[1:, 1:]),
+    )
+    return lo, hi
+
+
+def _build_hybrid_seed_kernel(
+    src_shape, dst_shape, dtype, tile, coarse_iters, refine_iters,
+    max_edge, margin,
+):
+    """Stage 1 of the hybrid Phase A: device gate + corner walk + exact
+    window needs, independent of the dense kernel's window size.
+
+    The gate re-derives :func:`_walk_gate` on device (finite coords,
+    uniform triangle orientation across the swath, bounded quad edge) so
+    the host never touches the coordinate arrays beyond normalization.
+    Returns the corner-lattice quad guesses (kept device-resident for
+    stage 2) and one tiny int32 vector [gate_ok, need_j, need_i] — the
+    per-axis window-node count that covers every tile's quad range plus
+    the acceptance margins, clamped at the swath bounds — which the host
+    fetches to pick the dense window buckets exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    src_h, src_w = src_shape
+    ft = dtype
+
+    @jax.jit
+    def seed(gx, gy):
+        # --- device gate (the host _walk_gate's checks) ---
+        p0x = gx[:-1, :-1]
+        p1x = gx[:-1, 1:]
+        p2x = gx[1:, :-1]
+        p3x = gx[1:, 1:]
+        p0y = gy[:-1, :-1]
+        p1y = gy[:-1, 1:]
+        p2y = gy[1:, :-1]
+        p3y = gy[1:, 1:]
+        det_a = _fdet(p0x, p0y, p1x, p1y, p2x, p2y)
+        det_b = _fdet(p3x, p3y, p2x, p2y, p1x, p1y)
+        finite_ok = jnp.all(jnp.isfinite(gx)) & jnp.all(jnp.isfinite(gy))
+        orient_a = (jnp.max(det_a) < 0) | (jnp.min(det_a) > 0)
+        orient_b = (jnp.max(det_b) < 0) | (jnp.min(det_b) > 0)
+        edge = jnp.maximum(
+            jnp.maximum(
+                jnp.max(jnp.abs(p1x - p0x)), jnp.max(jnp.abs(p2x - p0x))
+            ),
+            jnp.maximum(
+                jnp.max(jnp.abs(p1y - p0y)), jnp.max(jnp.abs(p2y - p0y))
+            ),
+        )
+        gate_ok = finite_ok & orient_a & orient_b & (edge <= ft(max_edge))
+
+        # --- corner walk + per-axis window needs ---
+        cqj, cqi = _hybrid_corner_walk(
+            gx, gy, src_shape, dst_shape, ft, tile,
+            coarse_iters, refine_iters,
+        )
+        qj_lo, qj_hi = _hybrid_corner_minmax(cqj)
+        qi_lo, qi_hi = _hybrid_corner_minmax(cqi)
+        # window nodes needed on each axis: the margin-padded quad range
+        # clamped at the swath bounds (quads outside don't exist), plus
+        # the closing node — so need <= src dim always holds and tiny
+        # swaths are served by a whole-axis window
+        nqj, nqi = src_h - 1, src_w - 1
+        need_j = jnp.max(
+            jnp.minimum(qj_hi + margin, nqj - 1)
+            - jnp.maximum(qj_lo - margin, 0)
+        ) + 2
+        need_i = jnp.max(
+            jnp.minimum(qi_hi + margin, nqi - 1)
+            - jnp.maximum(qi_lo - margin, 0)
+        ) + 2
+        meta = jnp.stack(
+            [gate_ok.astype(jnp.int32), need_j, need_i]
+        )
+        return cqj, cqi, meta
+
+    return seed
+
+
+def _build_hybrid_dense_kernel(
+    src_shape, dst_shape, dtype, uv_delta, tile, win_j, win_i, margin
+):
+    """Stage 2 of the hybrid Phase A: per-tile static source windows +
+    dense min-rank acceptance.
+
+    Each tile loads one (win_j x win_i) coordinate window as contiguous
+    ``dynamic_slice`` rows (no per-pixel random gathers — those serialize
+    at ~1e8 elements/s on TPU and made the pure Newton walk 4x slower),
+    then every pixel tests all window quads with the exact triangle
+    acceptance and first-writer-wins rank order of the host kernel
+    (reference /root/reference/xcube_resampling/rectify.py:544-576).
+    Window cover is guaranteed by construction: the wins are picked from
+    stage 1's exact bound-clamped per-axis needs."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -1741,103 +1902,28 @@ def _build_hybrid_kernel(
     src_h, src_w = src_shape
     dst_h, dst_w = dst_shape
     nqj, nqi = src_h - 1, src_w - 1
-    w_row = src_w
     ft = dtype
     u_min = -uv_delta
     uv_max = 1.0 + 2 * uv_delta
     inf = jnp.iinfo(jnp.int32).max
     n_tj = -(-dst_h // tile)
     n_ti = -(-dst_w // tile)
-    # coarse lattice: every 8th tile corner (stride 8*tile dst pixels)
-    cs = 8
-    n_cj = (n_tj // cs) + 2
-    n_ci = (n_ti // cs) + 2
 
     @jax.jit
-    def hybrid(gx, gy):
-        gxf = gx.reshape(-1)
-        gyf = gy.reshape(-1)
-        xm, ym, im, jm, ai, bi, aj, bj = _affine_seed(
-            gxf, gyf, src_h, src_w, ft
-        )
+    def dense(gx, gy, cqj, cqi):
+        qj_lo, _ = _hybrid_corner_minmax(cqj)
+        qi_lo, _ = _hybrid_corner_minmax(cqi)
+        base_j = jnp.clip(qj_lo - margin, 0, src_h - win_j).reshape(-1)
+        base_i = jnp.clip(qi_lo - margin, 0, src_w - win_i).reshape(-1)
 
-        # ---- stage 1: walk the tile-corner lattice ----
-        # coarse level (stride cs corners), seeded by the affine fit
-        pxc = jnp.broadcast_to(
-            (jnp.arange(n_ci, dtype=ft) * (cs * tile))[None, :], (n_cj, n_ci)
-        )
-        pyc = jnp.broadcast_to(
-            (jnp.arange(n_cj, dtype=ft) * (cs * tile))[:, None], (n_cj, n_ci)
-        )
-        qi0 = jnp.clip(
-            jnp.nan_to_num(
-                im + ai * (pxc - xm) + bi * (pyc - ym), nan=im
-            ).astype(jnp.int32),
-            0,
-            nqi - 1,
-        )
-        qj0 = jnp.clip(
-            jnp.nan_to_num(
-                jm + aj * (pxc - xm) + bj * (pyc - ym), nan=jm
-            ).astype(jnp.int32),
-            0,
-            nqj - 1,
-        )
-        qj_c, qi_c = _walk_steps_flat(
-            gxf, gyf, w_row, nqj, nqi, qj0, qi0, pxc, pyc, coarse_iters
-        )
-
-        # full corner lattice ((n_tj+1) x (n_ti+1)): nearest upsample of
-        # the coarse guesses, then a short refinement walk
-        qj_f = jnp.repeat(jnp.repeat(qj_c, cs, axis=0), cs, axis=1)[
-            : n_tj + 1, : n_ti + 1
-        ]
-        qi_f = jnp.repeat(jnp.repeat(qi_c, cs, axis=0), cs, axis=1)[
-            : n_tj + 1, : n_ti + 1
-        ]
-        pxf = jnp.broadcast_to(
-            (jnp.arange(n_ti + 1, dtype=ft) * tile)[None, :],
-            (n_tj + 1, n_ti + 1),
-        )
-        pyf = jnp.broadcast_to(
-            (jnp.arange(n_tj + 1, dtype=ft) * tile)[:, None],
-            (n_tj + 1, n_ti + 1),
-        )
-        cqj, cqi = _walk_steps_flat(
-            gxf, gyf, w_row, nqj, nqi, qj_f, qi_f, pxf, pyf, refine_iters
-        )
-
-        # ---- stage 2: per-tile window bases + span-fit flag ----
-        def corner_minmax(c):
-            lo = jnp.minimum(
-                jnp.minimum(c[:-1, :-1], c[:-1, 1:]),
-                jnp.minimum(c[1:, :-1], c[1:, 1:]),
-            )
-            hi = jnp.maximum(
-                jnp.maximum(c[:-1, :-1], c[:-1, 1:]),
-                jnp.maximum(c[1:, :-1], c[1:, 1:]),
-            )
-            return lo, hi
-
-        qj_lo, qj_hi = corner_minmax(cqj)
-        qi_lo, qi_hi = corner_minmax(cqi)
-        # window quads [base, base+win-2] must cover
-        # [q_lo - margin, q_hi + margin]
-        fits = jnp.all(
-            (qj_hi - qj_lo <= win - 2 - 2 * margin)
-            & (qi_hi - qi_lo <= win - 2 - 2 * margin)
-        )
-        base_j = jnp.clip(qj_lo - margin, 0, src_h - win).reshape(-1)
-        base_i = jnp.clip(qi_lo - margin, 0, src_w - win).reshape(-1)
-
-        # ---- stage 3: window node loads (batched contiguous slices) ----
+        # window node loads: batched contiguous slices
         def load(b_j, b_i):
             return (
-                lax.dynamic_slice(gx, (b_j, b_i), (win, win)),
-                lax.dynamic_slice(gy, (b_j, b_i), (win, win)),
+                lax.dynamic_slice(gx, (b_j, b_i), (win_j, win_i)),
+                lax.dynamic_slice(gy, (b_j, b_i), (win_j, win_i)),
             )
 
-        wx, wy = jax.vmap(load)(base_j, base_i)  # (T, win, win)
+        wx, wy = jax.vmap(load)(base_j, base_i)  # (T, win_j, win_i)
 
         # quad corners as 4D window views: (T, win-1, win-1)
         p0x = wx[:, :-1, :-1]
@@ -1850,14 +1936,18 @@ def _build_hybrid_kernel(
         p3y = wy[:, 1:, 1:]
         det_a = jnp.nan_to_num(_fdet(p0x, p0y, p1x, p1y, p2x, p2y), nan=0.0)
         det_b = jnp.nan_to_num(_fdet(p3x, p3y, p2x, p2y, p1x, p1y), nan=0.0)
-        safe_a = jnp.where(det_a == 0.0, 1.0, det_a)
-        safe_b = jnp.where(det_b == 0.0, 1.0, det_b)
+        # per-quad reciprocals: the uv solves below run per (pixel, quad),
+        # so dividing there would cost billions of VPU divides — divide
+        # once per quad and multiply in the broadcast instead
+        inv_a = 1.0 / jnp.where(det_a == 0.0, 1.0, det_a)
+        inv_b = 1.0 / jnp.where(det_b == 0.0, 1.0, det_b)
 
-        # global row-major quad rank of every window quad: (T, wq, wq)
-        wq = win - 1
-        dj = jnp.arange(wq, dtype=jnp.int32)
+        # global row-major quad rank of every window quad:
+        # (T, win_j-1, win_i-1)
+        dj = jnp.arange(win_j - 1, dtype=jnp.int32)
+        di = jnp.arange(win_i - 1, dtype=jnp.int32)
         qj_g = base_j[:, None, None] + dj[None, :, None]
-        qi_g = base_i[:, None, None] + dj[None, None, :]
+        qi_g = base_i[:, None, None] + di[None, None, :]
         rank = qj_g * nqi + qi_g
 
         # pixel centers of every tile: (T, P) with T row-major (tj, ti)
@@ -1875,46 +1965,33 @@ def _build_hybrid_kernel(
             pyr[:, :, None], (n_t, tile, tile)
         ).reshape(n_t, p_n, 1, 1)
 
-        def solve_uv():
-            """The pixels-x-quads broadcast chain ((T, P, wq, wq) fused
-            terms): acceptance masks + both triangle solutions."""
-            e0x = p0x[:, None]
-            e0y = p0y[:, None]
-            ua = _fu(
-                dst_x, dst_y, e0x, e0y, p2x[:, None], p2y[:, None]
-            ) / safe_a[:, None]
-            va = _fv(
-                dst_x, dst_y, e0x, e0y, p1x[:, None], p1y[:, None]
-            ) / safe_a[:, None]
-            ok_a = (
-                (det_a[:, None] != 0.0) & (ua >= u_min) & (va >= u_min)
-                & (ua + va <= uv_max)
-            )
-            e3x = p3x[:, None]
-            e3y = p3y[:, None]
-            ub = _fu(
-                dst_x, dst_y, e3x, e3y, p1x[:, None], p1y[:, None]
-            ) / safe_b[:, None]
-            vb = _fv(
-                dst_x, dst_y, e3x, e3y, p2x[:, None], p2y[:, None]
-            ) / safe_b[:, None]
-            ok_b = (
-                (det_b[:, None] != 0.0) & (ub >= u_min) & (vb >= u_min)
-                & (ub + vb <= uv_max)
-            )
-            return ua, va, ok_a, ub, vb, ok_b
-
-        # pass 1: min global rank of the accepting quads (fused reduce —
-        # the (T, P, wq, wq) terms are never materialized)
-        ua, va, ok_a, ub, vb, ok_b = solve_uv()
+        # the pixels-x-quads broadcast chain ((T, P, wq, wq) fused
+        # terms): acceptance masks + both triangle solutions
+        e0x = p0x[:, None]
+        e0y = p0y[:, None]
+        ua = _fu(
+            dst_x, dst_y, e0x, e0y, p2x[:, None], p2y[:, None]
+        ) * inv_a[:, None]
+        va = _fv(
+            dst_x, dst_y, e0x, e0y, p1x[:, None], p1y[:, None]
+        ) * inv_a[:, None]
+        ok_a = (
+            (det_a[:, None] != 0.0) & (ua >= u_min) & (va >= u_min)
+            & (ua + va <= uv_max)
+        )
+        e3x = p3x[:, None]
+        e3y = p3y[:, None]
+        ub = _fu(
+            dst_x, dst_y, e3x, e3y, p1x[:, None], p1y[:, None]
+        ) * inv_b[:, None]
+        vb = _fv(
+            dst_x, dst_y, e3x, e3y, p2x[:, None], p2y[:, None]
+        ) * inv_b[:, None]
+        ok_b = (
+            (det_b[:, None] != 0.0) & (ub >= u_min) & (vb >= u_min)
+            & (ub + vb <= uv_max)
+        )
         accept = ok_a | ok_b
-        best = jnp.min(
-            jnp.where(accept, rank[:, None], inf), axis=(2, 3)
-        )  # (T, P)
-
-        # pass 2: payload of the winner (rank == best selects exactly one
-        # quad; min-reduce carries its value out without a gather)
-        sel = accept & (rank[:, None] == best[:, :, None, None])
         gi = qi_g.astype(ft)[:, None]
         gj = qj_g.astype(ft)[:, None]
         src_if = jnp.where(
@@ -1927,23 +2004,51 @@ def _build_hybrid_kernel(
             gj + jnp.clip(va, 0.0, 1.0),
             (gj + 1) - jnp.clip(vb, 0.0, 1.0),
         )
-        big = ft(jnp.inf)
-        out_i = jnp.min(jnp.where(sel, src_if, big), axis=(2, 3))
-        out_j = jnp.min(jnp.where(sel, src_jf, big), axis=(2, 3))
+        rank_pq = jnp.where(accept, rank[:, None], inf)
+
+        # ONE variadic min-by-rank reduce carries the winner's payload
+        # out with its rank — a (best, then rank==best re-select) pair of
+        # reductions would traverse the fused broadcast twice
+        def min_by_rank(acc, val):
+            ar, ai_, aj_ = acc
+            br, bi_, bj_ = val
+            take_b = br < ar
+            return (
+                jnp.where(take_b, br, ar),
+                jnp.where(take_b, bi_, ai_),
+                jnp.where(take_b, bj_, aj_),
+            )
+
+        best, out_i, out_j = lax.reduce(
+            (rank_pq, src_if, src_jf),
+            (np.int32(inf), np.dtype(ft).type(np.nan),
+             np.dtype(ft).type(np.nan)),
+            min_by_rank,
+            (2, 3),
+        )
         found = best < inf
         out_i = jnp.where(found, out_i, jnp.nan)
         out_j = jnp.where(found, out_j, jnp.nan)
 
-        # ---- assembly: (T, t, t) -> (2, dst_h, dst_w) ----
+        # assembly: (T, t, t) -> (2, dst_h, dst_w)
         o_i = out_i.reshape(n_tj, n_ti, tile, tile).transpose(0, 2, 1, 3)
         o_j = out_j.reshape(n_tj, n_ti, tile, tile).transpose(0, 2, 1, 3)
         hp, wp = n_tj * tile, n_ti * tile
-        full_map = jnp.stack(
-            [o_i.reshape(hp, wp), o_j.reshape(hp, wp)]
-        )
-        return full_map[:, :dst_h, :dst_w], fits
+        full_map = jnp.stack([o_i.reshape(hp, wp), o_j.reshape(hp, wp)])
+        return full_map[:, :dst_h, :dst_w]
 
-    return hybrid
+    return dense
+
+
+def _normalize_chunked(sx, offset, scale, out):
+    """(sx - offset) / scale in float64 math, written chunk-by-chunk into
+    ``out`` (float32 on accelerators) — cache-sized chunks cost ~one
+    memory pass on this rig's slow single-core host instead of four."""
+    h = sx.shape[0]
+    step = max(1, (1 << 21) // max(sx.shape[1], 1))  # ~16 MB f64 chunks
+    for r0 in range(0, h, step):
+        r1 = min(r0 + step, h)
+        out[r0:r1] = (sx[r0:r1] - offset) / scale
 
 
 def inverse_ij_map_hybrid(
@@ -1957,7 +2062,7 @@ def inverse_ij_map_hybrid(
     dst_x_scale: float,
     dst_y_scale: float,
     uv_delta: float,
-    tile: int = 8,
+    tile: int = 16,
     margin: int = 2,
     coarse_iters: int = 24,
     refine_iters: int = 6,
@@ -1966,17 +2071,23 @@ def inverse_ij_map_hybrid(
 
     The pure Newton walk (:func:`inverse_ij_map_walk`) is exact but pays
     ~70 random flat gathers per destination pixel (fine walk + 3x3
-    acceptance); on TPU those serialize at ~10^8 elements/s and dominate
-    the whole rectify.  Here the per-pixel work is gather-free: walks run
-    only on the tile-corner lattice (1/tile^2 of the pixels), each tile
-    loads one static (win x win) source-coordinate window as contiguous
-    ``dynamic_slice`` rows, and every pixel tests all window quads with
-    the tiled kernel's dense min-rank broadcast (exact first-writer-wins
-    winner, reference rectify.py:544-576).  A device flag confirms every
-    tile's corner-walk span fits its window (margin quads of slack); on
-    failure the caller escalates to the next window bucket and finally
-    falls back to the walk/planner tiers, so the contract stays
-    host-kernel-identical winners and NaN coverage on gated swaths."""
+    acceptance); on TPU those serialize at ~1e8 elements/s and dominate
+    the whole rectify.  Here the per-pixel work is gather-free, in two
+    device stages:
+
+    1. :func:`_build_hybrid_seed_kernel` — device gate (finite coords,
+       uniform orientation, bounded edge), corner-lattice walk, and the
+       exact per-axis quad spans of every tile; the host fetches three
+       int32 scalars and picks the dense window bucket exactly (no
+       estimator, no speculative compiles, no wasted dense dispatch).
+    2. :func:`_build_hybrid_dense_kernel` — per-tile static (win x win)
+       coordinate windows loaded as contiguous slices + the dense
+       min-rank acceptance broadcast.
+
+    Winner selection and NaN coverage match the host kernel (reference
+    /root/reference/xcube_resampling/rectify.py:458-576) on every swath
+    the gate accepts; geometries it cannot serve return None and fall to
+    the walk / host-planned stencil tiers."""
     import jax
     import jax.numpy as jnp
 
@@ -1984,45 +2095,10 @@ def inverse_ij_map_hybrid(
 
     dst_h, dst_w = dst_shape
     src_h, src_w = src_x.shape
-    if src_h < 2 or src_w < 2 or dst_h < tile or dst_w < tile:
+    if src_h < 2 or src_w < 2 or dst_h < 4 or dst_w < 4:
         return None
     if src_h * src_w > 2**30:
         return None
-
-    with _T("phase_a.hybrid.normalize"):
-        sx = np.asarray(src_x, dtype=np.float64)
-        sy = np.asarray(src_y, dtype=np.float64)
-        gx = _scratch("gx", sx.shape, np.float64)
-        gy = _scratch("gy", sy.shape, np.float64)
-        np.subtract(sx, dst_x_offset, out=gx)
-        gx /= dst_x_scale
-        np.subtract(sy, dst_y_offset, out=gy)
-        gy /= dst_y_scale
-
-    with _T("phase_a.hybrid.gate"):
-        gx32 = _scratch("gx32", gx.shape, np.float32)
-        gy32 = _scratch("gy32", gy.shape, np.float32)
-        gx32[:] = gx
-        gy32[:] = gy
-        if not _walk_gate(gx32, gy32, max_edge=float(max(dst_h, dst_w))):
-            return None
-        # window sizing: quads a tile can span ~ tile / min displacement
-        # of one source step (either axis), plus acceptance margins
-        e1 = np.maximum(
-            np.abs(gx32[:, 1:] - gx32[:, :-1]),
-            np.abs(gy32[:, 1:] - gy32[:, :-1]),
-        )
-        e2 = np.maximum(
-            np.abs(gx32[1:] - gx32[:-1]),
-            np.abs(gy32[1:] - gy32[:-1]),
-        )
-        emin = max(min(float(e1.min()), float(e2.min())), 1e-9)
-        win0 = int(np.ceil(tile / emin)) + 2 * margin + 3
-
-    wins = [w for w in _HYBRID_WINS if w >= win0]
-    if not wins or win0 > _HYBRID_WINS[-1]:
-        return None
-    wins = [min(w, src_h, src_w) for w in wins]
 
     if jax.config.read("jax_enable_x64") and jax.default_backend() == "cpu":
         dt = jnp.float64
@@ -2031,37 +2107,95 @@ def inverse_ij_map_hybrid(
         dt = jnp.float32
         np_dt = np.float32
 
+    # normalize/upload interleaved per array: gy's host pass overlaps
+    # gx's async device transfer (the tunnel moves ~35 MB/s, so every
+    # overlappable host millisecond counts)
+    with _T("phase_a.hybrid.normalize"):
+        sx = np.asarray(src_x, dtype=np.float64)
+        sy = np.asarray(src_y, dtype=np.float64)
+        gx_n = _scratch("hyb_gx", sx.shape, np_dt)
+        gy_n = _scratch("hyb_gy", sy.shape, np_dt)
+        _normalize_chunked(sx, dst_x_offset, dst_x_scale, gx_n)
     with _T("phase_a.hybrid.stage"):
-        gx_d = jnp.asarray(gx, dtype=dt)
-        gy_d = jnp.asarray(gy, dtype=dt)
+        gx_d = jnp.asarray(gx_n, dtype=dt)
+    with _T("phase_a.hybrid.normalize"):
+        _normalize_chunked(sy, dst_y_offset, dst_y_scale, gy_n)
+    with _T("phase_a.hybrid.stage"):
+        gy_d = jnp.asarray(gy_n, dtype=dt)
 
-    for win in wins:
-        key = (
+    max_edge = float(max(dst_h, dst_w))
+    cap = _HYBRID_WINS[-1]
+
+    # smallest static window bucket covering stage 1's exact need
+    # (need <= src dim by construction, so only a >cap need — a very
+    # wide tile-to-quad ratio — forces a smaller tile or a fallback)
+    def pick(need, src_dim):
+        for bucket in _HYBRID_WINS:
+            if min(bucket, src_dim) >= need:
+                return min(bucket, src_dim)
+        return None
+
+    # coarse destination resolutions span many quads per pixel: cascade
+    # to smaller tiles until the window need fits the bucket cap, using
+    # the measured per-pixel quad rate to skip hopeless tiles
+    rate = None
+    chosen = None
+    for t in (16, 8, 4):
+        if t > tile or dst_h < t or dst_w < t:
+            continue
+        if rate is not None and t != 4:
+            if rate * t + 2 * margin + 4 > cap:
+                continue
+        seed_key = (
             (src_h, src_w), (dst_h, dst_w), np.dtype(np_dt).str,
-            float(uv_delta), tile, win, margin, coarse_iters, refine_iters,
+            t, coarse_iters, refine_iters, max_edge, margin,
         )
-        fn = _HYBRID_JIT.get(key)
-        if fn is None:
-            fn = _build_hybrid_kernel(
-                (src_h, src_w), (dst_h, dst_w), dt, float(uv_delta),
-                tile, win, margin, coarse_iters, refine_iters,
+        seed = _HYBRID_SEED_JIT.get(seed_key)
+        if seed is None:
+            seed = _build_hybrid_seed_kernel(
+                (src_h, src_w), (dst_h, dst_w), dt, t,
+                coarse_iters, refine_iters, max_edge, margin,
             )
-            _HYBRID_JIT[key] = fn
-        with _T("phase_a.hybrid.dispatch"):
-            out_d, fits = fn(gx_d, gy_d)
-        with _T("phase_a.hybrid.flag_fetch"):
-            ok = bool(fits)
-        if ok:
-            shim = PhaseAPlan(
-                dst_h=dst_h,
-                dst_w=dst_w,
-                src_i_min=src_i_min,
-                src_j_min=src_j_min,
-                dtype=dt,
-            )
-            return DeviceIJMap(shim, out_d)
-    return None
+            _HYBRID_SEED_JIT[seed_key] = seed
+        with _T("phase_a.hybrid.seed"):
+            cqj, cqi, meta = seed(gx_d, gy_d)
+        with _T("phase_a.hybrid.meta_fetch"):
+            gate_ok, need_j, need_i = (int(v) for v in np.asarray(meta))
+        if not gate_ok:
+            return None
+        win_j = pick(need_j, src_h)
+        win_i = pick(need_i, src_w)
+        if win_j is not None and win_i is not None:
+            chosen = (t, win_j, win_i, cqj, cqi)
+            break
+        rate = max(need_j, need_i, 2 * margin + 5) / t
 
+    if chosen is None:
+        return None
+    t, win_j, win_i, cqj, cqi = chosen
+
+    dense_key = (
+        (src_h, src_w), (dst_h, dst_w), np.dtype(np_dt).str,
+        float(uv_delta), t, win_j, win_i, margin,
+    )
+    dense = _HYBRID_DENSE_JIT.get(dense_key)
+    if dense is None:
+        dense = _build_hybrid_dense_kernel(
+            (src_h, src_w), (dst_h, dst_w), dt, float(uv_delta),
+            t, win_j, win_i, margin,
+        )
+        _HYBRID_DENSE_JIT[dense_key] = dense
+    with _T("phase_a.hybrid.dense"):
+        out_d = dense(gx_d, gy_d, cqj, cqi)
+
+    shim = PhaseAPlan(
+        dst_h=dst_h,
+        dst_w=dst_w,
+        src_i_min=src_i_min,
+        src_j_min=src_j_min,
+        dtype=dt,
+    )
+    return DeviceIJMap(shim, out_d)
 
 def inverse_ij_map_device(
     src_x: np.ndarray,
