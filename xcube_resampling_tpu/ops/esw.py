@@ -43,6 +43,7 @@ per-pixel inverse-transform + bilinear gather semantics).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -996,12 +997,23 @@ def make_esw_region_fn(
     def _win_or_full(win):
         return win if win is not None else (0, src_h_g, 0, src_w_g)
 
-    # group by piece shape only; n_samples is forced to the group max so
-    # members share one kernel (fewer compiled programs and dispatches —
-    # each program is a separate round trip through the remote service)
+    # group by piece shape AND tap-diversity octave; the group maxima
+    # (n_samples, d_v, d_h, window) set every member's cost, so a
+    # singularity-adjacent piece with d ~ 70 must not share a kernel with
+    # the d ~ 12 bulk — banding by the forced-layout cost estimate keeps
+    # each kernel's diversity within 2x of its cheapest member while the
+    # compile/dispatch count stays ~2-3 per shape
     groups: dict = {}
     for desc in esw_desc:
-        key = (desc[1] - desc[0], desc[3] - desc[2])
+        p = desc[6]
+        est = p.d_v * max(1, 128 // max(p.col_tile, 1)) + p.d_h * max(
+            1, 128 // max(p.row_tile, 1)
+        )
+        key = (
+            desc[1] - desc[0],
+            desc[3] - desc[2],
+            max(int(est), 1).bit_length(),
+        )
         groups.setdefault(key, []).append(desc)
 
     def _demote_to_gather(desc):
@@ -1009,7 +1021,7 @@ def make_esw_region_fn(
         ixs, iys = _slice_raw(ix_r, iy_r, step, r0, r1, c0, c1)
         gather_desc.append((r0, r1, c0, c1, ixs, iys))
 
-    for (gh, gw), descs in groups.items():
+    for (gh, gw, _band), descs in groups.items():
         g_S = max(d[6].n_samples for d in descs)
         force = {
             "n_samples": g_S,
@@ -1123,6 +1135,15 @@ def make_esw_region_fn(
             vgroups.append(
                 (group_cfg, group_prekw, gh, gw, wh, ww, members)
             )
+            if os.environ.get("XRTPU_MOSAIC_DEBUG", ""):
+                print(
+                    f"[mosaic] esw group out={gh}x{gw} n={len(members)} "
+                    f"win={wh}x{ww} S={uniform['n_samples']} "
+                    f"d_v={uniform['d_v']} d_h={uniform['d_h']} "
+                    f"per-piece (S, d_v, d_h): "
+                    f"{sorted((rp[2].n_samples, rp[2].d_v, rp[2].d_h) for rp in ok)}",
+                    flush=True,
+                )
 
     # gather pieces: batch same-shaped pieces into one vmapped program
     # (the quadtree emits many identically-sized singularity-adjacent
