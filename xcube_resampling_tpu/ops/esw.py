@@ -1006,13 +1006,13 @@ def make_esw_region_fn(
     groups: dict = {}
     for desc in esw_desc:
         p = desc[6]
-        est = p.d_v * max(1, 128 // max(p.col_tile, 1)) + p.d_h * max(
-            1, 128 // max(p.row_tile, 1)
-        )
+        est_v = p.d_v * max(1, 128 // max(p.col_tile, 1))
+        est_h = p.d_h * max(1, 128 // max(p.row_tile, 1))
         key = (
             desc[1] - desc[0],
             desc[3] - desc[2],
-            max(int(est), 1).bit_length(),
+            max(int(est_v), 1).bit_length(),
+            max(int(est_h), 1).bit_length(),
         )
         groups.setdefault(key, []).append(desc)
 
@@ -1021,7 +1021,7 @@ def make_esw_region_fn(
         ixs, iys = _slice_raw(ix_r, iy_r, step, r0, r1, c0, c1)
         gather_desc.append((r0, r1, c0, c1, ixs, iys))
 
-    for (gh, gw, _band), descs in groups.items():
+    for (gh, gw, *_band), descs in groups.items():
         g_S = max(d[6].n_samples for d in descs)
         force = {
             "n_samples": g_S,
@@ -1140,6 +1140,7 @@ def make_esw_region_fn(
                     f"[mosaic] esw group out={gh}x{gw} n={len(members)} "
                     f"win={wh}x{ww} S={uniform['n_samples']} "
                     f"d_v={uniform['d_v']} d_h={uniform['d_h']} "
+                    f"shift=({force['use_shift_v']},{force['use_shift_h']}) "
                     f"per-piece (S, d_v, d_h): "
                     f"{sorted((rp[2].n_samples, rp[2].d_v, rp[2].d_h) for rp in ok)}",
                     flush=True,
