@@ -1720,6 +1720,9 @@ def inverse_ij_map_walk(
 
 _HYBRID_SEED_JIT: dict = {}
 _HYBRID_DENSE_JIT: dict = {}
+#: (shape/dtype/params family) -> (tile, win_j, win_i) used by the last
+#: call, for the optimistic overlap of dense dispatch with the meta fetch
+_HYBRID_LAST_WIN: dict = {}
 
 #: static window-node buckets for the hybrid dense kernel — few buckets
 #: keep the compile-cache small; the exact bucket is chosen from spans
@@ -2135,12 +2138,42 @@ def inverse_ij_map_hybrid(
                 return min(bucket, src_dim)
         return None
 
+    def get_dense(t, win_j, win_i):
+        dense_key = (
+            (src_h, src_w), (dst_h, dst_w), np.dtype(np_dt).str,
+            float(uv_delta), t, win_j, win_i, margin,
+        )
+        dense = _HYBRID_DENSE_JIT.get(dense_key)
+        if dense is None:
+            dense = _build_hybrid_dense_kernel(
+                (src_h, src_w), (dst_h, dst_w), dt, float(uv_delta),
+                t, win_j, win_i, margin,
+            )
+            _HYBRID_DENSE_JIT[dense_key] = dense
+        return dense
+
+    # product families reuse one geometry class: remember the window the
+    # last same-shaped call used and dispatch the dense kernel with it
+    # optimistically, so its execution overlaps the meta fetch instead of
+    # serializing on it (validated against the fetched needs before use)
+    family_key = (
+        (src_h, src_w), (dst_h, dst_w), np.dtype(np_dt).str,
+        float(uv_delta), tile, margin, coarse_iters, refine_iters,
+    )
+    guess = _HYBRID_LAST_WIN.get(family_key)
+
     # coarse destination resolutions span many quads per pixel: cascade
     # to smaller tiles until the window need fits the bucket cap, using
-    # the measured per-pixel quad rate to skip hopeless tiles
+    # the measured per-pixel quad rate to skip hopeless tiles (and the
+    # last same-family call's tile as the first candidate)
+    tiles = [16, 8, 4]
+    if guess is not None and guess[0] in tiles:
+        tiles.remove(guess[0])
+        tiles.insert(0, guess[0])
     rate = None
     chosen = None
-    for t in (16, 8, 4):
+    out_d = None
+    for t in tiles:
         if t > tile or dst_h < t or dst_w < t:
             continue
         if rate is not None and t != 4:
@@ -2159,10 +2192,24 @@ def inverse_ij_map_hybrid(
             _HYBRID_SEED_JIT[seed_key] = seed
         with _T("phase_a.hybrid.seed"):
             cqj, cqi, meta = seed(gx_d, gy_d)
+        optimistic = None
+        if guess is not None and guess[0] == t:
+            with _T("phase_a.hybrid.dense"):
+                optimistic = get_dense(t, guess[1], guess[2])(
+                    gx_d, gy_d, cqj, cqi
+                )
         with _T("phase_a.hybrid.meta_fetch"):
             gate_ok, need_j, need_i = (int(v) for v in np.asarray(meta))
         if not gate_ok:
             return None
+        if optimistic is not None:
+            g_wj, g_wi = guess[1], guess[2]
+            if (g_wj >= need_j or g_wj >= src_h) and (
+                g_wi >= need_i or g_wi >= src_w
+            ):
+                chosen = (t, g_wj, g_wi)
+                out_d = optimistic
+                break
         win_j = pick(need_j, src_h)
         win_i = pick(need_i, src_w)
         if win_j is not None and win_i is not None:
@@ -2172,21 +2219,13 @@ def inverse_ij_map_hybrid(
 
     if chosen is None:
         return None
-    t, win_j, win_i, cqj, cqi = chosen
-
-    dense_key = (
-        (src_h, src_w), (dst_h, dst_w), np.dtype(np_dt).str,
-        float(uv_delta), t, win_j, win_i, margin,
-    )
-    dense = _HYBRID_DENSE_JIT.get(dense_key)
-    if dense is None:
-        dense = _build_hybrid_dense_kernel(
-            (src_h, src_w), (dst_h, dst_w), dt, float(uv_delta),
-            t, win_j, win_i, margin,
-        )
-        _HYBRID_DENSE_JIT[dense_key] = dense
-    with _T("phase_a.hybrid.dense"):
-        out_d = dense(gx_d, gy_d, cqj, cqi)
+    if out_d is None:
+        t, win_j, win_i, cqj, cqi = chosen
+        with _T("phase_a.hybrid.dense"):
+            out_d = get_dense(t, win_j, win_i)(gx_d, gy_d, cqj, cqi)
+        _HYBRID_LAST_WIN[family_key] = (t, win_j, win_i)
+    else:
+        _HYBRID_LAST_WIN[family_key] = chosen
 
     shim = PhaseAPlan(
         dst_h=dst_h,
