@@ -176,6 +176,36 @@ def test_inverse_ij_map_hybrid_gate_and_kill_switch(monkeypatch):
     rectify_ops.inverse_ij_map_device(src_x, src_y, *args)
 
 
+def test_inverse_ij_map_hybrid_optimistic_window_reuse():
+    """Repeated same-shaped geometries reuse the last call's window
+    optimistically (the dense dispatch overlaps the meta fetch); a
+    same-shaped geometry whose window need EXCEEDS the remembered one
+    must fall back to the right-sized dispatch — results must equal the
+    host kernel in both directions."""
+    src_x, src_y = _swath(40, 44)
+
+    # fine resolution first: small per-tile windows remembered
+    fine = (0, 0, (64, 64), -3.0, 57.0, 0.35, -0.35, UV_DELTA)
+    a1 = rectify_ops.inverse_ij_map_hybrid(src_x, src_y, *fine)
+    a2 = rectify_ops.inverse_ij_map_hybrid(src_x, src_y, *fine)
+    assert a1 is not None and a2 is not None
+    np.testing.assert_array_equal(a1.as_numpy(), a2.as_numpy())
+    np.testing.assert_allclose(
+        a1.as_numpy(), rectify_ops.inverse_ij_map(src_x, src_y, *fine),
+        rtol=1e-9, atol=1e-9, equal_nan=True,
+    )
+
+    # same dst shape, much coarser resolution: per-tile spans grow, the
+    # remembered window cannot cover -> right-sized fallback, exact result
+    coarse = (0, 0, (64, 64), -3.0, 57.0, 1.2, -1.2, UV_DELTA)
+    b = rectify_ops.inverse_ij_map_hybrid(src_x, src_y, *coarse)
+    assert b is not None
+    np.testing.assert_allclose(
+        b.as_numpy(), rectify_ops.inverse_ij_map(src_x, src_y, *coarse),
+        rtol=1e-9, atol=1e-9, equal_nan=True,
+    )
+
+
 def test_inverse_ij_map_walk_gate_rejections(monkeypatch):
     """The walk must refuse swaths it cannot serve exactly: folded
     geometry (mixed quad orientation), NaN coordinates, and the
