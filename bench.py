@@ -41,6 +41,30 @@ def _remaining() -> float:
     return budget - (time.perf_counter() - _T0)
 
 
+def _mosaic_sentinel_path() -> str:
+    """Sentinel file marking the mosaic kernels as persistent-cache-warm.
+
+    Keyed on the kernel sources: if esw/srw/reproject_ops are unchanged
+    since the last successful mosaic bench, the XLA compile cache still
+    holds every group program and the attempt needs ~2 min, not ~20 —
+    so the budget guard can use a much smaller floor."""
+    import hashlib
+    import os
+
+    base = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    for rel in (
+        "xcube_resampling_tpu/ops/esw.py",
+        "xcube_resampling_tpu/ops/srw.py",
+        "xcube_resampling_tpu/ops/reproject_ops.py",
+    ):
+        with open(os.path.join(base, rel), "rb") as f:
+            h.update(f.read())
+    cache_dir = os.path.join(base, ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    return os.path.join(cache_dir, f"mosaic_warm_{h.hexdigest()[:16]}")
+
+
 def _pin_host_heap():
     """Defeat this VM's lazy page restore for host-side numpy work.
 
@@ -276,6 +300,8 @@ def bench_global_mosaics(log, exact=True, optin=True):
     """Config #3 extreme-warp mosaics — LAST in the run order: their
     one-time compiles take minutes through the remote XLA service, so a
     driver-side timeout should only ever lose these lines."""
+    import os
+
     import jax.numpy as jnp
 
     from xcube_resampling_tpu.gridmapping import GridMapping
@@ -297,10 +323,18 @@ def bench_global_mosaics(log, exact=True, optin=True):
     )
     results = {}
 
+    sentinel = _mosaic_sentinel_path()
+    kernels_warm = os.path.exists(sentinel)
+
     def _attempt(tag, build, min_budget=420.0):
         # the remote XLA service occasionally drops the connection mid-
         # compile ("response body closed ..."); one retry usually lands
-        # because partial results were cached service-side
+        # because partial results were cached service-side.  With the
+        # kernel sources unchanged since the last successful run the
+        # persistent compile cache serves every group program, so the
+        # attempt needs ~2 min of planning + dispatch, not ~20 of compile
+        if kernels_warm:
+            min_budget = min(min_budget, 180.0)
         if _remaining() < min_budget:
             log(
                 f"{tag}: skipped — {_remaining():.0f} s left of the bench "
@@ -320,6 +354,8 @@ def bench_global_mosaics(log, exact=True, optin=True):
                     f"reproject 4326->3035 bilinear [{tag}]: "
                     f"{mpix_s:.1f} Mpix/s ({dt*1e3:.2f} ms)"
                 )
+                with open(sentinel, "a"):
+                    os.utime(sentinel, None)
                 return
             except Exception as e:  # noqa: BLE001
                 log(f"{tag} bench attempt {attempt} failed: {e!r}")
