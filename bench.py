@@ -567,6 +567,37 @@ def bench_rectify(log):
         f"nearest: {amortized_1:.1f} Mpix/s single-band, "
         f"{amortized_16:.1f} Mpix/s 16-band"
     )
+
+    # Phase A with the coordinate arrays already device-resident — the
+    # multi-product streaming case (and any host where PCIe moves the
+    # 18 MB in ~2 ms; on this rig the ~35 MB/s tunnel upload dominates
+    # the per-geometry number above)
+    if isinstance(ij_map, rectify_ops.DeviceIJMap):
+        x1, y1, x2, y2 = target_gm.xy_bbox
+        swath = np.asarray(source_gm.xy_coords.data, dtype=np.float64)
+        gx = jnp.asarray(
+            (swath[0] - x1) / target_gm.x_res, dtype=jnp.float32
+        )
+        gy = jnp.asarray(
+            (swath[1] - y2) / -target_gm.y_res, dtype=jnp.float32
+        )
+        float(gx[0, 0])  # coords resident
+        seeds = list(rectify_ops._HYBRID_SEED_JIT.values())
+        denses = list(rectify_ops._HYBRID_DENSE_JIT.values())
+        if seeds and denses:
+            seed, dense = seeds[-1], denses[-1]
+
+            def _resident_phase_a(gx, gy):
+                cqj, cqi, meta = seed(gx, gy)
+                return dense(gx, gy, cqj, cqi)
+
+            dt_ar = _time_fn(_resident_phase_a, gx, gy, warmup=1, iters=3)
+            amortized_16r = total_pix / (dt_ar + dt_b) / 1e6
+            log(
+                f"rectify phase A (device, coords resident): "
+                f"{dt_ar*1e3:.0f} ms; amortized 16-band nearest: "
+                f"{amortized_16r:.1f} Mpix/s"
+            )
     return amortized_16
 
 
