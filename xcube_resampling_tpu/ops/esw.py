@@ -1218,12 +1218,15 @@ def make_esw_region_fn(
             return jax.jit(fun)
         return jax.jit(fun, donate_argnums=(out_argnum,))
 
-    # one jitted program per GROUP: vmap the shared kernel over the
-    # group's pieces (window slicing via per-piece dynamic_slice starts)
-    # and scatter the stacked results into the canvas — a whole-mosaic
-    # jit would exceed what the XLA service will compile, while eager
-    # per-piece dispatch pays the host round trip dozens of times
-    group_fns = []
+    # one traced BODY per group: vmap the shared kernel over the group's
+    # pieces (window slicing via per-piece dynamic_slice starts) and
+    # scatter the stacked results into the canvas.  Bodies are then
+    # fused into a handful of jitted bucket programs (see below) — on a
+    # remote-dispatch rig every extra program costs a host round trip
+    # (~2.5 ms apiece through this tunnel: 31 programs were ~78 ms of
+    # the round-2 mosaic's ~150 ms), while one whole-mosaic jit risks a
+    # service-dropping compile; a few buckets is the measured sweet spot
+    bodies = []  # (run_unjitted(src, out, *args) -> out, args_tuple)
     for group_cfg, group_prekw, gh, gw, wh, ww, members in vgroups:
         # stack the RAW coarse inputs on the host and run ONE vmapped
         # precompute per group (each eager precompute is a device round
@@ -1272,8 +1275,7 @@ def make_esw_region_fn(
         starts_rc = [(m[0], m[1]) for m in members]
         piece_kernel = partial(kernel_impl, cfg=group_cfg)
 
-        def make_group_fn(offs, stacked, starts_rc, piece_kernel, wh, ww):
-            n_st = len(stacked)
+        def make_group_body(stacked, starts_rc, piece_kernel, wh, ww):
             in_axes = (0,) + tuple(
                 0 if s is not None else None for s in stacked
             )
@@ -1295,15 +1297,13 @@ def make_esw_region_fn(
                     )
                 return out
 
-            run = _jit_canvas(run, 1)
+            return run
 
-            def group_fn(src, out):
-                return run(src, out, offs, *stacked)
-
-            return group_fn
-
-        group_fns.append(
-            make_group_fn(offs, stacked, starts_rc, piece_kernel, wh, ww)
+        bodies.append(
+            (
+                make_group_body(stacked, starts_rc, piece_kernel, wh, ww),
+                (offs,) + stacked,
+            )
         )
 
     for g_kernel, gh, gw, wh, ww, members in gather_vgroups:
@@ -1314,7 +1314,7 @@ def make_esw_region_fn(
         )
         starts_rc = [(m[0], m[1]) for m in members]
 
-        def make_gather_group_fn(kernel, offs, ix_st, iy_st, starts_rc, wh, ww):
+        def make_gather_group_body(kernel, starts_rc, wh, ww):
             def run(src, out, offs, ix_st, iy_st):
                 def one(off, ixc, iyc):
                     start = (0,) * (src.ndim - 2) + (off[0], off[1])
@@ -1332,29 +1332,70 @@ def make_esw_region_fn(
                     )
                 return out
 
-            run = _jit_canvas(run, 1)
+            return run
 
-            def group_fn(src, out):
-                return run(src, out, offs, ix_st, iy_st)
-
-            return group_fn
-
-        group_fns.append(
-            make_gather_group_fn(
-                g_kernel, offs, ix_st, iy_st, starts_rc, wh, ww
+        bodies.append(
+            (
+                make_gather_group_body(g_kernel, starts_rc, wh, ww),
+                (offs, ix_st, iy_st),
             )
         )
 
-    set_piece_kwargs = (
-        {} if jax.default_backend() == "cpu" else {"donate_argnums": (0,)}
-    )
-    set_piece = jax.jit(
-        lambda out, piece, r0, c0: jax.lax.dynamic_update_slice(
-            out, piece, (0,) * (out.ndim - 2) + (r0, c0)
-        ),
-        static_argnums=(2, 3),
-        **set_piece_kwargs,
-    )
+    # singleton pieces (own probe plan / baked-offset gather): fold them
+    # into the bucket programs too; their statics travel as jit
+    # ARGUMENTS (closing over them would bake program constants)
+    def make_piece_body(piece_fn, win, r0, c0):
+        def run(src, out, *statics):
+            piece_src = (
+                src[..., win[0] : win[1], win[2] : win[3]]
+                if win is not None
+                else src
+            )
+            piece = piece_fn(piece_src, *statics)
+            return jax.lax.dynamic_update_slice(
+                out, piece, (0,) * (out.ndim - 2) + (r0, c0)
+            )
+
+        return run
+
+    for r0, r1, c0, c1, win, piece_fn, statics in pieces:
+        bodies.append((make_piece_body(piece_fn, win, r0, c0), statics))
+
+    # ---- fuse bodies into a few jitted bucket programs.  Each bucket
+    # threads the donated canvas through its bodies in one trace: the
+    # host pays one dispatch round trip per BUCKET instead of per group,
+    # and XLA sees the full canvas dataflow (in-place piece scatters, no
+    # inter-program canvas handoffs).  XRTPU_MOSAIC_PROGS tunes the
+    # count; >1 keeps each one-time remote compile in the ~1-2 min range
+    n_progs = max(1, int(os.environ.get("XRTPU_MOSAIC_PROGS", "2")))
+    n_progs = min(n_progs, len(bodies))
+    bucket_fns = []
+    bounds = [
+        (len(bodies) * k) // n_progs for k in range(n_progs + 1)
+    ]
+
+    def make_bucket_fn(specs):
+        sizes = [len(a) for _, a in specs]
+        flat_args = [x for _, a in specs for x in a]
+
+        def run(src, out, *flat):
+            i = 0
+            for (body, _), n in zip(specs, sizes):
+                out = body(src, out, *flat[i : i + n])
+                i += n
+            return out
+
+        jrun = _jit_canvas(run, 1)
+
+        def bucket_fn(src, out):
+            return jrun(src, out, *flat_args)
+
+        return bucket_fn
+
+    for k in range(n_progs):
+        specs = bodies[bounds[k] : bounds[k + 1]]
+        if specs:
+            bucket_fns.append(make_bucket_fn(specs))
 
     def fn(src):
         src = jnp.asarray(src)
@@ -1363,16 +1404,8 @@ def make_esw_region_fn(
             jnp.float32(fill_value),
             dtype=jnp.float32,
         )
-        for group_fn in group_fns:
-            out = group_fn(src, out)
-        for r0, r1, c0, c1, win, piece_fn, statics in pieces:
-            piece_src = (
-                src[..., win[0] : win[1], win[2] : win[3]]
-                if win is not None
-                else src
-            )
-            piece = piece_fn(piece_src, *statics)
-            out = set_piece(out, piece, r0, c0)
+        for bucket_fn in bucket_fns:
+            out = bucket_fn(src, out)
         return out
 
     return fn
