@@ -1153,6 +1153,15 @@ def make_esw_region_fn(
     ggroups: dict = {}
     for d in gather_desc:
         ggroups.setdefault((d[1] - d[0], d[3] - d[2]), []).append(d)
+    if os.environ.get("XRTPU_MOSAIC_DEBUG", "") and gather_desc:
+        g_pix = sum((d[1] - d[0]) * (d[3] - d[2]) for d in gather_desc)
+        print(
+            f"[mosaic] gather pieces n={len(gather_desc)} "
+            f"pixels={g_pix} ({100.0 * g_pix / (out_h * out_w):.2f}% of "
+            f"target) shapes="
+            f"{sorted(((gh, gw), len(v)) for (gh, gw), v in ggroups.items())}",
+            flush=True,
+        )
     gather_vgroups = []  # (kernel, gh, gw, wh, ww, members)
     for (gh, gw), ds_ in ggroups.items():
         wins = []
@@ -1408,4 +1417,5 @@ def make_esw_region_fn(
             out = bucket_fn(src, out)
         return out
 
+    fn._buckets = bucket_fns  # diagnostics: per-bucket timing probes
     return fn
