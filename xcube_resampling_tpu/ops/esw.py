@@ -1312,6 +1312,8 @@ def make_esw_region_fn(
             (
                 make_group_body(stacked, starts_rc, piece_kernel, wh, ww),
                 (offs,) + stacked,
+                ("esw", gh, gw, wh, ww, n_m,
+                 uniform["n_samples"], uniform["d_v"], uniform["d_h"]),
             )
         )
 
@@ -1347,6 +1349,7 @@ def make_esw_region_fn(
             (
                 make_gather_group_body(g_kernel, starts_rc, wh, ww),
                 (offs, ix_st, iy_st),
+                ("gather", gh, gw, wh, ww, len(members)),
             )
         )
 
@@ -1368,7 +1371,14 @@ def make_esw_region_fn(
         return run
 
     for r0, r1, c0, c1, win, piece_fn, statics in pieces:
-        bodies.append((make_piece_body(piece_fn, win, r0, c0), statics))
+        bodies.append(
+            (
+                make_piece_body(piece_fn, win, r0, c0),
+                statics,
+                ("piece", r0, r1, c0, c1,
+                 None if win is None else (win[1] - win[0], win[3] - win[2])),
+            )
+        )
 
     # ---- fuse bodies into a few jitted bucket programs.  Each bucket
     # threads the donated canvas through its bodies in one trace: the
@@ -1384,12 +1394,12 @@ def make_esw_region_fn(
     ]
 
     def make_bucket_fn(specs):
-        sizes = [len(a) for _, a in specs]
-        flat_args = [x for _, a in specs for x in a]
+        sizes = [len(a) for _, a, _ in specs]
+        flat_args = [x for _, a, _ in specs for x in a]
 
         def run(src, out, *flat):
             i = 0
-            for (body, _), n in zip(specs, sizes):
+            for (body, _, _), n in zip(specs, sizes):
                 out = body(src, out, *flat[i : i + n])
                 i += n
             return out
@@ -1399,6 +1409,7 @@ def make_esw_region_fn(
         def bucket_fn(src, out):
             return jrun(src, out, *flat_args)
 
+        bucket_fn._meta = [m for _, _, m in specs]
         return bucket_fn
 
     for k in range(n_progs):
