@@ -285,6 +285,7 @@ def test_xy_bbox_parity():
     np.testing.assert_allclose(dev, ref)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("interp", ["bilinear", "triangular"])
 def test_resident_srw_phase_b_parity(monkeypatch, interp):
     """Phase-B resident SRW (lattice-planned, no full-map fetch) matches
