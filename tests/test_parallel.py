@@ -521,3 +521,46 @@ def test_sharded_rectify_mesh_size_invariance():
             )
         )
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_sharded_rectify_device_resident_map():
+    """Passing the Phase-A map device-resident (jax array or DeviceIJMap)
+    must reproduce the host-numpy-map raster exactly: the halo is sized
+    from the on-device per-band extent reduction (a 2n-scalar fetch)
+    instead of a full-map host fetch."""
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs multiple devices")
+    from xcube_resampling_tpu.ops.rectify_ops import DeviceIJMap, PhaseAPlan
+    from xcube_resampling_tpu.parallel import sharded_rectify
+
+    source_gm, target_gm, ij_map, bands = _swath_case()
+    mesh = make_mesh(("bands",))
+
+    def run(m):
+        return np.asarray(
+            sharded_rectify(
+                jnp.asarray(bands),
+                source_gm,
+                target_gm,
+                mesh,
+                interp_method="bilinear",
+                ij_map=m,
+            )
+        )
+
+    host = run(ij_map)
+    dev = run(jnp.asarray(ij_map, dtype=jnp.float32))
+    np.testing.assert_array_equal(host, dev)
+
+    shim = PhaseAPlan(
+        dst_h=ij_map.shape[-2],
+        dst_w=ij_map.shape[-1],
+        src_i_min=0,
+        src_j_min=0,
+        dtype=jnp.float32,
+    )
+    wrapped = run(
+        DeviceIJMap(shim, jnp.asarray(ij_map, dtype=jnp.float32))
+    )
+    np.testing.assert_array_equal(host, wrapped)

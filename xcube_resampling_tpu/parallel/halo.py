@@ -799,7 +799,7 @@ def make_sharded_esw_step(
 
 def make_sharded_rectify_step(
     mesh,
-    ij_map: np.ndarray,
+    ij_map,
     src_shape: tuple[int, int],
     axis_name: str = "bands",
     interp_method: str = "nearest",
@@ -808,6 +808,11 @@ def make_sharded_rectify_step(
 ):
     """Sharded rectify Phase B: gather source bands through a fractional
     source-index map (rectify Phase A's output) across a device mesh.
+
+    ``ij_map`` may be a host numpy array, a jax array, or a
+    :class:`~xcube_resampling_tpu.ops.rectify_ops.DeviceIJMap` — with the
+    device forms the map stays resident: halo sizing fetches only the 2n
+    per-band extents and the reshard rides ICI, never the host.
 
     The map's rows ARE the target rows, so the map is sharded over
     ``mesh[axis_name]`` alongside the output; the source swath is sharded
@@ -834,6 +839,20 @@ def make_sharded_rectify_step(
 
     n = mesh.shape[axis_name]
     src_h, src_w = src_shape
+
+    # the map may be host-side (np.ndarray) or device-resident (a
+    # rectify_ops.DeviceIJMap or jax array).  The device form keeps the
+    # multi-chip pipeline free of full-map host round trips — on the
+    # bench tunnel a single fetch of the float64 OLCI-size map costs
+    # ~20 s, and halo sizing only needs two scalars per band
+    if hasattr(ij_map, "device_map"):
+        map_arr = ij_map.device_map()
+    elif isinstance(ij_map, jax.Array):
+        map_arr = ij_map
+    else:
+        ij_map = np.asarray(ij_map)
+        map_arr = None
+
     out_h, out_w = ij_map.shape[-2], ij_map.shape[-1]
     band_h = -(-src_h // n)
     out_band_h = -(-out_h // n)
@@ -842,28 +861,62 @@ def make_sharded_rectify_step(
 
     # halo = worst-case distance of any target band's source-row taps from
     # its proportional source band, read off the exact map (+1 for the
-    # second bilinear tap, +1 slack)
+    # second bilinear tap, +1 slack).  Device-resident maps reduce the
+    # per-band extents on device and fetch 2n floats
     need = 0.0
-    with np.errstate(invalid="ignore"):
+    if map_arr is None:
+        with np.errstate(invalid="ignore"):
+            for k in range(n):
+                rows = ij_map[1][
+                    k * out_band_h : min((k + 1) * out_band_h, out_h)
+                ]
+                if rows.size == 0 or not np.isfinite(rows).any():
+                    continue
+                lo = float(np.nanmin(rows))
+                hi = float(np.nanmax(rows)) + 1.0
+                need = max(
+                    need, k * band_h - lo, hi - (k * band_h + band_h - 1)
+                )
+    else:
+        rows_d = map_arr[1]
+        if out_pad_h:
+            rows_d = jnp.pad(
+                rows_d, ((0, out_pad_h), (0, 0)),
+                constant_values=jnp.nan,
+            )
+        rows_d = rows_d.reshape(n, out_band_h, out_w)
+        los = np.asarray(jnp.nanmin(rows_d, axis=(1, 2)))
+        his = np.asarray(jnp.nanmax(rows_d, axis=(1, 2)))
         for k in range(n):
-            rows = ij_map[1][k * out_band_h : min((k + 1) * out_band_h, out_h)]
-            if rows.size == 0 or not np.isfinite(rows).any():
+            if not np.isfinite(los[k]):
                 continue
-            lo = float(np.nanmin(rows))
-            hi = float(np.nanmax(rows)) + 1.0
-            need = max(need, k * band_h - lo, hi - (k * band_h + band_h - 1))
+            lo = float(los[k])
+            hi = float(his[k]) + 1.0
+            need = max(
+                need, k * band_h - lo, hi - (k * band_h + band_h - 1)
+            )
     halo = min(int(np.ceil(max(0.0, need))) + 1, (n - 1) * band_h)
     use_halo = n > 1 and halo > 0
 
-    map_p = ij_map
-    if out_pad_h:
-        map_p = np.pad(
-            map_p,
-            [(0, 0)] * (map_p.ndim - 2) + [(0, out_pad_h), (0, 0)],
-            constant_values=np.nan,
-        )
+    if map_arr is None:
+        map_p = ij_map
+        if out_pad_h:
+            map_p = np.pad(
+                map_p,
+                [(0, 0)] * (map_p.ndim - 2) + [(0, out_pad_h), (0, 0)],
+                constant_values=np.nan,
+            )
+        map_j = jnp.asarray(map_p, dtype=jnp.float32)
+    else:
+        map_j = map_arr.astype(jnp.float32)
+        if out_pad_h:
+            map_j = jnp.pad(
+                map_j,
+                [(0, 0)] * (map_j.ndim - 2) + [(0, out_pad_h), (0, 0)],
+                constant_values=jnp.nan,
+            )
     map_d = jax.device_put(
-        jnp.asarray(map_p, dtype=jnp.float32),
+        map_j,
         NamedSharding(mesh, P(None, axis_name, None)),
     )
 
@@ -965,13 +1018,15 @@ def sharded_rectify(
         from ..constants import UV_DELTA
         from ..rectify import _compute_target_source_ij
 
+        # a DeviceIJMap from the device Phase-A tiers is consumed
+        # resident: make_sharded_rectify_step sizes the halo from a tiny
+        # on-device reduction and reshards the map over ICI — the full
+        # map never crosses the host boundary
         ij_map = _compute_target_source_ij(source_gm, target_gm, UV_DELTA)
-        if hasattr(ij_map, "as_numpy"):
-            ij_map = ij_map.as_numpy()
 
     step_fn, (src_pad_h, out_h) = make_sharded_rectify_step(
         mesh,
-        np.asarray(ij_map),
+        ij_map,
         (source_gm.height, source_gm.width),
         axis_name=axis_name,
         interp_method=interp_method,
