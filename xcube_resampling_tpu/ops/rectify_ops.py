@@ -1727,7 +1727,7 @@ _HYBRID_LAST_WIN: dict = {}
 #: static window-node buckets for the hybrid dense kernel — few buckets
 #: keep the compile-cache small; the exact bucket is chosen from spans
 #: measured on device, so no bucket is ever compiled speculatively
-_HYBRID_WINS = (8, 12, 16, 20, 24, 32, 48)
+_HYBRID_WINS = (8, 12, 16, 20, 24, 28, 32, 36, 40, 48)
 
 
 def _hybrid_corner_walk(
@@ -2200,6 +2200,12 @@ def inverse_ij_map_hybrid(
                 )
         with _T("phase_a.hybrid.meta_fetch"):
             gate_ok, need_j, need_i = (int(v) for v in np.asarray(meta))
+        if os.environ.get("XRTPU_HYBRID_DEBUG", ""):
+            print(
+                f"[hybrid] tile={t} gate={bool(gate_ok)} "
+                f"need=({need_j},{need_i})",
+                flush=True,
+            )
         if not gate_ok:
             return None
         if optimistic is not None:
