@@ -44,7 +44,7 @@ gy = jnp.asarray((lat - y_off) / y_scale, dtype=jnp.float32)
 float(gx[0, 0])  # resident
 
 ref = None
-for tile in (16, 8):
+for tile in (16, 12, 8):
     ro._HYBRID_LAST_WIN.clear()
     ro._HYBRID_SEED_JIT.clear()
     ro._HYBRID_DENSE_JIT.clear()

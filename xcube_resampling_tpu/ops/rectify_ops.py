@@ -2166,7 +2166,7 @@ def inverse_ij_map_hybrid(
     # to smaller tiles until the window need fits the bucket cap, using
     # the measured per-pixel quad rate to skip hopeless tiles (and the
     # last same-family call's tile as the first candidate)
-    tiles = [16, 8, 4]
+    tiles = [16, 12, 8, 4]
     if guess is not None and guess[0] in tiles:
         tiles.remove(guess[0])
         tiles.insert(0, guess[0])
