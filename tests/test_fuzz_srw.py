@@ -29,6 +29,13 @@ _CENTERS = {
 
 pytestmark = pytest.mark.slow
 
+#: deterministic prefix of the sweep runs by default; XRTPU_FUZZ_FULL=1
+#: restores the full case count (CI / release verification)
+import os
+
+FUZZ_FULL = bool(os.environ.get("XRTPU_FUZZ_FULL", ""))
+FUZZ_CASES = 30 if FUZZ_FULL else 12
+
 
 def _rand_gm(rng, crs):
     if crs == "epsg:4326":
@@ -56,7 +63,7 @@ def _rand_gm(rng, crs):
 def test_fuzz_srw_parity():
     rng = np.random.default_rng(7)
     engaged = 0
-    for _ in range(30):
+    for _ in range(FUZZ_CASES):
         src_crs, tgt_crs = rng.choice(CRS_POOL, 2, replace=False)
         try:
             sgm = _rand_gm(rng, src_crs)
@@ -144,4 +151,5 @@ def test_fuzz_srw_parity():
                     f"{src_crs}->{tgt_crs}: triangular median err "
                     f"{float(np.quantile(dt, 0.5))}"
                 )
-    assert engaged >= 5, f"only {engaged} configurations engaged SRW"
+    floor = 5 if FUZZ_FULL else 2
+    assert engaged >= floor, f"only {engaged} configurations engaged SRW"
