@@ -323,17 +323,31 @@ def plan_esw(
         )
 
     tiles_h = (512, 256, 128, 64, 32, 16)
+    h_sweep = None
     if force is not None:
         rt_f = force["row_tile"]
         if force["use_shift_h"]:
             s_h_full, res_h = _sh_full()
-            base_h, d_h = _h_layout(_interp_cols(res_h, out_w, step), rt_f)
+            res_cols_f = _interp_cols(res_h, out_w, step)
             s_h = s_h_full
             bits_h = int(s_h_full.max()).bit_length()
         else:
-            base_h, d_h = _h_layout(_interp_cols(ix64, out_w, step), rt_f)
+            res_cols_f = _interp_cols(ix64, out_w, step)
             s_h = None
             bits_h = 0
+        base_h, d_h = _h_layout(res_cols_f, rt_f)
+        # mosaic groups share one forced row tile; d_h scales with the
+        # per-tile row span (vertical shear x tile height), so the caller
+        # can request per-candidate layouts and pick the group-cheapest
+        # AFTER seeing every member's needs (see make_esw_region_fn)
+        sweep = force.get("row_tile_sweep")
+        if sweep:
+            h_sweep = {
+                rt: _h_layout(res_cols_f, rt)
+                for rt in sweep
+                if rt <= out_h and rt != rt_f
+            }
+            h_sweep[rt_f] = (base_h, d_h)
         row_tile = rt_f
         if d_h > 2 * max_taps:
             return None
@@ -364,7 +378,7 @@ def plan_esw(
         if not use_shift_h:
             bits_h = 0
 
-    return ESWPlan(
+    plan = ESWPlan(
         iystar_c=iystar.astype(np.float32),
         ix_c=fields_global.ix64.astype(np.float32),
         iy_c=fields_global.iy64.astype(np.float32),
@@ -389,6 +403,9 @@ def plan_esw(
         j_off=j_off,
         i_off=i_off,
     )
+    if h_sweep is not None:
+        plan.h_sweep = h_sweep
+    return plan
 
 
 class _KernelCfg:
@@ -1027,6 +1044,7 @@ def make_esw_region_fn(
             "n_samples": g_S,
             "col_tile": 128,
             "row_tile": min(128, gh),
+            "row_tile_sweep": tuple(t for t in (128, 64, 32, 16) if t <= gh),
             "use_shift_v": any(d[6].s_v is not None for d in descs),
             "use_shift_h": any(d[6].s_h is not None for d in descs),
         }
@@ -1056,6 +1074,42 @@ def make_esw_region_fn(
                 **plan_kwargs,
             )
             replans.append((desc, win2, plan2))
+
+        # adaptive group row tile: d_h scales with the per-tile row span
+        # (vertical shear x tile height), and the horizontal pass's
+        # d_h x (2S+6) selects dominate the warm mosaic's element-op
+        # volume — pick the shared candidate minimizing the group-max
+        # cost (ties within 5% go to the larger tile: fewer HLO ops)
+        planned = [rp[2] for rp in replans if rp[2] is not None]
+        if planned and all(getattr(p, "h_sweep", None) for p in planned):
+            rt_env = os.environ.get("XRTPU_MOSAIC_ROW_TILE", "")
+            cands = sorted(
+                set.intersection(*(set(p.h_sweep) for p in planned)),
+                reverse=True,
+            )
+            if rt_env:
+                best_rt = int(rt_env) if int(rt_env) in cands else None
+            else:
+                # trace guard: the unrolled tile loop emits
+                # n_tiles x d_h HLO ops — don't trade a runtime win for
+                # an unbounded compile-time regression
+                big = cands[0]
+                trace0 = -(-gh // big) * max(
+                    p.h_sweep[big][1] for p in planned
+                )
+                best_rt = None
+                best_cost = None
+                for rt in cands:  # descending: ties keep the larger tile
+                    cost = max(p.h_sweep[rt][1] for p in planned)
+                    if -(-gh // rt) * cost > 1.7 * trace0:
+                        continue
+                    if best_cost is None or cost < 0.95 * best_cost:
+                        best_rt, best_cost = rt, cost
+            if best_rt is not None:
+                force["row_tile"] = best_rt
+                for p in planned:
+                    p.base_h, p.d_h = p.h_sweep[best_rt]
+                    p.row_tile = best_rt
 
         # group tap counts are maxima: demote the most expensive members
         # to the gather kernel until the shared kernel's trace-size
