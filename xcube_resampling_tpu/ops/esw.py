@@ -1044,7 +1044,16 @@ def make_esw_region_fn(
             "n_samples": g_S,
             "col_tile": 128,
             "row_tile": min(128, gh),
-            "row_tile_sweep": tuple(t for t in (128, 64, 32, 16) if t <= gh),
+            # sweep layouts are only planned when the env knob asks for
+            # them: the A/B on hardware showed the volume-model pick
+            # regressing the warm mosaic 153 -> 125 Mpix/s (d_h has an
+            # interpolation floor, so finer tiles shave little volume
+            # while multiplying per-tile fixed costs)
+            "row_tile_sweep": (
+                tuple(t for t in (128, 64, 32, 16) if t <= gh)
+                if os.environ.get("XRTPU_MOSAIC_ROW_TILE", "")
+                else None
+            ),
             "use_shift_v": any(d[6].s_v is not None for d in descs),
             "use_shift_h": any(d[6].s_h is not None for d in descs),
         }
@@ -1075,11 +1084,14 @@ def make_esw_region_fn(
             )
             replans.append((desc, win2, plan2))
 
-        # adaptive group row tile: d_h scales with the per-tile row span
-        # (vertical shear x tile height), and the horizontal pass's
-        # d_h x (2S+6) selects dominate the warm mosaic's element-op
-        # volume — pick the shared candidate minimizing the group-max
-        # cost (ties within 5% go to the larger tile: fewer HLO ops)
+        # measurement-only group row tile override (XRTPU_MOSAIC_ROW_TILE:
+        # a number forces that shared tile, "adaptive" picks the candidate
+        # minimizing group-max d_h).  NOT the default: on hardware the
+        # adaptive pick measured 125 Mpix/s vs 153 for the fixed 128-row
+        # tile on the global singular config — d_h bottoms out at an
+        # interpolation floor (15 -> 12 on the bulk group for 4x the
+        # tiles), so the volume model's gains don't survive the per-tile
+        # fixed costs
         planned = [rp[2] for rp in replans if rp[2] is not None]
         if planned and all(getattr(p, "h_sweep", None) for p in planned):
             rt_env = os.environ.get("XRTPU_MOSAIC_ROW_TILE", "")
@@ -1087,7 +1099,7 @@ def make_esw_region_fn(
                 set.intersection(*(set(p.h_sweep) for p in planned)),
                 reverse=True,
             )
-            if rt_env:
+            if rt_env and rt_env != "adaptive":
                 best_rt = int(rt_env) if int(rt_env) in cands else None
             else:
                 # trace guard: the unrolled tile loop emits
