@@ -7,6 +7,15 @@ import sys
 
 sys.path.insert(0, ".")
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; honour it via the
+# config API so CPU-only runs (JAX_PLATFORMS=cpu) never grab the TPU lease.
+import os
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import json
 import struct
 import tempfile

@@ -12,6 +12,15 @@ import time
 
 sys.path.insert(0, ".")
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; honour it via the
+# config API so CPU-only runs (JAX_PLATFORMS=cpu) never grab the TPU lease.
+import os
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 from tests.sampledata import create_olci_like_swath
