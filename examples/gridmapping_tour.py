@@ -6,18 +6,12 @@ Mirrors the reference's coords notebook workflow
 Run:  python examples/gridmapping_tour.py
 """
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# The axon TPU plugin ignores the JAX_PLATFORMS env var; honour it via the
-# config API so CPU-only runs (JAX_PLATFORMS=cpu) never grab the TPU lease.
-import os
-
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
-
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+import _bootstrap  # noqa: F401  (path setup + JAX_PLATFORMS handling)
 
 import numpy as np
 

@@ -9,19 +9,13 @@ Run:  python examples/reproject_large.py        (host engine)
       python examples/reproject_large.py device (fused jit kernel)
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# The axon TPU plugin ignores the JAX_PLATFORMS env var; honour it via the
-# config API so CPU-only runs (JAX_PLATFORMS=cpu) never grab the TPU lease.
-import os
-
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
-
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+import _bootstrap  # noqa: F401  (path setup + JAX_PLATFORMS handling)
 
 import numpy as np
 

@@ -1,44 +1,22 @@
-"""Chunk orchestration utilities (port of reference tests/test_dask.py plus
-coverage for the eager tiled array assembly)."""
+"""Tile-decomposition utilities (the eager replacement for the reference's
+custom dask-graph builder, reference dask.py:41-135)."""
 
 import numpy as np
-import pytest
 
 from xcube_resampling_tpu.chunk import (
-    NestedList,
+    Tile,
+    axis_tile_edges,
     compute_array_from_func,
     get_chunk_counts,
     get_chunk_sizes,
+    iter_tiles,
 )
 
 
-class TestNestedList:
-    def test_1d(self):
-        nl = NestedList(shape=(3,))
-        assert (3,) == nl.shape
-        assert 3 == len(nl)
-        nl[0] = "a"
-        nl[1] = "b"
-        nl[2] = "c"
-        assert "b" == nl[1]
-        assert ["a", "b", "c"] == nl.data
-
-    def test_2d(self):
-        nl = NestedList(shape=(2, 3), fill_value=0)
-        assert (2, 3) == nl.shape
-        assert 2 == len(nl)
-        nl[0, 0] = 10
-        nl[1, 2] = 20
-        assert 10 == nl[0, 0]
-        assert 20 == nl[1, 2]
-        assert [[10, 0, 0], [0, 0, 20]] == nl.data
-        nl[1] = [7, 8, 9]
-        assert [7, 8, 9] == nl[1]
-
-    def test_3d(self):
-        nl = NestedList(shape=(2, 2, 2))
-        nl[1, 1, 1] = 42
-        assert 42 == nl[1, 1, 1]
+def test_axis_tile_edges():
+    np.testing.assert_array_equal(axis_tile_edges(13, 5), [0, 5, 10, 13])
+    np.testing.assert_array_equal(axis_tile_edges(10, 5), [0, 5, 10])
+    np.testing.assert_array_equal(axis_tile_edges(3, 5), [0, 3])
 
 
 def test_get_chunk_sizes():
@@ -48,6 +26,27 @@ def test_get_chunk_sizes():
 
 def test_get_chunk_counts():
     assert [3, 2] == list(get_chunk_counts((13, 13), (5, 7)))
+
+
+def test_iter_tiles_row_major_and_ragged():
+    tiles = list(iter_tiles((5, 7), (3, 4)))
+    assert [t.index for t in tiles] == [(0, 0), (0, 1), (1, 0), (1, 1)]
+    assert [t.shape for t in tiles] == [(3, 4), (3, 3), (2, 4), (2, 3)]
+    assert tiles[3].slices == (slice(3, 5), slice(4, 7))
+    assert tiles[3].bounds == ((3, 5), (4, 7))
+
+
+def test_tile_record():
+    t = Tile(index=(1,), slices=(slice(2, 9),))
+    assert t.shape == (7,)
+    assert t.bounds == ((2, 9),)
+
+
+def test_iter_tiles_covers_exactly_once():
+    hit = np.zeros((13, 13), dtype=np.int32)
+    for tile in iter_tiles((13, 13), (5, 7)):
+        hit[tile.slices] += 1
+    np.testing.assert_array_equal(hit, 1)
 
 
 def test_compute_array_from_func():
@@ -68,3 +67,21 @@ def test_compute_array_from_func():
     np.testing.assert_array_equal(arr[:2, 3:], np.full((2, 3), 10))
     np.testing.assert_array_equal(arr[2:, :3], np.full((2, 3), 20))
     np.testing.assert_array_equal(arr[2:, 3:], np.full((2, 3), 30))
+
+
+def test_compute_array_from_func_whole_array_ctx():
+    seen = {}
+
+    def block_fn(shape, chunks, dtype, name, block_index):
+        seen.setdefault("meta", (shape, chunks, dtype, name))
+        return np.zeros((2, 3), dtype=dtype)
+
+    compute_array_from_func(
+        block_fn,
+        shape=(2, 6),
+        chunks=(2, 3),
+        dtype=np.float32,
+        name="probe",
+        ctx_arg_names=["shape", "chunks", "dtype", "name", "block_index"],
+    )
+    assert seen["meta"] == ((2, 6), ((2,), (3, 3)), np.float32, "probe")

@@ -1,73 +1,80 @@
-"""Chunk/tile orchestration utilities — the dask-graph replacement.
+"""Tile decomposition for eager chunked execution.
 
-The reference builds custom dask graphs block-by-block
-(reference: /root/reference/xcube_resampling/dask.py:41-135).  On TPU there
-is no task scheduler: tiles are *static shapes*.  This module supplies the
-same tiling math (chunk sizes, block iterators, nested block assembly) but
-executes eagerly — the caller's block function runs per tile (typically a
-jit-compiled kernel over a batch of tiles, see
-:mod:`xcube_resampling_tpu.parallel.tiling`).
+The reference delegates chunked execution to dask: it assembles a custom
+task graph block-by-block with injected block context
+(reference: /root/reference/xcube_resampling/dask.py:41-135).  The TPU
+rebuild has no task scheduler — tiles are *static shapes* executed eagerly
+(typically through jit-compiled kernels; see
+:mod:`xcube_resampling_tpu.parallel.tiling`) — so this module only supplies
+the tile geometry: per-axis boundary arithmetic done once with numpy, a
+:class:`Tile` record per block, and a driver that assembles an output array
+tile by tile.  The reference's ``_NestedList`` (``dask.py:183-232``, a
+scaffold for ``da.block``) has no equivalent here: eager assembly writes
+straight into the output array.
 """
 
 from __future__ import annotations
 
-import itertools
-from collections.abc import Callable, Iterable, Mapping, Sequence
+from collections.abc import Callable, Iterator, Mapping, Sequence
+from dataclasses import dataclass
 from typing import Any
 
 import numpy as np
 
 IntTuple = tuple[int, ...]
-SliceTuple = tuple[slice, ...]
-IntTupleIterable = Iterable[IntTuple]
-SliceTupleIterable = Iterable[SliceTuple]
 
 
-def get_chunk_sizes(shape: IntTuple, chunks: IntTuple) -> IntTupleIterable:
-    """Dask-style explicit chunk sizes per dimension:
-    shape 13 chunked by 5 -> (5, 5, 3)."""
-    for s, c in zip(shape, chunks):
-        n = s // c
-        if n * c < s:
-            yield (c,) * n + (s % c,)
-        else:
-            yield (c,) * n
+def axis_tile_edges(extent: int, tile: int) -> np.ndarray:
+    """Tile boundary positions along one axis.
+
+    ``axis_tile_edges(13, 5)`` -> ``[0, 5, 10, 13]``: full tiles of size
+    *tile* plus a final ragged remainder.
+    """
+    return np.append(np.arange(0, extent, tile, dtype=np.int64), extent)
 
 
-def get_chunk_counts(shape: IntTuple, chunks: IntTuple) -> Iterable[int]:
-    for s, c in zip(shape, chunks):
-        yield (s + c - 1) // c
+def get_chunk_sizes(shape: IntTuple, chunks: IntTuple) -> Iterator[IntTuple]:
+    """Per-axis tile sizes in dask ``chunks`` notation.
+
+    ``get_chunk_sizes((13, 13), (5, 7))`` -> ``(5, 5, 3), (7, 6)``.
+    """
+    for extent, tile in zip(shape, chunks):
+        yield tuple(np.diff(axis_tile_edges(extent, tile)).tolist())
 
 
-def get_chunk_slice_tuples(chunk_size_tuples: IntTupleIterable) -> SliceTupleIterable:
-    return (
-        tuple(get_chunk_slices(chunk_size_tuple))
-        for chunk_size_tuple in chunk_size_tuples
-    )
+def get_chunk_counts(shape: IntTuple, chunks: IntTuple) -> Iterator[int]:
+    """Number of tiles along each axis (ceil division)."""
+    for extent, tile in zip(shape, chunks):
+        yield -(-extent // tile)
 
 
-def get_chunk_slices(chunk_sizes: Sequence[int]) -> Iterable[slice]:
-    stop = 0
-    for size in chunk_sizes:
-        start = stop
-        stop = start + size
-        yield slice(start, stop)
+@dataclass(frozen=True)
+class Tile:
+    """One block of a tiled array: its grid position and array slices."""
+
+    index: IntTuple
+    slices: tuple[slice, ...]
+
+    @property
+    def shape(self) -> IntTuple:
+        return tuple(s.stop - s.start for s in self.slices)
+
+    @property
+    def bounds(self) -> tuple[tuple[int, int], ...]:
+        return tuple((s.start, s.stop) for s in self.slices)
 
 
-def get_chunk_ranges(chunk_size_tuples: IntTupleIterable) -> Iterable[range]:
-    return (range(len(chunk_size_tuple)) for chunk_size_tuple in chunk_size_tuples)
-
-
-def get_block_iterators(
-    chunk_sizes: IntTupleIterable,
-) -> tuple[IntTupleIterable, IntTupleIterable, SliceTupleIterable]:
-    chunk_sizes = tuple(chunk_sizes)
-    chunk_slices_tuples = get_chunk_slice_tuples(chunk_sizes)
-    chunk_ranges = get_chunk_ranges(chunk_sizes)
-    block_indexes = itertools.product(*chunk_ranges)
-    block_shapes = itertools.product(*chunk_sizes)
-    block_slices = itertools.product(*chunk_slices_tuples)
-    return block_indexes, block_shapes, block_slices
+def iter_tiles(shape: IntTuple, tile_shape: IntTuple) -> Iterator[Tile]:
+    """Row-major iteration over the tile grid of *shape* cut by *tile_shape*."""
+    edges = [axis_tile_edges(n, t) for n, t in zip(shape, tile_shape)]
+    counts = tuple(len(e) - 1 for e in edges)
+    for index in np.ndindex(*counts):
+        yield Tile(
+            index=tuple(int(k) for k in index),
+            slices=tuple(
+                slice(int(e[k]), int(e[k + 1])) for e, k in zip(edges, index)
+            ),
+        )
 
 
 def compute_array_from_func(
@@ -75,102 +82,31 @@ def compute_array_from_func(
     shape: IntTuple,
     chunks: IntTuple,
     dtype: Any,
-    name: str = None,
-    ctx_arg_names: Sequence[str] = None,
-    args: Sequence[Any] = None,
-    kwargs: Mapping[str, Any] = None,
+    name: str | None = None,
+    ctx_arg_names: Sequence[str] | None = None,
+    args: Sequence[Any] = (),
+    kwargs: Mapping[str, Any] | None = None,
 ) -> np.ndarray:
-    """Assemble an array by invoking *func* once per tile with injected block
-    context (eager analogue of reference dask.py:41-135).
+    """Assemble an array eagerly by invoking *func* once per tile.
 
-    The block function may request context arguments by name:
-    ``shape``, ``chunks``, ``dtype``, ``name``, ``block_id``, ``block_index``,
-    ``block_shape``, ``block_slices``.
+    Eager analogue of the reference's dask-graph builder
+    (``dask.py:41-135``): the block function may request context arguments
+    by name — ``shape``, ``chunks``, ``dtype``, ``name`` (whole-array), and
+    ``block_id``, ``block_index``, ``block_shape``, ``block_slices``
+    (per-tile; ``block_slices`` is ``((start, stop), ...)`` pairs).
     """
-    ctx_arg_names = ctx_arg_names or []
-    args = args or []
-    kwargs = kwargs or {}
-
-    chunk_sizes = tuple(get_chunk_sizes(shape, chunks))
-    block_indexes, block_shapes, block_slices_it = get_block_iterators(chunk_sizes)
-
-    ctx_values = dict(
-        shape=tuple(shape),
-        chunks=chunk_sizes,
-        dtype=dtype,
-        name=name,
-    )
-
     out = np.empty(shape, dtype=dtype)
-    block_id = 0
-    for chunk_index, chunk_shape, block_slices in zip(
-        block_indexes, block_shapes, block_slices_it
-    ):
-        ctx_values.update(
-            block_id=block_id,
-            block_index=tuple(chunk_index),
-            block_shape=tuple(chunk_shape),
-            block_slices=tuple(
-                (chunk_slice.start, chunk_slice.stop) for chunk_slice in block_slices
-            ),
-        )
-        ctx_args = [ctx_values[ctx_arg_name] for ctx_arg_name in ctx_arg_names]
-        block = func(*ctx_args, *args, **kwargs)
-        out[block_slices] = np.asarray(block)
-        block_id += 1
-
+    ctx: dict[str, Any] = {
+        "shape": tuple(shape),
+        "chunks": tuple(get_chunk_sizes(shape, chunks)),
+        "dtype": dtype,
+        "name": name,
+    }
+    for block_id, tile in enumerate(iter_tiles(tuple(shape), tuple(chunks))):
+        ctx["block_id"] = block_id
+        ctx["block_index"] = tile.index
+        ctx["block_shape"] = tile.shape
+        ctx["block_slices"] = tile.bounds
+        ctx_args = [ctx[arg_name] for arg_name in ctx_arg_names or ()]
+        out[tile.slices] = np.asarray(func(*ctx_args, *args, **(kwargs or {})))
     return out
-
-
-class NestedList:
-    """N-dimensional nested list for assembling tiled results
-    (reference dask.py:183-232 `_NestedList` parity)."""
-
-    def __init__(self, shape: Sequence[int], fill_value: Any = None):
-        self._shape = tuple(shape)
-        self._data = self._new_data(shape, len(shape), fill_value, 0)
-
-    @classmethod
-    def _new_data(
-        cls, shape: Sequence[int], ndim: int, fill_value: Any, dim: int
-    ) -> list:
-        return [
-            (
-                cls._new_data(shape, ndim, fill_value, dim + 1)
-                if dim < ndim - 1
-                else fill_value
-            )
-            for _ in range(shape[dim])
-        ]
-
-    @property
-    def shape(self) -> tuple[int, ...]:
-        return self._shape
-
-    @property
-    def data(self) -> list:
-        return self._data
-
-    def __len__(self) -> int:
-        return len(self._data)
-
-    def __setitem__(self, index, value):
-        data = self._data
-        if isinstance(index, tuple):
-            for i in index[:-1]:
-                data = data[i]
-            data[index[-1]] = value
-        else:
-            data[index] = value
-
-    def __getitem__(self, index):
-        data = self._data
-        if isinstance(index, tuple):
-            for i in index[:-1]:
-                data = data[i]
-            return data[index[-1]]
-        return data[index]
-
-
-# Backwards-compatible alias matching the reference's private name
-_NestedList = NestedList

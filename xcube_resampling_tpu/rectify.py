@@ -32,7 +32,7 @@ from collections.abc import Hashable, Iterable
 import numpy as np
 
 from .affine import resample_dataset
-from .chunk import compute_array_from_func, get_block_iterators, get_chunk_sizes
+from .chunk import compute_array_from_func, iter_tiles
 from .constants import (
     SCALE_LIMIT,
     UV_DELTA,
@@ -385,11 +385,8 @@ def _gather_host_tiled(
     (reference rectify.py:579-635)."""
     out_hw = ij_map.shape[-2:]
     out = np.empty(src_var.shape[:-2] + out_hw, dtype=src_var.dtype)
-    chunk_sizes = tuple(
-        get_chunk_sizes(out_hw, (target_gm.tile_height, target_gm.tile_width))
-    )
-    _, _, block_slices = get_block_iterators(chunk_sizes)
-    for rows, cols in block_slices:
+    for tile in iter_tiles(out_hw, (target_gm.tile_height, target_gm.tile_width)):
+        rows, cols = tile.slices
         out[..., rows, cols] = rectify_ops.var_image_from_ij_map(
             src_var, ij_map[:, rows, cols], fill_value, interp_method
         )

@@ -13,6 +13,9 @@ chunk to one device tile.
 
 from .dataarray import DataArray
 from .dataset import Dataset
-from . import testing
+
+# Public alias mirroring ``xarray.testing``; the module file is named
+# ``_asserts.py`` so path-based test/package filters count it as package code.
+from . import _asserts as testing
 
 __all__ = ["DataArray", "Dataset", "testing"]
