@@ -6,7 +6,7 @@ import pytest
 from xcube_resampling_tpu.affine import affine_transform_dataset
 from xcube_resampling_tpu.crs import CRS, CRS_CRS84, CRS_WGS84
 from xcube_resampling_tpu.gridmapping import GridMapping
-from xcube_resampling_tpu.xrlite import Dataset
+from xcube_resampling_tpu.xrlite import DataArray, Dataset
 
 from .sampledata import (
     create_2x8x6_dataset_with_regular_coords,
@@ -286,3 +286,89 @@ def test_affine_raise_value_error(source_ds, source_gm):
         "as it causes unintended blending across the non-spatial (e.g., time) "
         "dimension." in str(excinfo.value)
     )
+
+
+# -- j-axis-up handling ------------------------------------------------------
+# The reference flips j-up sources only in reproject (reference
+# reproject.py:115-118), never in affine, so a j-up source silently shifts
+# every row by one through the corner-composed matrix.  Neither test suite
+# upstream covers this; these tests assert the corrected behavior.
+
+
+def _create_j_up_8x8_dataset():
+    res = 0.1
+    data = (8.0 * np.arange(8)[:, None] + np.arange(8)[None, :]).astype(
+        np.float64
+    )
+    return Dataset(
+        data_vars=dict(band=DataArray(data, dims=("lat", "lon"))),
+        coords=dict(
+            lon=DataArray(50.0 + res * np.arange(8) + 0.5 * res, dims="lon"),
+            # ascending latitude = j axis up
+            lat=DataArray(10.0 + res * np.arange(8) + 0.5 * res, dims="lat"),
+        ),
+    )
+
+
+def test_j_up_source_identity_flip():
+    source_ds = _create_j_up_8x8_dataset()
+    source_gm = GridMapping.from_dataset(source_ds)
+    assert source_gm.is_j_axis_up
+    target_gm = GridMapping.regular((8, 8), (50.0, 10.0), RES, source_gm.crs)
+    target_ds = affine_transform_dataset(source_ds, target_gm, interp_methods=1)
+    # bit-exact row reversal: no NaN edge row, no one-row shift
+    np.testing.assert_array_equal(
+        target_ds.band.values, source_ds.band.values[::-1]
+    )
+
+
+def test_j_up_source_downscale_x2_mean():
+    source_ds = _create_j_up_8x8_dataset()
+    source_gm = GridMapping.from_dataset(source_ds)
+    assert source_gm.is_j_axis_up
+    target_gm = GridMapping.regular((4, 4), (50.0, 10.0), 2 * RES, source_gm.crs)
+    target_ds = affine_transform_dataset(
+        source_ds, target_gm, interp_methods=1, agg_methods="mean"
+    )
+    # hand-computed 2x2 window means of the j-down twin: no NaN edge row
+    # silently absorbed, no wrong row pairs
+    expected = 52.5 - 16.0 * np.arange(4)[:, None] + 2.0 * np.arange(4)[None, :]
+    np.testing.assert_allclose(target_ds.band.values, expected)
+
+
+def test_j_up_target_identity_flip(source_ds, source_gm):
+    target_gm = GridMapping.regular(
+        (8, 6), (50.0, 10.0), RES, source_gm.crs, is_j_axis_up=True
+    )
+    # nearest: bilinear would spread the fixture's NaN to zero-weight
+    # neighbours (reference interpolation semantics), which is not what
+    # this test is about
+    target_ds = affine_transform_dataset(source_ds, target_gm, interp_methods=0)
+    np.testing.assert_array_equal(
+        target_ds.refl.values, source_ds.refl.values[::-1]
+    )
+    # the assigned y coordinate is ascending, matching the j-up target
+    assert target_ds.lat.values[0] < target_ds.lat.values[-1]
+
+
+def test_j_up_source_downscale_flipped_axis_aggregates():
+    # a flipped downscale axis must still take the aggregation split
+    # (the gate uses abs(scale)); compare against the j-down twin
+    source_ds = _create_j_up_8x8_dataset()
+    target_gm = GridMapping.regular((4, 4), (50.0, 10.0), 2 * RES, CRS_WGS84)
+    flipped = affine_transform_dataset(
+        source_ds, target_gm, interp_methods=1, agg_methods="mean"
+    )
+    j_down = Dataset(
+        data_vars=dict(
+            band=DataArray(source_ds.band.values[::-1], dims=("lat", "lon"))
+        ),
+        coords=dict(
+            lon=source_ds.lon,
+            lat=DataArray(source_ds.lat.values[::-1], dims="lat"),
+        ),
+    )
+    straight = affine_transform_dataset(
+        j_down, target_gm, interp_methods=1, agg_methods="mean"
+    )
+    np.testing.assert_array_equal(flipped.band.values, straight.band.values)

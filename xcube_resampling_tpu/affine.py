@@ -71,6 +71,16 @@ def affine_transform_dataset(
     dtype defaults) match the reference (affine.py:52-137)."""
     if source_gm is None:
         source_gm = GridMapping.from_dataset(source_ds)
+    if source_gm.is_j_axis_up:
+        # The corner-composed pixel matrix (ij_transform_to) is a valid
+        # index-space map only when no axis flips: with a flipped j axis it
+        # is off by exactly one row (the reference shares this flaw and
+        # flips sources only in reproject, reference reproject.py:115-118,
+        # never in affine).  Flip rows once — pixel centers are identical —
+        # so the engine always sees a j-down source.
+        row_dim = source_gm.xy_dim_names[1]
+        source_ds = source_ds.isel({row_dim: slice(None, None, -1)})
+        source_gm = source_gm.derive(is_j_axis_up=False)
     source_ds = normalize_grid_mapping(source_ds, source_gm)
 
     assert _can_apply_affine_transform(source_gm, target_gm), (
@@ -78,9 +88,16 @@ def affine_transform_dataset(
         f"{source_gm.crs.name!r} and target CRS {target_gm.crs.name!r}"
     )
 
+    # A j-up *target* flips the composed matrix the same way; compute on
+    # its j-down twin (identical pixel centers) and reverse output rows.
+    flip_output = target_gm.is_j_axis_up
+    compute_gm = (
+        target_gm.derive(is_j_axis_up=False) if flip_output else target_gm
+    )
+
     out = resample_dataset(
         _select_variables(source_ds, variables),
-        target_gm.ij_transform_to(source_gm),
+        compute_gm.ij_transform_to(source_gm),
         (source_gm.xy_dim_names[1], source_gm.xy_dim_names[0]),
         target_gm.size,
         target_gm.tile_size,
@@ -89,6 +106,8 @@ def affine_transform_dataset(
         recover_nans,
         fill_values,
     )
+    if flip_output:
+        out = out.isel({source_gm.xy_dim_names[1]: slice(None, None, -1)})
     x_name, y_name = target_gm.xy_var_names
     return out.assign_coords(
         {x_name: target_gm.x_coords, y_name: target_gm.y_coords}
@@ -181,7 +200,9 @@ def _resample_array(
     fill_value: FloatInt,
 ):
     i_scale, j_scale = affine_matrix[0][0], affine_matrix[1][1]
-    downscaling = (i_scale > 1 or j_scale > 1) and interp_method != 0
+    # abs(): a flipped axis (negative scale) must still aggregate when it
+    # downscales — the signed gate silently skipped the split
+    downscaling = (abs(i_scale) > 1 or abs(j_scale) > 1) and interp_method != 0
     if not downscaling:
         return _gather_resample(
             array, affine_matrix, output_shape, interp_method,
