@@ -918,3 +918,103 @@ def test_geostationary_wkt_round_trip_keeps_sweep():
     x1, y1 = f1(np.float64(20.0), np.float64(30.0), np)
     x2, y2 = f2(np.float64(20.0), np.float64(30.0), np)
     assert abs(x1 - x2) < 1e-6 and abs(y1 - y2) < 1e-6
+
+
+# -- round-4 registry additions (UPS, Belgian Lambert 72, ESRI world) --------
+
+
+def test_ups_north_epsg_guidance_example():
+    """EPSG Guidance Note 7-2 UPS example: 73N 44E -> E 3320416.75,
+    N 632668.43 (EPSG:5041, variant A, k0=0.994)."""
+    t = Transformer.from_crs(CRS.from_epsg(4326), CRS.from_epsg(5041),
+                             always_xy=True)
+    x, y = t.transform(np.float64(44.0), np.float64(73.0))
+    assert abs(x - 3320416.75) < 0.01
+    assert abs(y - 632668.43) < 0.01
+    # the pole is the false origin
+    x0, y0 = t.transform(np.float64(0.0), np.float64(90.0))
+    assert abs(x0 - 2000000.0) < 1e-6 and abs(y0 - 2000000.0) < 1e-6
+
+
+def test_ups_south_mirror_and_aliases():
+    t = Transformer.from_crs(CRS.from_epsg(4326), CRS.from_epsg(5042),
+                             always_xy=True)
+    x, y = t.transform(np.float64(44.0), np.float64(-73.0))
+    assert abs(x - 3320416.75) < 0.01
+    assert abs(y - 3367331.57) < 0.01
+    # 32661/32761 are the legacy UPS codes with swapped axis *names*;
+    # the projection itself is identical
+    for legacy, modern in ((32661, 5041), (32761, 5042)):
+        f1, _ = CRS.from_epsg(legacy).projection()
+        f2, _ = CRS.from_epsg(modern).projection()
+        x1, y1 = f1(np.float64(20.0), np.float64(75.0 if legacy == 32661 else -75.0), np)
+        x2, y2 = f2(np.float64(20.0), np.float64(75.0 if legacy == 32661 else -75.0), np)
+        assert x1 == x2 and y1 == y2
+
+
+def test_belgian_lambert_72():
+    bel = CRS.from_epsg(31370)
+    # projection origin invariants (datum-free): lat0=90 at lon0 lands on
+    # the false origin exactly (rho0 = 0 for the secant cone)
+    fwd, inv = bel.projection()
+    x0, y0 = fwd(np.float64(4.367486666666666), np.float64(90.0), np)
+    assert abs(x0 - 150000.013) < 1e-6
+    assert abs(y0 - 5400088.438) < 1e-6
+    # true to scale at both standard parallels (finite-difference scale)
+    for sp in (51.16666723333333, 49.8333339):
+        d = 1e-6
+        x1, y1 = fwd(np.float64(4.0), np.float64(sp), np)
+        x2, y2 = fwd(np.float64(4.0 + d), np.float64(sp), np)
+        ell = bel.ellipsoid
+        phi = np.radians(sp)
+        nu = ell.a / np.sqrt(1 - ell.e2 * np.sin(phi) ** 2)
+        expected = nu * np.cos(phi) * np.radians(d)
+        k = np.hypot(x2 - x1, y2 - y1) / expected
+        assert abs(k - 1.0) < 1e-7
+    # Brussels, via the BD72 datum shift (EPSG:15929): published value
+    # ~ (148853, 170705) for the Grand-Place
+    t = Transformer.from_crs(CRS.from_epsg(4326), bel, always_xy=True)
+    x, y = t.transform(np.float64(4.35247), np.float64(50.84673))
+    assert abs(x - 148853.0) < 5.0
+    assert abs(y - 170705.0) < 5.0
+    # round trip
+    ti = Transformer.from_crs(bel, CRS.from_epsg(4326), always_xy=True)
+    lon, lat = ti.transform(x, y)
+    # ~4e-9 deg residual: the conformal-latitude series inside the datum
+    # round trip, well under a millimetre
+    assert abs(lon - 4.35247) < 1e-7 and abs(lat - 50.84673) < 1e-7
+
+
+def test_esri_world_codes():
+    # Mollweide: x(lam, 0) = 2 sqrt(2)/pi * a * lam, spherical on a
+    mol = CRS.from_user_input("ESRI:54009")
+    fwd, inv = mol.projection()
+    x, y = fwd(np.float64(90.0), np.float64(0.0), np)
+    assert abs(x - np.sqrt(2.0) * 6378137.0) < 1e-3
+    assert abs(y) < 1e-9
+    lon, lat = inv(x, y, np)
+    assert abs(lon - 90.0) < 1e-9 and abs(lat) < 1e-9
+    # every registered ESRI world code resolves and round-trips
+    for code in (54004, 54008, 54009, 54032, 54034):
+        crs = CRS.from_authority("ESRI", code)
+        fwd, inv = crs.projection()
+        x, y = fwd(np.float64(12.5), np.float64(-33.0), np)
+        lon, lat = inv(x, y, np)
+        assert abs(lon - 12.5) < 1e-6 and abs(lat + 33.0) < 1e-6, crs.name
+
+
+def test_from_authority_and_errors():
+    assert CRS.from_authority("EPSG", 4326) is CRS.from_epsg(4326)
+    assert CRS.from_authority("OGC", "CRS84").name.startswith("WGS 84")
+    with pytest.raises(CRSError, match="unsupported EPSG code 99999"):
+        CRS.from_epsg(99999)
+    with pytest.raises(CRSError, match="unsupported ESRI code 54001"):
+        CRS.from_esri(54001)
+    with pytest.raises(CRSError, match="authority"):
+        CRS.from_authority("IAU", 1000)
+    # the EPSG error names the projection families the front door accepts
+    try:
+        CRS.from_epsg(99999)
+    except CRSError as e:
+        assert "transverse_mercator" in str(e)
+        assert "mollweide" in str(e)

@@ -391,8 +391,48 @@ class CRS:
             raise CRSError(f"invalid EPSG code {code!r}") from None
         crs = _epsg(code)
         if crs is None:
-            raise CRSError(f"unsupported EPSG code {code}")
+            raise CRSError(
+                f"unsupported EPSG code {code}. Registered: geographic "
+                f"(4326/4258/4269/4230/4277/4301/4267), UTM "
+                f"(326xx/327xx WGS 84, 258xx ETRS89, 230xx ED50), "
+                f"UPS (5041/5042/32661/32761), 3035, 3857, 3395, 3031, "
+                f"3413, 3034, 4087, 6933, 2154, 5243, 2046-2055, 2056, "
+                f"21781, 27700, 28992, 31370; any other CRS can be given "
+                f"as WKT, proj4, or CF grid-mapping attributes covering "
+                f"these projection families: "
+                f"{', '.join(sorted(_supported_projections()))}"
+            )
         return crs
+
+    @classmethod
+    def from_esri(cls, code: int | str) -> "CRS":
+        try:
+            code = int(code)
+        except (TypeError, ValueError):
+            raise CRSError(f"invalid ESRI code {code!r}") from None
+        crs = _esri(code)
+        if crs is None:
+            raise CRSError(
+                f"unsupported ESRI code {code}. Registered: "
+                f"{', '.join(f'ESRI:{c}' for c in sorted(_ESRI_WORLD))}; "
+                f"any other CRS can be given as WKT, proj4, or CF "
+                f"grid-mapping attributes"
+            )
+        return crs
+
+    @classmethod
+    def from_authority(cls, auth_name: str, code) -> "CRS":
+        """pyproj-compatible authority lookup (EPSG, ESRI, OGC)."""
+        auth = str(auth_name).strip().upper()
+        if auth == "EPSG":
+            return cls.from_epsg(code)
+        if auth == "ESRI":
+            return cls.from_esri(code)
+        if auth == "OGC" and str(code).strip().upper() == "CRS84":
+            return CRS_CRS84
+        raise CRSError(
+            f"unsupported authority {auth_name!r} (EPSG, ESRI, OGC:CRS84)"
+        )
 
     @classmethod
     def from_string(cls, text: str) -> "CRS":
@@ -407,6 +447,9 @@ class CRS:
         m = re.match(r"^(?:EPSG|epsg)\s*:\s*(\d+)$", s)
         if m:
             return cls.from_epsg(int(m.group(1)))
+        m = re.match(r"^ESRI\s*:\s*(\d+)$", s, re.IGNORECASE)
+        if m:
+            return cls.from_esri(int(m.group(1)))
         m = re.match(r"^urn:ogc:def:crs:EPSG:[^:]*:(\d+)$", s, re.IGNORECASE)
         if m:
             return cls.from_epsg(int(m.group(1)))
@@ -821,8 +864,113 @@ def _epsg(code: int) -> CRS | None:
             datum_name="Hartebeesthoek94",
             epsg=code,
         )
+    elif code in (5041, 32661):
+        crs = CRS(
+            kind="projected",
+            ellipsoid=WGS84,
+            proj_name="polar_stereographic",
+            params=_ups_params(north=True),
+            name=(
+                "WGS 84 / UPS North (E,N)"
+                if code == 5041
+                else "WGS 84 / UPS North (N,E)"
+            ),
+            epsg=code,
+        )
+    elif code in (5042, 32761):
+        crs = CRS(
+            kind="projected",
+            ellipsoid=WGS84,
+            proj_name="polar_stereographic",
+            params=_ups_params(north=False),
+            name=(
+                "WGS 84 / UPS South (E,N)"
+                if code == 5042
+                else "WGS 84 / UPS South (N,E)"
+            ),
+            epsg=code,
+        )
+    elif code == 31370:
+        from .datum import INTL1924
+
+        crs = CRS(
+            kind="projected",
+            ellipsoid=INTL1924,
+            proj_name="lambert_conformal_conic",
+            params={
+                "standard_parallel": [51.16666723333333, 49.8333339],
+                "latitude_of_projection_origin": 90.0,
+                "longitude_of_central_meridian": 4.367486666666666,
+                "false_easting": 150000.013,
+                "false_northing": 5400088.438,
+            },
+            name="BD72 / Belgian Lambert 72",
+            datum_name="Reseau National Belge 1972",
+            epsg=31370,
+        )
     if crs is not None:
         _EPSG_CACHE[code] = crs
+    return crs
+
+
+def _ups_params(north: bool) -> dict:
+    """Universal Polar Stereographic (EPSG method 9810 variant A):
+    scale factor 0.994 at the pole, 2000 km false origin offsets."""
+    return {
+        "latitude_of_projection_origin": 90.0 if north else -90.0,
+        "straight_vertical_longitude_from_pole": 0.0,
+        "scale_factor_at_projection_origin": 0.994,
+        "false_easting": 2000000.0,
+        "false_northing": 2000000.0,
+    }
+
+
+def _supported_projections():
+    from .projections import PROJECTION_FACTORIES
+
+    return PROJECTION_FACTORIES.keys()
+
+
+_ESRI_CACHE: dict[int, CRS] = {}
+
+#: ESRI:54xxx world projections on the WGS 84 datum that map onto the
+#: engine's projection families (the reference accepts these through
+#: pyproj, /root/reference/xcube_resampling/reproject.py:124-126)
+_ESRI_WORLD = {
+    54004: ("World_Mercator", "mercator", {}),
+    54008: ("World_Sinusoidal", "sinusoidal", {}),
+    54009: ("World_Mollweide", "mollweide", {}),
+    54032: ("World_Azimuthal_Equidistant", "azimuthal_equidistant", {}),
+    54034: (
+        "World_Cylindrical_Equal_Area",
+        "lambert_cylindrical_equal_area",
+        {"standard_parallel": 0.0},
+    ),
+}
+
+
+def _esri(code: int) -> CRS | None:
+    if code in _ESRI_CACHE:
+        return _ESRI_CACHE[code]
+    entry = _ESRI_WORLD.get(code)
+    if entry is None:
+        return None
+    name, proj_name, extra = entry
+    params = {
+        "longitude_of_central_meridian": 0.0,
+        "latitude_of_projection_origin": 0.0,
+        "false_easting": 0.0,
+        "false_northing": 0.0,
+    }
+    params.update(extra)
+    crs = CRS(
+        kind="projected",
+        ellipsoid=WGS84,
+        proj_name=proj_name,
+        params=params,
+        name=name,
+    )
+    _ESRI_CACHE[code] = crs
     return crs
 
 
@@ -832,7 +980,7 @@ def _match_epsg(crs: CRS) -> int | None:
     equal to CRS.from_epsg(32632))."""
     candidates: list[int] = [
         4326, 4258, 4269, 4230, 4277, 4301, 4267, 3035, 3857, 3395, 3031,
-        3413, 2154, 6933, 3034, 27700, 28992,
+        3413, 2154, 6933, 3034, 27700, 28992, 31370, 5041, 5042,
     ]
     if crs.is_projected and crs.proj_name == "transverse_mercator":
         lon0 = crs._params.get("longitude_of_central_meridian")

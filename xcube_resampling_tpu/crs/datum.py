@@ -146,6 +146,13 @@ TOWGS84_BY_DATUM = {
         565.4171, 50.3319, 465.5524, -0.398957, 0.343988, -1.8774, 4.0725,
     ),
     "hartebeesthoek94": _ZERO7,
+    # EPSG 15929 (BD72 to WGS 84 (3)), the Belgian Lambert 72 datum
+    "reseau_national_belge_1972": (
+        -106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747,
+    ),
+    "belge_1972": (
+        -106.8686, 52.2978, -103.7239, 0.3366, -0.457, 1.8422, -1.2747,
+    ),
     "world_geodetic_system_1972": (0.0, 0.0, 4.5, 0.0, 0.0, 0.554, 0.2263),
     "wgs_72": (0.0, 0.0, 4.5, 0.0, 0.0, 0.554, 0.2263),
 }
