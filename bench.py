@@ -3,16 +3,21 @@
 Prints one JSON line per run:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Headline metric: bilinear reprojection throughput in Mpix/s on one chip
-(BASELINE config #3, global 0.05 deg EPSG:4326 -> EPSG:3035).  The
-reference publishes no benchmark numbers (BASELINE.md); the only measured
-figures are its example-notebook wall times, whose best sustained
-throughput is ~4.9 Mpix/s (6.4 Mpix rectified band in ~1.3 s,
+Headline metric: *sustained* bilinear reprojection throughput in Mpix/s on
+one chip — the 20480x20480 UTM->LAEA warp (419 Mpix in one dispatch,
+BASELINE config #5's single-chip analogue).  Sub-5 ms kernels vary +-40%
+run-to-run with the remote tunnel's state; the sustained line is stable to
+a few percent, so it is the number the driver records.  The reference
+publishes no benchmark numbers (BASELINE.md); the only measured figures
+are its example-notebook wall times, whose best sustained throughput is
+~4.9 Mpix/s (6.4 Mpix rectified band in ~1.3 s,
 examples/rectify_sentinel3.ipynb).  ``vs_baseline`` is computed against
 that 4.9 Mpix/s figure.
 
-Extra diagnostic lines (affine, coarsen, rectify) are printed to stderr so
-stdout stays a single JSON line for the driver.
+The headline JSON is printed to stdout TWICE: right after it is measured
+(so a later timeout cannot lose it) and again as the very last line of the
+run (so a tail-capturing driver always sees it).  Diagnostic lines
+(affine, coarsen, rectify, the global mosaics) go to stderr.
 """
 
 from __future__ import annotations
@@ -39,6 +44,16 @@ def _remaining() -> float:
 
     budget = float(os.environ.get("XRTPU_BENCH_BUDGET_S", "1100"))
     return budget - (time.perf_counter() - _T0)
+
+
+def _budget_gate(log, tag: str, need: float) -> bool:
+    """True when *need* seconds fit the remaining wall budget; otherwise
+    log a skip (rc stays 0 and every later, cheaper section still runs)."""
+    left = _remaining()
+    if left >= need:
+        return True
+    log(f"{tag}: skipped — {left:.0f} s left of the bench budget, needs ~{need:.0f}")
+    return False
 
 
 def _mosaic_sentinel_path() -> str:
@@ -612,6 +627,8 @@ def bench_reproject_20k(log):
     from xcube_resampling_tpu.ops.reproject_ops import make_fused_reproject_fn
     from xcube_resampling_tpu.ops.srw import make_srw_reproject_fn
 
+    if not _budget_gate(log, "20k sustained", 180):
+        raise RuntimeError("budget")
     n = 20480
     source_gm = GridMapping.regular(
         size=(n, n), xy_min=(300000.0, 5200000.0), xy_res=30.0,
@@ -684,63 +701,94 @@ def main():
     init_done.set()
     log(f"devices: {devices}")
 
-    # the headline metric runs FIRST so a driver-side timeout can never
-    # swallow the JSON line (the region config alone compiles for minutes)
-    results = bench_reproject_utm(log)
-    value = results["bilinear"]
-    print(
-        json.dumps(
-            {
-                "metric": "reproject_bilinear_4326_to_utm_mpix_per_s_per_chip",
+    headline = {}
+
+    def emit_headline():
+        """The one driver-parsed JSON line.  Called right after the
+        measurement AND at the very end of the run: round 1-3 drivers
+        captured only a stdout tail, and an early-only print scrolled
+        out of it three rounds in a row."""
+        if not headline:
+            return
+        print(json.dumps(headline), flush=True)
+
+    try:
+        # quick warm-up pass first: the 4096-target diagnostics compile in
+        # seconds and give an early signal even if the big raster stalls
+        utm = {}
+        try:
+            utm = bench_reproject_utm(log)
+        except Exception as e:  # noqa: BLE001
+            log(f"utm reproject bench failed: {e!r}")
+
+        # headline: the sustained 20k x 20k single-dispatch warp (stable
+        # to a few percent; the 3 ms kernels above swing +-40% with the
+        # tunnel, see docs/benchmarks.md)
+        try:
+            value = bench_reproject_20k(log)
+            headline = {
+                "metric": "reproject_bilinear_sustained_mpix_per_s_per_chip",
                 "value": round(float(value), 1),
                 "unit": "Mpix/s",
                 "vs_baseline": round(float(value) / REFERENCE_MPIX_S, 1),
             }
-        ),
-        flush=True,
-    )
+        except Exception as e:  # noqa: BLE001
+            log(f"20k reproject bench failed: {e!r}")
+            if "bilinear" in utm:
+                value = utm["bilinear"]
+                headline = {
+                    "metric": "reproject_bilinear_4326_to_utm_mpix_per_s_per_chip",
+                    "value": round(float(value), 1),
+                    "unit": "Mpix/s",
+                    "vs_baseline": round(float(value) / REFERENCE_MPIX_S, 1),
+                }
+        emit_headline()
 
-    try:
-        bench_affine(log)
-    except Exception as e:  # noqa: BLE001
-        log(f"affine bench failed: {e!r}")
-    try:
-        bench_coarsen(log)
-    except Exception as e:  # noqa: BLE001
-        log(f"coarsen bench failed: {e!r}")
-    try:
-        bench_rectify(log)
-    except Exception as e:  # noqa: BLE001
-        log(f"rectify bench failed: {e!r}")
-    try:
-        bench_reproject_global(log)
-    except Exception as e:  # noqa: BLE001
-        log(f"global reproject bench failed: {e!r}")
-    try:
-        bench_reproject_20k(log)
-    except Exception as e:  # noqa: BLE001
-        log(f"20k reproject bench failed: {e!r}")
-    try:
-        bench_global_mosaics(log, exact=True, optin=False)
-    except Exception as e:  # noqa: BLE001
-        log(f"global mosaic bench failed: {e!r}")
+        try:
+            if _budget_gate(log, "affine", 60):
+                bench_affine(log)
+        except Exception as e:  # noqa: BLE001
+            log(f"affine bench failed: {e!r}")
+        try:
+            if _budget_gate(log, "coarsen", 60):
+                bench_coarsen(log)
+        except Exception as e:  # noqa: BLE001
+            log(f"coarsen bench failed: {e!r}")
+        try:
+            if _budget_gate(log, "rectify", 240):
+                bench_rectify(log)
+        except Exception as e:  # noqa: BLE001
+            log(f"rectify bench failed: {e!r}")
+        try:
+            if _budget_gate(log, "global reproject", 120):
+                bench_reproject_global(log)
+        except Exception as e:  # noqa: BLE001
+            log(f"global reproject bench failed: {e!r}")
+        try:
+            bench_global_mosaics(log, exact=True, optin=False)
+        except Exception as e:  # noqa: BLE001
+            log(f"global mosaic bench failed: {e!r}")
 
-    # per-phase breakdown of everything the engines did during this run
-    # (rectify/reproject/affine orchestration phases; see profiling.py)
-    from xcube_resampling_tpu.profiling import GLOBAL_TIMER
+        # opt-in extreme-warp mode: cold-cache it compiles for tens of
+        # minutes, which cannot fit the driver budget — run it only on
+        # explicit request (XRTPU_BENCH_OPTIN=1)
+        if os.environ.get("XRTPU_BENCH_OPTIN") == "1":
+            try:
+                bench_global_mosaics(log, exact=False, optin=True)
+            except Exception as e:  # noqa: BLE001
+                log(f"opt-in extreme-warp bench failed: {e!r}")
 
-    if GLOBAL_TIMER.totals:
-        log("engine phase breakdown:")
-        for line in GLOBAL_TIMER.report().splitlines():
-            log("  " + line)
+        # per-phase breakdown of everything the engines did during this
+        # run (rectify/reproject/affine phases; see profiling.py)
+        from xcube_resampling_tpu.profiling import GLOBAL_TIMER
 
-    # opt-in extreme-warp line LAST: its cold-cache compile is the only
-    # piece that can outlive the driver budget, and by now every other
-    # line (and the phase table) is already on the wire
-    try:
-        bench_global_mosaics(log, exact=False, optin=True)
-    except Exception as e:  # noqa: BLE001
-        log(f"opt-in extreme-warp bench failed: {e!r}")
+        if GLOBAL_TIMER.totals:
+            log("engine phase breakdown:")
+            for line in GLOBAL_TIMER.report().splitlines():
+                log("  " + line)
+    finally:
+        # the guaranteed LAST stdout line of every run
+        emit_headline()
 
 
 if __name__ == "__main__":

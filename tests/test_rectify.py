@@ -490,3 +490,32 @@ def test_rectify_device_phase_a_matches_host_map_olci(monkeypatch):
     np.testing.assert_allclose(
         dev_map, host_map, rtol=1e-9, atol=1e-9, equal_nan=True
     )
+
+
+def test_phase_a_tier_cost_model():
+    """Amortization-aware tier choice: a slow link keeps one-shot
+    single-band jobs on the host tier; band reuse or a fast (PCIe-class)
+    link sends the work to the device."""
+    from xcube_resampling_tpu.rectify import _phase_a_auto_choice
+
+    olci_swath = 1189 * 1890
+    olci_target = 2926 * 2177
+    tunnel = dict(bw=35e6, rtt=0.05)   # this build rig
+    pcie = dict(bw=8e9, rtt=2e-4)      # a real TPU host
+
+    assert _phase_a_auto_choice(1, olci_swath, olci_target, **tunnel) == "host"
+    assert _phase_a_auto_choice(16, olci_swath, olci_target, **tunnel) == "device"
+    assert _phase_a_auto_choice(1, olci_swath, olci_target, **pcie) == "device"
+    assert _phase_a_auto_choice(16, olci_swath, olci_target, **pcie) == "device"
+
+
+def test_phase_a_tier_env_override(monkeypatch):
+    from xcube_resampling_tpu.rectify import _phase_a_tier
+
+    monkeypatch.setenv("XRTPU_PHASEA", "host")
+    assert _phase_a_tier(16, swath_px=100, target_px=100) == "host"
+    monkeypatch.setenv("XRTPU_PHASEA", "device")
+    assert _phase_a_tier(1, swath_px=100, target_px=100) == "device"
+    # auto on the CPU test backend always stays on host
+    monkeypatch.delenv("XRTPU_PHASEA")
+    assert _phase_a_tier(16, swath_px=100, target_px=100) == "host"

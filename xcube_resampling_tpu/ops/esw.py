@@ -766,44 +766,54 @@ def make_esw_fn(
             p.base_v, p.base_h, p.j_off, p.i_off,
         ), pre_kwargs
 
-    sv_j = jnp.asarray(s_v) if s_v is not None else None
-    sh_j = jnp.asarray(s_h) if s_h is not None else None
-    mv_dev, mh_dev, ixc_dev, iyc_dev, valid_dev = precompute(
-        jnp.asarray(p.iystar_c),
-        jnp.asarray(p.ix_c),
-        jnp.asarray(p.iy_c),
-        sv_j,
-        sh_j,
-        **pre_kwargs,
-    )
+    _statics_cell: list = []
 
-    statics = (
-        mv_dev,
-        mh_dev,
-        ixc_dev,
-        iyc_dev,
-        valid_dev,
-        jnp.asarray(p.base_v),
-        jnp.asarray(p.base_h),
-        sv_j,
-        sh_j,
-        jnp.float32(p.j_off),
-        jnp.int32(p.i_off),
-        jnp.float32(fill_value),
-    )
+    def _statics():
+        """Precompute fields on FIRST use, not at plan time: the eager
+        precompute dispatch (trace + compile + run) was the dominant cost
+        of cold planning; deferring it moves the cost into the first
+        kernel call's warmup without touching warm throughput."""
+        if not _statics_cell:
+            sv_j = jnp.asarray(s_v) if s_v is not None else None
+            sh_j = jnp.asarray(s_h) if s_h is not None else None
+            mv_dev, mh_dev, ixc_dev, iyc_dev, valid_dev = precompute(
+                jnp.asarray(p.iystar_c),
+                jnp.asarray(p.ix_c),
+                jnp.asarray(p.iy_c),
+                sv_j,
+                sh_j,
+                **pre_kwargs,
+            )
+            _statics_cell.append(
+                (
+                    mv_dev,
+                    mh_dev,
+                    ixc_dev,
+                    iyc_dev,
+                    valid_dev,
+                    jnp.asarray(p.base_v),
+                    jnp.asarray(p.base_h),
+                    sv_j,
+                    sh_j,
+                    jnp.float32(p.j_off),
+                    jnp.int32(p.i_off),
+                    jnp.float32(fill_value),
+                )
+            )
+        return _statics_cell[0]
 
     def fn(src, *args):
-        return kernel(src, *(args or statics), cfg=cfg)
+        return kernel(src, *(args or _statics()), cfg=cfg)
 
     if return_parts == "raw":
         # for vmapped mosaic groups: the caller stacks statics across
         # pieces and maps the shared impl once per group
-        return cfg, statics
+        return cfg, _statics()
     if return_parts:
         # for mosaic composition: the caller passes the statics as jit
         # ARGUMENTS (closing over them inside an outer jit would embed
         # them as program constants — hundreds of MB for big pieces)
-        return fn, statics
+        return fn, _statics()
     return fn
 
 
@@ -1301,58 +1311,97 @@ def make_esw_region_fn(
     # (~2.5 ms apiece through this tunnel: 31 programs were ~78 ms of
     # the round-2 mosaic's ~150 ms), while one whole-mosaic jit risks a
     # service-dropping compile; a few buckets is the measured sweet spot
-    bodies = []  # (run_unjitted(src, out, *args) -> out, args_tuple)
+    bodies = []  # (run_unjitted(src, out, *args) -> out, args or () -> args)
     for group_cfg, group_prekw, gh, gw, wh, ww, members in vgroups:
-        # stack the RAW coarse inputs on the host and run ONE vmapped
-        # precompute per group (each eager precompute is a device round
-        # trip — N per group before, 1 now)
+        # stack the RAW coarse inputs on the host; the ONE vmapped
+        # precompute per group (trace + compile + run) happens lazily at
+        # the FIRST mosaic dispatch — the 30-odd eager precompute
+        # programs were ~75% of cold planning wall time
         raws = [m[4] for m in members]
-        iystar_st = jnp.asarray(np.stack([r[0] for r in raws]))
-        ix_st = jnp.asarray(np.stack([r[1] for r in raws]))
-        iy_st = jnp.asarray(np.stack([r[2] for r in raws]))
-        sv_st = (
-            jnp.asarray(np.stack([r[3] for r in raws]))
+        iystar_np = np.stack([r[0] for r in raws])
+        ix_np = np.stack([r[1] for r in raws])
+        iy_np = np.stack([r[2] for r in raws])
+        sv_np = (
+            np.stack([r[3] for r in raws])
             if raws[0][3] is not None
             else None
         )
-        sh_st = (
-            jnp.asarray(np.stack([r[4] for r in raws]))
+        sh_np = (
+            np.stack([r[4] for r in raws])
             if raws[0][4] is not None
             else None
         )
-        pre1 = partial(precompute_impl, **group_prekw)
-        mv, mh, ixc, iyc, valid = jax.vmap(
-            pre1,
-            in_axes=(
-                0, 0, 0,
-                0 if sv_st is not None else None,
-                0 if sh_st is not None else None,
-            ),
-        )(iystar_st, ix_st, iy_st, sv_st, sh_st)
         n_m = len(members)
-        stacked = (
-            mv, mh, ixc, iyc, valid,
-            jnp.asarray(np.stack([r[5] for r in raws])),
-            jnp.asarray(np.stack([r[6] for r in raws])),
-            sv_st,
-            sh_st,
-            jnp.asarray(
-                np.asarray([r[7] for r in raws], dtype=np.float32)
-            ),
-            jnp.asarray(
-                np.asarray([r[8] for r in raws], dtype=np.int32)
-            ),
-            jnp.asarray(np.full(n_m, fill_value, dtype=np.float32)),
+        offs_np = np.asarray(
+            [[m[2], m[3]] for m in members], dtype=np.int32
         )
-        offs = jnp.asarray(
-            [[m[2], m[3]] for m in members], dtype=jnp.int32
-        )
+        bv_np = np.stack([r[5] for r in raws])
+        bh_np = np.stack([r[6] for r in raws])
+        joff_np = np.asarray([r[7] for r in raws], dtype=np.float32)
+        ioff_np = np.asarray([r[8] for r in raws], dtype=np.int32)
+
+        def make_args_thunk(
+            iystar_np=iystar_np, ix_np=ix_np, iy_np=iy_np,
+            sv_np=sv_np, sh_np=sh_np, bv_np=bv_np, bh_np=bh_np,
+            joff_np=joff_np, ioff_np=ioff_np, offs_np=offs_np,
+            group_prekw=group_prekw, n_m=n_m,
+        ):
+            cell: list = []
+
+            def thunk():
+                if not cell:
+                    sv_st = (
+                        jnp.asarray(sv_np) if sv_np is not None else None
+                    )
+                    sh_st = (
+                        jnp.asarray(sh_np) if sh_np is not None else None
+                    )
+                    pre1 = partial(precompute_impl, **group_prekw)
+                    mv, mh, ixc, iyc, valid = jax.vmap(
+                        pre1,
+                        in_axes=(
+                            0, 0, 0,
+                            0 if sv_np is not None else None,
+                            0 if sh_np is not None else None,
+                        ),
+                    )(
+                        jnp.asarray(iystar_np),
+                        jnp.asarray(ix_np),
+                        jnp.asarray(iy_np),
+                        sv_st,
+                        sh_st,
+                    )
+                    cell.append(
+                        (jnp.asarray(offs_np),)
+                        + (
+                            mv, mh, ixc, iyc, valid,
+                            jnp.asarray(bv_np),
+                            jnp.asarray(bh_np),
+                            sv_st,
+                            sh_st,
+                            jnp.asarray(joff_np),
+                            jnp.asarray(ioff_np),
+                            jnp.asarray(
+                                np.full(n_m, fill_value, dtype=np.float32)
+                            ),
+                        )
+                    )
+                return cell[0]
+
+            return thunk
+
         starts_rc = [(m[0], m[1]) for m in members]
         piece_kernel = partial(kernel_impl, cfg=group_cfg)
+        # which of the 12 stacked args are None (absent shift tables):
+        # decides vmap axes without materializing the precompute
+        absent = (sv_np is None, sh_np is None)
 
-        def make_group_body(stacked, starts_rc, piece_kernel, wh, ww):
+        def make_group_body(absent, starts_rc, piece_kernel, wh, ww):
+            sv_absent, sh_absent = absent
             in_axes = (0,) + tuple(
-                0 if s is not None else None for s in stacked
+                None if (k == 7 and sv_absent) or (k == 8 and sh_absent)
+                else 0
+                for k in range(12)
             )
 
             def run(src, out, offs, *stacked):
@@ -1376,8 +1425,8 @@ def make_esw_region_fn(
 
         bodies.append(
             (
-                make_group_body(stacked, starts_rc, piece_kernel, wh, ww),
-                (offs,) + stacked,
+                make_group_body(absent, starts_rc, piece_kernel, wh, ww),
+                make_args_thunk(),
                 ("esw", gh, gw, wh, ww, n_m,
                  uniform["n_samples"], uniform["d_v"], uniform["d_h"]),
             )
@@ -1460,20 +1509,28 @@ def make_esw_region_fn(
     ]
 
     def make_bucket_fn(specs):
-        sizes = [len(a) for _, a, _ in specs]
-        flat_args = [x for _, a, _ in specs for x in a]
-
-        def run(src, out, *flat):
-            i = 0
-            for (body, _, _), n in zip(specs, sizes):
-                out = body(src, out, *flat[i : i + n])
-                i += n
-            return out
-
-        jrun = _jit_canvas(run, 1)
+        # args may be tuples or zero-arg thunks (lazy group precomputes);
+        # resolve on the FIRST dispatch so plan time stays free of eager
+        # device programs
+        state: dict = {}
 
         def bucket_fn(src, out):
-            return jrun(src, out, *flat_args)
+            if not state:
+                args_lists = [
+                    tuple(a() if callable(a) else a) for _, a, _ in specs
+                ]
+                sizes = [len(a) for a in args_lists]
+
+                def run(src, out, *flat):
+                    i = 0
+                    for (body, _, _), n in zip(specs, sizes):
+                        out = body(src, out, *flat[i : i + n])
+                        i += n
+                    return out
+
+                state["jrun"] = _jit_canvas(run, 1)
+                state["flat"] = [x for a in args_lists for x in a]
+            return state["jrun"](src, out, *state["flat"])
 
         bucket_fn._meta = [m for _, _, m in specs]
         return bucket_fn

@@ -26,7 +26,9 @@ Engine tiers, selected in :func:`_inverse_ij_map`:
 
 from __future__ import annotations
 
+import math
 import os
+import time
 from collections.abc import Hashable, Iterable
 
 import numpy as np
@@ -94,15 +96,24 @@ def rectify_dataset(
             interp_methods, agg_methods, recover_nans,
         )
 
+    # how many Phase-B gathers will share this geometry's map: every 2D
+    # spatial variable counts once, 3D ones per leading slice
+    swath_dims = (source_gm.xy_dim_names[1], source_gm.xy_dim_names[0])
+    work_bands = 0
+    for var in source_ds.data_vars.values():
+        if var.dims[-2:] == swath_dims:
+            lead = var.data.shape[:-2]
+            work_bands += int(np.prod(lead)) if lead else 1
+
     # PHASE A: per-target-pixel fractional source indices
     with TIMER("rectify.phase_a"):
-        ij_map = _inverse_ij_map(source_gm, target_gm, UV_DELTA)
+        ij_map = _inverse_ij_map(
+            source_gm, target_gm, UV_DELTA, work_bands=max(work_bands, 1)
+        )
 
     target_ds = assemble_target_shell(
         source_ds, source_gm, target_gm, target_gm.to_coords()
     )
-
-    swath_dims = (source_gm.xy_dim_names[1], source_gm.xy_dim_names[0])
     with TIMER("rectify.phase_b"):
         for name, var in source_ds.data_vars.items():
             if var.dims[-2:] == swath_dims:
@@ -197,22 +208,102 @@ def _tile_search_border(target_gm: GridMapping) -> float:
     return min(per_axis, min(0.5 * (x2 - x1), 0.5 * (y2 - y1)))
 
 
-def _phase_a_tier() -> str:
-    """'device' or 'host': XRTPU_PHASEA overrides, auto sniffs the JAX
-    backend."""
+_LINK_PROFILE: list = []
+
+# Engine throughput constants for the tier cost model, measured on the
+# build rig (docs/benchmarks.md): the C++ host Phase-A kernel sustains
+# ~6 Mquads/s, the tiled host Phase-B gather ~25 Mpix/s/band, the
+# resident device Phase B ~400 Mpix/s/band.  The decision they feed is
+# coarse (the tiers differ by >2x wherever the choice matters), so
+# order-of-magnitude accuracy suffices on other hosts.
+_HOST_QUAD_RATE = 6e6
+_HOST_GATHER_RATE = 25e6
+_DEVICE_GATHER_RATE = 4e8
+_DEVICE_FIXED_S = 0.1  # dispatch/planning overhead of the hybrid tiers
+
+
+def _device_link_profile() -> tuple[float, float]:
+    """(upload bytes/s, fetch round-trip s) to the default device,
+    measured once per process with two tiny transfers (~2 round trips).
+
+    The device Phase-A tier streams the full coordinate images to the
+    device; on a PCIe-attached TPU that is ~GB/s, through this build
+    rig's tunnel ~35 MB/s — three orders of magnitude that the tier
+    choice must know about."""
+    if not _LINK_PROFILE:
+        try:
+            import jax
+
+            rtt = math.inf
+            for _ in range(2):
+                t0 = time.perf_counter()
+                float(jax.device_put(np.zeros(4, np.float32))[0])
+                rtt = min(rtt, time.perf_counter() - t0)
+            buf = np.zeros(4 << 20, np.uint8)
+            t0 = time.perf_counter()
+            float(jax.device_put(buf)[0])
+            dt = time.perf_counter() - t0
+            bw = buf.nbytes / max(dt - rtt, 1e-3)
+            _LINK_PROFILE.append((bw, max(rtt, 1e-4)))
+        except Exception:  # noqa: BLE001
+            _LINK_PROFILE.append((1e9, 1e-3))
+    return _LINK_PROFILE[0]
+
+
+def _phase_a_tier(
+    work_bands: int | None = None,
+    swath_px: int = 0,
+    target_px: int = 0,
+) -> str:
+    """'device' or 'host': XRTPU_PHASEA overrides; auto models the whole
+    job — Phase A plus *work_bands* Phase-B gathers — on each tier.
+
+    The device tier pays a fixed per-geometry cost (coordinate upload +
+    meta round trips) that single-band one-shot jobs may never earn back
+    (reference semantics being beaten:
+    /root/reference/xcube_resampling/rectify.py:424-576; a laptop run of
+    the reference rectifies ~4.4 Mpix/s, BASELINE.md).  Multi-band
+    products (OLCI: ~17 bands per geometry) amortize it and the device
+    gathers win by an order of magnitude."""
     mode = os.environ.get("XRTPU_PHASEA", "auto")
     if mode != "auto":
         return mode
     try:
         import jax
 
-        return "host" if jax.default_backend() in ("cpu",) else "device"
+        if jax.default_backend() in ("cpu",):
+            return "host"
     except Exception:  # noqa: BLE001
         return "host"
+    if work_bands is None or not swath_px or not target_px:
+        return "device"
+    bw, rtt = _device_link_profile()
+    return _phase_a_auto_choice(work_bands, swath_px, target_px, bw, rtt)
+
+
+def _phase_a_auto_choice(
+    work_bands: int, swath_px: int, target_px: int, bw: float, rtt: float
+) -> str:
+    """Pure cost comparison behind the auto tier (see :func:`_phase_a_tier`)."""
+    coord_bytes = 2 * swath_px * 4  # two float32 coordinate images
+    device_cost = (
+        coord_bytes / bw
+        + 6 * rtt
+        + _DEVICE_FIXED_S
+        + work_bands * target_px / _DEVICE_GATHER_RATE
+    )
+    host_cost = (
+        swath_px / _HOST_QUAD_RATE
+        + work_bands * target_px / _HOST_GATHER_RATE
+    )
+    return "device" if device_cost <= host_cost else "host"
 
 
 def _inverse_ij_map(
-    source_gm: GridMapping, target_gm: GridMapping, uv_delta: float
+    source_gm: GridMapping,
+    target_gm: GridMapping,
+    uv_delta: float,
+    work_bands: int | None = None,
 ):
     """PHASE A: the (2, height, width) fractional source-index map.
 
@@ -220,14 +311,21 @@ def _inverse_ij_map(
     hot loop (rectify.py:424-576) stays on the TPU; the host only
     normalizes coordinates and sizes the candidate rectangle.  Host tier:
     tile-by-tile with per-tile source windows discovered by the bbox scan
-    (reference rectify.py:312-370).
+    (reference rectify.py:312-370).  *work_bands* (the number of Phase-B
+    gathers that will consume the map) feeds the amortization-aware tier
+    choice; None keeps the backend-only heuristic.
     """
     x1, y1, x2, y2 = target_gm.xy_bbox
     x_res, y_res = target_gm.xy_res
     j_up = target_gm.is_j_axis_up
     shape_hw = (target_gm.height, target_gm.width)
 
-    if _phase_a_tier() == "device":
+    tier = _phase_a_tier(
+        work_bands,
+        swath_px=source_gm.width * source_gm.height,
+        target_px=shape_hw[0] * shape_hw[1],
+    )
+    if tier == "device":
         with TIMER("rectify.phase_a_device"):
             swath = np.asarray(source_gm.xy_coords.data, dtype=np.float64)
             on_device = rectify_ops.inverse_ij_map_device(
