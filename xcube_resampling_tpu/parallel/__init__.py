@@ -15,6 +15,7 @@ from .halo import (
     make_sharded_rectify_step,
     make_sharded_regrid_step,
     make_sharded_srw_step,
+    sharded_phase_a,
     sharded_rectify,
     sharded_reproject,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "make_sharded_rectify_step",
     "make_sharded_regrid_step",
     "make_sharded_srw_step",
+    "sharded_phase_a",
     "sharded_rectify",
     "sharded_reproject",
     "untile",

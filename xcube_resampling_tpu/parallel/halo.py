@@ -995,6 +995,140 @@ def make_sharded_rectify_step(
     return step_fn, (src_pad_h, out_h)
 
 
+def sharded_phase_a(
+    mesh,
+    source_gm: GridMapping,
+    target_gm: GridMapping,
+    axis_name: str = "bands",
+    uv_delta: float | None = None,
+    tile: int = 16,
+    margin: int = 2,
+):
+    """Rectify Phase A banded over ``mesh[axis_name]``: every device runs
+    the hybrid walk-seeded stencil (ops/rectify_ops.py) for its own
+    target row band against the replicated swath coordinates, so the most
+    expensive rectify step no longer idles n-1 chips.
+
+    Banding is exact, not approximate: a shard's band is the full target
+    grid with the row origin shifted by ``r0`` — implemented as
+    ``gy - r0`` on the normalized coordinates — so each shard runs the
+    very same seed/dense kernels as the single chip.  Two stages mirror
+    the single-chip orchestration: a seed ``shard_map`` returns each
+    band's gate + exact per-axis window needs (one (n, 3) int fetch), the
+    host picks ONE shared window bucket from the shard maxima (the same
+    bucket the single chip would pick: the global need is the max over
+    bands), and a second ``shard_map`` re-seeds and runs the dense
+    min-rank acceptance per band.
+
+    Returns the (2, H, W) fractional source-index map with rows sharded
+    over ``mesh[axis_name]``, or None when the geometry is outside the
+    hybrid envelope (callers fall back to the single-device tiers).
+    The per-pixel semantics match the single-chip hybrid map: min
+    row-major quad rank over the accepting window (reference
+    first-writer-wins, /root/reference/xcube_resampling/rectify.py:544-576).
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..constants import UV_DELTA
+    from ..ops import rectify_ops
+
+    if uv_delta is None:
+        uv_delta = UV_DELTA
+
+    n = int(mesh.shape[axis_name])
+    dst_h, dst_w = target_gm.height, target_gm.width
+    src_h, src_w = source_gm.height, source_gm.width
+    if src_h < 2 or src_w < 2 or dst_h < 4 * n or dst_w < 4:
+        return None
+
+    # tile-aligned band height: band boundaries on the tile grid keep the
+    # per-tile windows of every shard identical to a single-chip run
+    band = -(-(-(-dst_h // n)) // tile) * tile
+    pad_h = band * n - dst_h
+
+    if jax.config.read("jax_enable_x64") and jax.default_backend() == "cpu":
+        dt, np_dt = jnp.float64, np.float64
+    else:
+        dt, np_dt = jnp.float32, np.float32
+
+    # normalized swath coordinates, exactly as the single-chip device
+    # tier builds them (rectify.py -> inverse_ij_map_hybrid)
+    x1, y1, x2, y2 = target_gm.xy_bbox
+    x_res, y_res = target_gm.xy_res
+    j_up = target_gm.is_j_axis_up
+    swath = np.asarray(source_gm.xy_coords.data, dtype=np.float64)
+    gx_n = ((swath[0] - x1) / x_res).astype(np_dt)
+    gy_n = (
+        (swath[1] - (y1 if j_up else y2)) / (y_res if j_up else -y_res)
+    ).astype(np_dt)
+
+    shard_map = _shard_map()
+    max_edge = float(max(dst_h, dst_w))
+    coarse_iters, refine_iters = 24, 6
+    seed_fn = rectify_ops._build_hybrid_seed_kernel(
+        (src_h, src_w), (band, dst_w), dt, tile,
+        coarse_iters, refine_iters, max_edge, margin,
+    )
+
+    repl = NamedSharding(mesh, P())
+    gx_d = jax.device_put(jnp.asarray(gx_n, dtype=dt), repl)
+    gy_d = jax.device_put(jnp.asarray(gy_n, dtype=dt), repl)
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(axis_name),
+    )
+    def seed_step(gx, gy):
+        r0 = (lax.axis_index(axis_name) * band).astype(gy.dtype)
+        _, _, meta = seed_fn(gx, gy - r0)
+        return meta[None]
+
+    metas = np.asarray(seed_step(gx_d, gy_d))  # (n, 3) int32
+    if not bool(metas[:, 0].all()):
+        return None
+    need_j = int(metas[:, 1].max())
+    need_i = int(metas[:, 2].max())
+
+    def pick(need, src_dim):
+        for bucket in rectify_ops._HYBRID_WINS:
+            if min(bucket, src_dim) >= need:
+                return min(bucket, src_dim)
+        return None
+
+    win_j, win_i = pick(need_j, src_h), pick(need_i, src_w)
+    if win_j is None or win_i is None:
+        return None
+
+    dense_fn = rectify_ops._build_hybrid_dense_kernel(
+        (src_h, src_w), (band, dst_w), dt, float(uv_delta),
+        tile, win_j, win_i, margin,
+    )
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(None, axis_name, None),
+    )
+    def dense_step(gx, gy):
+        r0 = (lax.axis_index(axis_name) * band).astype(gy.dtype)
+        cqj, cqi, _ = seed_fn(gx, gy - r0)
+        return dense_fn(gx, gy - r0, cqj, cqi)
+
+    full = dense_step(gx_d, gy_d)  # (2, n*band, dst_w), rows sharded
+    if pad_h:
+        full = full[:, :dst_h, :]
+    return full
+
+
 def sharded_rectify(
     src,
     source_gm: GridMapping,
@@ -1014,6 +1148,11 @@ def sharded_rectify(
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if ij_map is None:
+        # Phase A itself runs banded over the mesh when the hybrid
+        # stencil serves the geometry — every chip computes its own
+        # target rows' map (the map stays device-resident and sharded)
+        ij_map = sharded_phase_a(mesh, source_gm, target_gm, axis_name)
     if ij_map is None:
         from ..constants import UV_DELTA
         from ..rectify import _compute_target_source_ij
