@@ -1,0 +1,226 @@
+"""Group-scale A/B: current ESW tap formulation (dynamic takes per tap
+offset) vs the 'resample-once + static-shift selects' formulation, on a
+bucket-28-like mosaic group (B=7 pieces, out 1024^2, win 496x672, d=15,
+S=4), vmapped and unrolled.  Whole-group timings (>= 10 ms) dwarf the
+~1.6 ms dispatch noise, so plain min-of-windows timing is trustworthy.
+"""
+import os, sys, time
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+import numpy as np
+import jax
+cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+import jax.numpy as jnp
+
+rng = np.random.default_rng(0)
+B = 7
+OUT_H, OUT_W = 1024, 1024
+SRC_H, SRC_W = 496, 672
+D, S = 15, 4
+DV = 15
+
+probe = jax.jit(lambda acc, x: acc + x.ravel()[0])
+
+def timegroup(name, f, *args, iters=5):
+    y = f(*args)
+    acc = jnp.float32(0)
+    acc = probe(acc, f(*args)); float(acc)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a0 = acc
+        for _ in range(iters):
+            a0 = probe(a0, f(*args))
+        float(a0)
+        times.append((time.perf_counter() - t0) / iters)
+    dt = min(times)
+    print(f"{name:46s} {dt*1e3:8.2f} ms", flush=True)
+    return dt
+
+# ---- synthetic but structurally realistic geometry ----------------------
+# vertical: base_v(r) monotone slope ~0.45; anchors m_v within [base, base+DV-S]
+slope_v = 0.45
+bv_np = np.clip((np.arange(OUT_H) * slope_v).astype(np.int32), 0, SRC_H - DV - 1)
+m_v_np = bv_np[:, None] + rng.integers(0, DV - S, (OUT_H, SRC_W))
+# horizontal: base_h(x) monotone slope ~0.62
+slope_h = 0.62
+bh_np = np.clip((np.arange(OUT_W) * slope_h).astype(np.int32), 0, SRC_W - D - 1)
+i0_np = bh_np[None, :] + rng.integers(0, D - 1, (OUT_H, OUT_W))
+
+src_np = rng.random((B, SRC_H, SRC_W), dtype=np.float32)
+mv_f_np = np.broadcast_to(m_v_np.astype(np.float32), (B, OUT_H, SRC_W)).copy()
+i0B_np = np.broadcast_to(i0_np, (B, OUT_H, OUT_W)).copy()
+mh_np = rng.random((B, OUT_H, SRC_W), dtype=np.float32)
+fy_np = rng.random((B, OUT_H, OUT_W), dtype=np.float32)
+
+src = jnp.asarray(src_np)
+mvf = jnp.asarray(mv_f_np)
+i0B = jnp.asarray(i0B_np)
+mhB = jnp.asarray(mh_np)
+fyB = jnp.asarray(fy_np)
+bv = jnp.asarray(bv_np)
+bh = jnp.asarray(bh_np)
+
+N_CT = -(-SRC_W // 128)
+N_RT = OUT_H // 128
+
+# ======== A: current formulation (dynamic takes per tap offset) ==========
+def vert_cur(src2, m_v):
+    v_fields = [[] for _ in range(S)]
+    for t in range(N_CT):
+        c0, c1 = t * 128, min((t + 1) * 128, SRC_W)
+        tile_src = src2[:, c0:c1]
+        m_t = m_v[:, c0:c1]
+        accs = [jnp.zeros((OUT_H, c1 - c0), jnp.float32) for _ in range(S)]
+        for dd in range(DV):
+            idx = jnp.clip(bv + dd, 0, SRC_H - 1)
+            taken = jnp.take(tile_src, idx, axis=0)
+            rid = (bv + dd).astype(jnp.float32)[:, None]
+            for s in range(S):
+                accs[s] = jnp.where(m_t == rid - s, taken, accs[s])
+        for s in range(S):
+            v_fields[s].append(accs[s])
+    return [jnp.concatenate(v_fields[s], axis=-1) for s in range(S)]
+
+def horiz_cur(fields, mh, i0, fy):
+    out_tiles = []
+    for t in range(N_RT):
+        r0, r1 = t * 128, (t + 1) * 128
+        i0t = i0[r0:r1]
+        fyt = fy[r0:r1]
+        mt = mh[r0:r1]
+        ft = [f[r0:r1] for f in fields]
+        y0w = mt * 0.001  # stand-in for y0 - j_off arithmetic
+        cv0 = jnp.zeros((128, OUT_W), jnp.float32)
+        cv1 = cv0
+        for dd in range(D):
+            idx = jnp.clip(bh + dd, 0, SRC_W - 1)
+            mg = jnp.take(mt, idx, axis=-1)
+            s0 = jnp.clip(y0w[:, :OUT_W] - mg[:, :OUT_W] + 1.0, 0, S - 2)
+            taken = [jnp.take(f_, idx, axis=-1) for f_ in ft]
+            a, bb = taken[0], taken[1]
+            for s in range(1, S):
+                a = jnp.where(s0 >= s - 0.5, taken[s], a)
+                if s >= 2:
+                    bb = jnp.where(s0 >= s - 1.5, taken[s], bb)
+            colval = a + fyt * (bb - a)
+            cv0 = jnp.where(i0t == (bh + dd)[None, :], colval, cv0)
+            cv1 = jnp.where((i0t + 1) == (bh + dd)[None, :], colval, cv1)
+        out_tiles.append(cv0 + fyt * (cv1 - cv0))
+    return jnp.concatenate(out_tiles, axis=0)
+
+def piece_cur(src2, m_v, mh, i0, fy):
+    fields = vert_cur(src2, m_v)
+    return horiz_cur(fields, mh, i0, fy)
+
+@jax.jit
+def group_cur_vmap(src, mvf, mhB, i0B, fyB):
+    return jax.vmap(piece_cur)(src, mvf, mhB, i0B, fyB)
+
+@jax.jit
+def group_cur_loop(src, mvf, mhB, i0B, fyB):
+    return jnp.stack([
+        piece_cur(src[b], mvf[b], mhB[b], i0B[b], fyB[b]) for b in range(B)
+    ])
+
+# ======== B: resample-once + static-shift selects =========================
+# vertical: R[r, c] = src2[bv(r), c] via ONE take per tile; taps via
+# R[r + j] with plan-time coverage j in [0, JV); rid_j = bv[r + j].
+JV = int(np.ceil(DV / slope_v)) + 2
+bv_pad_np = np.concatenate([bv_np, np.full(JV, bv_np[-1], np.int32)])
+bv_pad = jnp.asarray(bv_pad_np)
+
+def vert_new(src2, m_v):
+    v_fields = [[] for _ in range(S)]
+    for t in range(N_CT):
+        c0, c1 = t * 128, min((t + 1) * 128, SRC_W)
+        tile_src = src2[:, c0:c1]
+        m_t = m_v[:, c0:c1]
+        idx = jnp.clip(bv_pad[: OUT_H + JV], 0, SRC_H - 1)
+        R = jnp.take(tile_src, idx, axis=0)  # (OUT_H + JV, ct)
+        accs = [jnp.zeros((OUT_H, c1 - c0), jnp.float32) for _ in range(S)]
+        for j in range(JV):
+            taken = R[j : j + OUT_H, :]
+            rid = bv_pad[j : j + OUT_H].astype(jnp.float32)[:, None]
+            for s in range(S):
+                accs[s] = jnp.where(m_t == rid - s, taken, accs[s])
+        for s in range(S):
+            v_fields[s].append(accs[s])
+    return [jnp.concatenate(v_fields[s], axis=-1) for s in range(S)]
+
+# horizontal: A_s[r, u] = f_s[r, bh(u)] one take per field; taps via
+# A[:, x + j]; match via delta == Q_j[x] with Q_j = bh(x+j) - bh(x).
+JH = int(np.ceil(D / slope_h)) + 2
+bh_pad_np = np.concatenate(
+    [bh_np, np.clip(bh_np[-1] + 1 + np.arange(JH), 0, SRC_W - 1).astype(np.int32)]
+)
+bh_pad = jnp.asarray(bh_pad_np)
+Q_np = np.stack([bh_pad_np[j : j + OUT_W] - bh_pad_np[:OUT_W] for j in range(JH)])
+Q = jnp.asarray(Q_np.astype(np.int32))
+
+def horiz_new(fields, mh, i0, fy):
+    out_tiles = []
+    for t in range(N_RT):
+        r0, r1 = t * 128, (t + 1) * 128
+        i0t = i0[r0:r1]
+        fyt = fy[r0:r1]
+        mt = mh[r0:r1]
+        idx = jnp.clip(bh_pad, 0, SRC_W - 1)
+        A = [jnp.take(f[r0:r1], idx, axis=-1) for f in fields]  # (128, OUT_W+JH)
+        Am = jnp.take(mt, idx, axis=-1)
+        delta = i0t - bh[None, :]
+        y0w = mt[:, :OUT_W] * 0.001
+        cv0 = jnp.zeros((128, OUT_W), jnp.float32)
+        cv1 = cv0
+        for j in range(JH):
+            mg = Am[:, j : j + OUT_W]
+            s0 = jnp.clip(y0w - mg + 1.0, 0, S - 2)
+            taken = [a_[:, j : j + OUT_W] for a_ in A]
+            a, bb = taken[0], taken[1]
+            for s in range(1, S):
+                a = jnp.where(s0 >= s - 0.5, taken[s], a)
+                if s >= 2:
+                    bb = jnp.where(s0 >= s - 1.5, taken[s], bb)
+            colval = a + fyt * (bb - a)
+            qj = Q[j][None, :]
+            cv0 = jnp.where(delta == qj, colval, cv0)
+            cv1 = jnp.where(delta + 1 == qj, colval, cv1)
+        out_tiles.append(cv0 + fyt * (cv1 - cv0))
+    return jnp.concatenate(out_tiles, axis=0)
+
+def piece_new(src2, m_v, mh, i0, fy):
+    fields = vert_new(src2, m_v)
+    return horiz_new(fields, mh, i0, fy)
+
+@jax.jit
+def group_new_vmap(src, mvf, mhB, i0B, fyB):
+    return jax.vmap(piece_new)(src, mvf, mhB, i0B, fyB)
+
+@jax.jit
+def group_new_loop(src, mvf, mhB, i0B, fyB):
+    return jnp.stack([
+        piece_new(src[b], mvf[b], mhB[b], i0B[b], fyB[b]) for b in range(B)
+    ])
+
+# hybrid: new vertical + current horizontal, and vice versa — which pass wins?
+@jax.jit
+def group_hyb_vh(src, mvf, mhB, i0B, fyB):  # new vert, cur horiz
+    def piece(src2, m_v, mh, i0, fy):
+        return horiz_cur(vert_new(src2, m_v), mh, i0, fy)
+    return jax.vmap(piece)(src, mvf, mhB, i0B, fyB)
+
+@jax.jit
+def group_hyb_hv(src, mvf, mhB, i0B, fyB):  # cur vert, new horiz
+    def piece(src2, m_v, mh, i0, fy):
+        return horiz_new(vert_cur(src2, m_v), mh, i0, fy)
+    return jax.vmap(piece)(src, mvf, mhB, i0B, fyB)
+
+print(f"JV={JV} JH={JH}", flush=True)
+timegroup("A: current, vmap B=7", group_cur_vmap, src, mvf, mhB, i0B, fyB)
+timegroup("A: current, unrolled B=7", group_cur_loop, src, mvf, mhB, i0B, fyB)
+timegroup("B: static-resample, vmap B=7", group_new_vmap, src, mvf, mhB, i0B, fyB)
+timegroup("B: static-resample, unrolled B=7", group_new_loop, src, mvf, mhB, i0B, fyB)
+timegroup("hybrid: new vert + cur horiz, vmap", group_hyb_vh, src, mvf, mhB, i0B, fyB)
+timegroup("hybrid: cur vert + new horiz, vmap", group_hyb_hv, src, mvf, mhB, i0B, fyB)
