@@ -15,16 +15,19 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 import jax.numpy as jnp
 
 rng = np.random.default_rng(0)
-B = 7
-OUT_H, OUT_W = 1024, 1024
+B = int(os.environ.get("PROBE_B", "3"))
+OUT_H, OUT_W = int(os.environ.get("PROBE_OH", "512")), 1024
 SRC_H, SRC_W = 496, 672
 D, S = 15, 4
 DV = 15
+print(f"B={B} OUT={OUT_H}x{OUT_W}", flush=True)
 
 probe = jax.jit(lambda acc, x: acc + x.ravel()[0])
 
 def timegroup(name, f, *args, iters=5):
+    t0 = time.perf_counter()
     y = f(*args)
+    print(f"{name}: compiled in {time.perf_counter()-t0:.1f} s", flush=True)
     acc = jnp.float32(0)
     acc = probe(acc, f(*args)); float(acc)
     times = []
@@ -55,6 +58,7 @@ i0B_np = np.broadcast_to(i0_np, (B, OUT_H, OUT_W)).copy()
 mh_np = rng.random((B, OUT_H, SRC_W), dtype=np.float32)
 fy_np = rng.random((B, OUT_H, OUT_W), dtype=np.float32)
 
+t0 = time.perf_counter()
 src = jnp.asarray(src_np)
 mvf = jnp.asarray(mv_f_np)
 i0B = jnp.asarray(i0B_np)
@@ -62,6 +66,9 @@ mhB = jnp.asarray(mh_np)
 fyB = jnp.asarray(fy_np)
 bv = jnp.asarray(bv_np)
 bh = jnp.asarray(bh_np)
+float(fyB.ravel()[0])
+nbytes = sum(a.nbytes for a in (src_np, mv_f_np, i0B_np, mh_np, fy_np))
+print(f"uploads: {nbytes/1e6:.0f} MB in {time.perf_counter()-t0:.1f} s", flush=True)
 
 N_CT = -(-SRC_W // 128)
 N_RT = OUT_H // 128
@@ -92,13 +99,13 @@ def horiz_cur(fields, mh, i0, fy):
         fyt = fy[r0:r1]
         mt = mh[r0:r1]
         ft = [f[r0:r1] for f in fields]
-        y0w = mt * 0.001  # stand-in for y0 - j_off arithmetic
+        y0w = fyt * (S - 2)  # stand-in for y0 - j_off arithmetic, (128, OUT_W)
         cv0 = jnp.zeros((128, OUT_W), jnp.float32)
         cv1 = cv0
         for dd in range(D):
             idx = jnp.clip(bh + dd, 0, SRC_W - 1)
             mg = jnp.take(mt, idx, axis=-1)
-            s0 = jnp.clip(y0w[:, :OUT_W] - mg[:, :OUT_W] + 1.0, 0, S - 2)
+            s0 = jnp.clip(y0w - mg + 1.0, 0, S - 2)
             taken = [jnp.take(f_, idx, axis=-1) for f_ in ft]
             a, bb = taken[0], taken[1]
             for s in range(1, S):
@@ -171,7 +178,7 @@ def horiz_new(fields, mh, i0, fy):
         A = [jnp.take(f[r0:r1], idx, axis=-1) for f in fields]  # (128, OUT_W+JH)
         Am = jnp.take(mt, idx, axis=-1)
         delta = i0t - bh[None, :]
-        y0w = mt[:, :OUT_W] * 0.001
+        y0w = fyt * (S - 2)
         cv0 = jnp.zeros((128, OUT_W), jnp.float32)
         cv1 = cv0
         for j in range(JH):
@@ -218,9 +225,11 @@ def group_hyb_hv(src, mvf, mhB, i0B, fyB):  # cur vert, new horiz
     return jax.vmap(piece)(src, mvf, mhB, i0B, fyB)
 
 print(f"JV={JV} JH={JH}", flush=True)
-timegroup("A: current, vmap B=7", group_cur_vmap, src, mvf, mhB, i0B, fyB)
-timegroup("A: current, unrolled B=7", group_cur_loop, src, mvf, mhB, i0B, fyB)
-timegroup("B: static-resample, vmap B=7", group_new_vmap, src, mvf, mhB, i0B, fyB)
-timegroup("B: static-resample, unrolled B=7", group_new_loop, src, mvf, mhB, i0B, fyB)
-timegroup("hybrid: new vert + cur horiz, vmap", group_hyb_vh, src, mvf, mhB, i0B, fyB)
-timegroup("hybrid: cur vert + new horiz, vmap", group_hyb_hv, src, mvf, mhB, i0B, fyB)
+timegroup("A: current, vmap", group_cur_vmap, src, mvf, mhB, i0B, fyB)
+timegroup("B: static-resample, vmap", group_new_vmap, src, mvf, mhB, i0B, fyB)
+if os.environ.get("PROBE_UNROLL"):
+    timegroup("A: current, unrolled", group_cur_loop, src, mvf, mhB, i0B, fyB)
+    timegroup("B: static-resample, unrolled", group_new_loop, src, mvf, mhB, i0B, fyB)
+if os.environ.get("PROBE_HYBRID"):
+    timegroup("hybrid: new vert + cur horiz, vmap", group_hyb_vh, src, mvf, mhB, i0B, fyB)
+    timegroup("hybrid: cur vert + new horiz, vmap", group_hyb_hv, src, mvf, mhB, i0B, fyB)

@@ -248,3 +248,73 @@ def test_default_device_path_mosaic_for_singular_warp(monkeypatch):
     b = np.asarray(gat(jnp.asarray(data)))
     a = np.asarray(out.band.values, dtype=np.float32)
     _assert_exact(a, b, bilinear=True)
+
+
+# ---- static-cover formulation (_static_cover / cfg.jv / cfg.jh) ---------
+
+
+def test_static_cover_invariants():
+    """The cover must be monotone with unit increments and reach every tap
+    in [base(r), base(r)+d) within its J-window, for every lane."""
+    from xcube_resampling_tpu.ops.esw import _static_cover
+
+    rng = np.random.default_rng(42)
+    # increments <= +1 (arbitrary dips allowed): the feasible regime
+    n, lanes, d = 257, 3, 9
+    base = (
+        np.cumsum(rng.random((n, lanes)) < 0.6, axis=0)
+        - np.cumsum(rng.random((n, lanes)) < 0.3, axis=0)
+    ).astype(np.int32)
+    cov, J = _static_cover(base, d, axis=0)
+    assert cov is not None and cov.shape == (n + J, lanes)
+    assert (np.diff(cov.astype(np.int64), axis=0) >= 0).all()
+    assert (np.diff(cov.astype(np.int64), axis=0) <= 1).all()
+    for c in range(lanes):
+        for r in range(n):
+            win = set(cov[r : r + J, c].tolist())
+            need = set(range(int(base[r, c]), int(base[r, c]) + d))
+            assert need <= win, (r, c)
+
+    # a base that advances faster than one per index is infeasible
+    steep = (2 * np.arange(n, dtype=np.int32))[:, None]
+    cov2, _ = _static_cover(steep, d, axis=0)
+    assert cov2 is None
+
+    # axis=1: same contract on transposed layout
+    cov3, J3 = _static_cover(base.T.copy(), d, axis=1)
+    assert cov3 is not None and cov3.shape == (lanes, n + J3)
+    np.testing.assert_array_equal(cov3, cov[: n + J3].T) if J3 == J else None
+
+
+@pytest.mark.parametrize("interp", ["bilinear", "nearest", "triangular"])
+def test_esw_static_formulation_bit_equal(interp, monkeypatch):
+    """Forcing the static-cover formulation must not change one output bit
+    relative to the dynamic-take formulation (same taps, same selects —
+    only the routing differs)."""
+    source_gm, target_gm = _severe_case()
+    monkeypatch.setenv("XRTPU_ESW_STATIC", "0")
+    dyn = make_esw_reproject_fn(source_gm, target_gm, interp, np.nan)
+    monkeypatch.setenv("XRTPU_ESW_STATIC", "1")
+    sta = make_esw_reproject_fn(source_gm, target_gm, interp, np.nan)
+    plan = plan_esw(source_gm, target_gm)
+    assert plan.jv > 0 and plan.jh > 0, "static cover unexpectedly infeasible"
+
+    data = _rand((source_gm.height, source_gm.width), seed=3)
+    a = np.asarray(dyn(jnp.asarray(data)))
+    b = np.asarray(sta(jnp.asarray(data)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_esw_region_mosaic_static_bit_equal(monkeypatch):
+    """The region mosaic with static-cover groups must reproduce the
+    dynamic mosaic bit-for-bit (group uniformization pads member covers)."""
+    source_gm, target_gm = _extreme_case()
+    data = _rand((source_gm.height, source_gm.width), seed=9)
+    monkeypatch.setenv("XRTPU_ESW_STATIC", "0")
+    dyn = make_esw_region_fn(source_gm, target_gm, "bilinear", np.nan)
+    monkeypatch.setenv("XRTPU_ESW_STATIC", "1")
+    sta = make_esw_region_fn(source_gm, target_gm, "bilinear", np.nan)
+    assert dyn is not None and sta is not None
+    a = np.asarray(dyn(jnp.asarray(data)))
+    b = np.asarray(sta(jnp.asarray(data)))
+    np.testing.assert_array_equal(a, b)

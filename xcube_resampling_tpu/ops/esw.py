@@ -93,6 +93,13 @@ class ESWPlan:
     src_w_g: int
     j_off: int  # window origin in global source indices
     i_off: int
+    # optional static-cover formulation (see _static_cover): the tap loop
+    # becomes ONE shared row/lane gather + jv/jh STATIC slices, trading
+    # d dynamic takes (which serialize on TPU) for a longer select chain
+    cov_v: np.ndarray | None = None  # (out_h + jv, n_col_tiles) int32
+    jv: int = 0
+    cov_h: np.ndarray | None = None  # (n_row_tiles, out_w + jh) int32
+    jh: int = 0
 
 
 def _max_row_deviation(fields: _Fields, refine: int = 2) -> float:
@@ -138,6 +145,73 @@ def _max_row_deviation(fields: _Fields, refine: int = 2) -> float:
         p = pa + frac * (pb - pa)
         dev = np.maximum(dev, np.abs(iy_cl - p))
     return float(dev[valid].max())
+
+
+def _static_cover(base: np.ndarray, d: int, axis: int):
+    """Monotone unit-increment cover sequences for the static-slice tap
+    formulation.
+
+    For each 1-D lane of ``base`` (per column when ``axis=0``, per row when
+    ``axis=1``) build ``cov`` of length ``n + J`` with increments in {0, 1}
+    such that for every position r the window ``cov[r : r + J]`` contains
+    every integer in ``[base[r], base[r] + d)`` — then the kernel can
+    resample once through ``cov`` (one shared gather) and reach every tap
+    through J STATIC slices, instead of issuing d dynamic takes (TPU
+    serializes dynamic cross-lane gathers; measured ~6.7x the cost of a
+    static-slice select step, scratch/esw_prims*.py).
+
+    Returns ``(cov, J)`` with ``cov`` shaped like ``base`` extended by J
+    along ``axis``, or ``(None, 0)`` when no such cover exists (the base
+    advances faster than one source index per output index somewhere —
+    downscale-like warps keep the dynamic formulation)."""
+    b = base if axis == 0 else base.T  # (n, lanes)
+    n, lanes = b.shape
+    b64 = b.astype(np.int64)
+    # largest valid cover: backward running min (nondecreasing, <= base)
+    cov = np.minimum.accumulate(b64[::-1], axis=0)[::-1]
+    if n > 1 and (np.diff(cov, axis=0) > 1).any():
+        return None, 0
+    targets = b64 + d - 1
+    tail = int(max(0, targets.max() - cov[-1].min()))
+    cov_ext = np.concatenate(
+        [cov, cov[-1][None, :] + 1 + np.arange(tail, dtype=np.int64)[:, None]]
+    )
+    # first k >= r with cov_ext[k] >= target[r], per lane
+    J = 1
+    for c in range(lanes):
+        k = np.searchsorted(cov_ext[:, c], targets[:, c], side="left")
+        J = max(J, int((k - np.arange(n)).max()) + 1)
+    out = cov_ext[: n + J]
+    if out.shape[0] < n + J:  # tail too short (all-flat targets edge case)
+        extra = n + J - out.shape[0]
+        out = np.concatenate(
+            [out, out[-1][None, :] + 1 + np.arange(extra, dtype=np.int64)[:, None]]
+        )
+    out = out.astype(np.int32)
+    return (out if axis == 0 else out.T), J
+
+
+def _pad_cover(cov: np.ndarray, n: int, J: int, axis: int) -> np.ndarray:
+    """Extend a cover sequence to group length ``n + J`` with unit-step
+    tail values (harmless: extra slices only ever select rows by VALUE)."""
+    c = cov if axis == 0 else cov.T
+    extra = n + J - c.shape[0]
+    if extra <= 0:
+        return cov
+    c = np.concatenate(
+        [c, c[-1][None, :] + 1 + np.arange(extra, dtype=np.int32)[:, None]]
+    )
+    return c if axis == 0 else c.T
+
+
+# static-cover cost gates, per axis (J <= ratio * d engages the static
+# formulation).  Group-scale TPU measurements (scratch/esw_static_proto.py,
+# B=3 bulk-like pieces): static horizontal wins ~14% at J/d = 1.8; static
+# vertical only pays off together with an unrolled piece loop; both-static
+# unrolled wins ~21%.  The kernel is HBM-bound, so the primitive-level
+# take-vs-slice ratio (~6.7x) does NOT compose — gates stay conservative.
+_STATIC_J_RATIO_V = 3.0
+_STATIC_J_RATIO_H = 3.5
 
 
 def plan_esw(
@@ -378,6 +452,22 @@ def plan_esw(
         if not use_shift_h:
             bits_h = 0
 
+    # ---- static-cover formulation (one shared gather + static slices)
+    # where the cover exists and its length wins under the measured cost
+    # ratio; XRTPU_ESW_STATIC=0 disables, =1 ignores the ratio gate
+    static_env = os.environ.get("XRTPU_ESW_STATIC", "")
+    rv = float(os.environ.get("XRTPU_ESW_STATIC_RV", _STATIC_J_RATIO_V))
+    rh = float(os.environ.get("XRTPU_ESW_STATIC_RH", _STATIC_J_RATIO_H))
+    cov_v = cov_h = None
+    jv = jh = 0
+    if static_env != "0":
+        cv_, jv_ = _static_cover(base_v, d_v, axis=0)
+        if cv_ is not None and (static_env == "1" or jv_ <= rv * d_v):
+            cov_v, jv = cv_, jv_
+        ch_, jh_ = _static_cover(base_h, d_h, axis=1)
+        if ch_ is not None and (static_env == "1" or jh_ <= rh * d_h):
+            cov_h, jh = ch_, jh_
+
     plan = ESWPlan(
         iystar_c=iystar.astype(np.float32),
         ix_c=fields_global.ix64.astype(np.float32),
@@ -402,6 +492,10 @@ def plan_esw(
         src_w_g=fields_global.src_w,
         j_off=j_off,
         i_off=i_off,
+        cov_v=cov_v,
+        jv=jv,
+        cov_h=cov_h,
+        jh=jh,
     )
     if h_sweep is not None:
         plan.h_sweep = h_sweep
@@ -418,7 +512,7 @@ class _KernelCfg:
 
     __slots__ = (
         "n_samples", "d_v", "d_h", "col_tile", "row_tile", "bits_v",
-        "bits_h", "r_lo", "r_hi", "c_lo", "c_hi", "interp",
+        "bits_h", "r_lo", "r_hi", "c_lo", "c_hi", "interp", "jv", "jh",
     )
 
     def __init__(self, **kw):
@@ -547,17 +641,34 @@ def _get_impls():
             c1 = min((t + 1) * cfg.col_tile, src_w)
             tile_src = src2[..., c0:c1]
             m_t = m_v[:, c0:c1]  # (out_h, ct) float32 integer-valued
-            base_t = bv[:, t]  # (out_h,)
+            base_t = bv[:, t]  # (out_h,) tap bases, or (out_h + jv,) cover
             accs = [
                 jnp.zeros(batch + (out_h, c1 - c0), jnp.float32)
                 for _ in range(S)
             ]
-            for d in range(cfg.d_v):
-                idx = jnp.clip(base_t + d - r_lo, 0, ext_h - 1)
-                taken = jnp.take(tile_src, idx, axis=-2)
-                rid = (base_t + d).astype(jnp.float32)[:, None]
-                for s in range(S):
-                    accs[s] = jnp.where(m_t == rid - s, taken, accs[s])
+            if cfg.jv:
+                # static-cover formulation: ONE shared row gather through
+                # the monotone cover, then jv static slices — each output
+                # row r reaches every tap row in [base(r), base(r)+d_v)
+                # by VALUE via cov[r : r + jv] (see _static_cover)
+                rid_all = base_t.astype(jnp.float32)
+                R = jnp.take(
+                    tile_src,
+                    jnp.clip(base_t - r_lo, 0, ext_h - 1),
+                    axis=-2,
+                )  # (..., out_h + jv, ct)
+                for j in range(cfg.jv):
+                    taken = R[..., j : j + out_h, :]
+                    rid = rid_all[j : j + out_h][:, None]
+                    for s in range(S):
+                        accs[s] = jnp.where(m_t == rid - s, taken, accs[s])
+            else:
+                for d in range(cfg.d_v):
+                    idx = jnp.clip(base_t + d - r_lo, 0, ext_h - 1)
+                    taken = jnp.take(tile_src, idx, axis=-2)
+                    rid = (base_t + d).astype(jnp.float32)[:, None]
+                    for s in range(S):
+                        accs[s] = jnp.where(m_t == rid - s, taken, accs[s])
             for s in range(S):
                 v_tiles[s].append(accs[s])
         fields = [jnp.concatenate(v_tiles[s], axis=-1) for s in range(S)]
@@ -624,13 +735,37 @@ def _get_impls():
             # triangular blends the 2x2 taps per-triangle, so the two row
             # samples must survive to the end instead of lerping early
             tv = [zero, zero, zero, zero] if triangular else None
-            for d in range(cfg.d_h):
-                idx = jnp.clip(base_t + d - c_lo, 0, ext_w - 1)
-                mg = jnp.take(m_rows, idx, axis=-1)  # (rt, out_w)
+
+            if cfg.jh:
+                # static-cover formulation (see _static_cover): resample
+                # the anchor row and the S sample fields ONCE through the
+                # monotone cover, then jh static slices route by value
+                idx_all = jnp.clip(base_t - c_lo, 0, ext_w - 1)
+                Am = jnp.take(m_rows, idx_all, axis=-1)
+                Af = [jnp.take(f, idx_all, axis=-1) for f in f_rows]
+
+                def taps():
+                    for j in range(cfg.jh):
+                        yield (
+                            Am[..., :, j : j + out_w],
+                            [a_[..., :, j : j + out_w] for a_ in Af],
+                            base_t[j : j + out_w][None, :],
+                        )
+            else:
+
+                def taps():
+                    for d in range(cfg.d_h):
+                        idx = jnp.clip(base_t + d - c_lo, 0, ext_w - 1)
+                        yield (
+                            jnp.take(m_rows, idx, axis=-1),  # (rt, out_w)
+                            [jnp.take(f, idx, axis=-1) for f in f_rows],
+                            (base_t + d)[None, :],
+                        )
+
+            for mg, taken, rid_h in taps():
                 # s0 = y0 - m selects the lerp's lower sample; for nearest
                 # rint may land on the window's top row S-1
                 s0 = jnp.clip(y0w - mg, 0, S - 1 if nearest else S - 2)
-                taken = [jnp.take(f, idx, axis=-1) for f in f_rows]
                 a = taken[0]
                 bb = taken[1]
                 for s in range(1, S):
@@ -638,17 +773,17 @@ def _get_impls():
                     if s >= 2:
                         bb = jnp.where(s0 >= s - 1.5, taken[s], bb)
                 if triangular:
-                    sel0 = i0 == base_t + d
-                    sel1 = (i0 + 1) == base_t + d
+                    sel0 = i0 == rid_h
+                    sel1 = (i0 + 1) == rid_h
                     tv[0] = jnp.where(sel0, a, tv[0])  # v00
                     tv[1] = jnp.where(sel0, bb, tv[1])  # v10
                     tv[2] = jnp.where(sel1, a, tv[2])  # v01
                     tv[3] = jnp.where(sel1, bb, tv[3])  # v11
                     continue
                 colval = a if nearest else a + fy * (bb - a)
-                cv0 = jnp.where(i0 == base_t + d, colval, cv0)
+                cv0 = jnp.where(i0 == rid_h, colval, cv0)
                 if not nearest:
-                    cv1 = jnp.where(i0 + 1 == base_t + d, colval, cv1)
+                    cv1 = jnp.where(i0 + 1 == rid_h, colval, cv1)
             if triangular:
                 # reference two-triangle split (gather.grid_sample): the
                 # u+v<1 triangle anchors at v00, the far one at v11
@@ -729,6 +864,17 @@ def make_esw_fn(
             else 0
         )
 
+    # static-cover formulation: group-uniform slice counts; a piece whose
+    # own cover is shorter pads it (extra slices select by value, no-ops)
+    jv = u.get("jv", p.jv)
+    jh = u.get("jh", p.jh)
+    bv_arr = p.base_v
+    bh_arr = p.base_h
+    if jv:
+        bv_arr = _pad_cover(p.cov_v, p.out_h, jv, axis=0)
+    if jh:
+        bh_arr = _pad_cover(p.cov_h, p.out_w, jh, axis=1)
+
     cfg = _KernelCfg(
         n_samples=S,
         d_v=d_v,
@@ -742,6 +888,8 @@ def make_esw_fn(
         c_lo=c_lo,
         c_hi=c_hi,
         interp=interp_method,
+        jv=jv,
+        jh=jh,
     )
 
     precompute, kernel = _get_impls()
@@ -763,7 +911,7 @@ def make_esw_fn(
         # (N eager precompute dispatches -> 1)
         return cfg, (
             p.iystar_c, p.ix_c, p.iy_c, s_v, s_h,
-            p.base_v, p.base_h, p.j_off, p.i_off,
+            bv_arr, bh_arr, p.j_off, p.i_off,
         ), pre_kwargs
 
     _statics_cell: list = []
@@ -791,8 +939,8 @@ def make_esw_fn(
                     ixc_dev,
                     iyc_dev,
                     valid_dev,
-                    jnp.asarray(p.base_v),
-                    jnp.asarray(p.base_h),
+                    jnp.asarray(bv_arr),
+                    jnp.asarray(bh_arr),
                     sv_j,
                     sh_j,
                     jnp.float32(p.j_off),
@@ -972,12 +1120,16 @@ def make_esw_region_fn(
             # the XLA service takes minutes to compile.  Demote those to
             # the gather kernel — they are small and the quadtree already
             # isolated them
+            # effective unrolled-loop counts: the static-cover formulation
+            # emits jv/jh slice+select steps instead of d take+select steps
+            eff_v = plan.jv if plan.jv else plan.d_v
+            eff_h = plan.jh if plan.jh else plan.d_h
             est_ops = (
                 -(-plan.src_w // plan.col_tile)
-                * plan.d_v
+                * eff_v
                 * (1 + plan.n_samples)
                 + -(-plan.out_h // plan.row_tile)
-                * plan.d_h
+                * eff_h
                 * (2 * plan.n_samples + 6)
             )
             if est_ops <= op_budget:
@@ -1132,6 +1284,9 @@ def make_esw_region_fn(
                 for p in planned:
                     p.base_h, p.d_h = p.h_sweep[best_rt]
                     p.row_tile = best_rt
+                    # the measurement-only sweep replaces base_h; the
+                    # cover no longer matches it — drop to dynamic taps
+                    p.cov_h, p.jh = None, 0
 
         # group tap counts are maxima: demote the most expensive members
         # to the gather kernel until the shared kernel's trace-size
@@ -1140,6 +1295,10 @@ def make_esw_region_fn(
         def group_est(rps):
             d_v = max(rp[2].d_v for rp in rps)
             d_h = max(rp[2].d_h for rp in rps)
+            if all(rp[2].jv for rp in rps):
+                d_v = max(rp[2].jv for rp in rps)
+            if all(rp[2].jh for rp in rps):
+                d_h = max(rp[2].jh for rp in rps)
             return (
                 -(-ww // force["col_tile"]) * d_v * (1 + g_S)
                 + -(-gh // force["row_tile"]) * d_h * (2 * g_S + 6)
@@ -1160,10 +1319,25 @@ def make_esw_region_fn(
         if ok:
             d_v = max(rp[2].d_v for rp in ok)
             d_h = max(rp[2].d_h for rp in ok)
+            # static-cover slice counts are trace-static, so the group can
+            # use the formulation only when EVERY member's cover exists;
+            # members pad their covers to the group maximum
+            jv_g = (
+                max(rp[2].jv for rp in ok)
+                if all(rp[2].jv for rp in ok)
+                else 0
+            )
+            jh_g = (
+                max(rp[2].jh for rp in ok)
+                if all(rp[2].jh for rp in ok)
+                else 0
+            )
             uniform = {
                 "n_samples": force["n_samples"],
                 "d_v": d_v,
                 "d_h": d_h,
+                "jv": jv_g,
+                "jh": jh_g,
                 "col_tile": force["col_tile"],
                 "row_tile": force["row_tile"],
                 "bits_v": max(rp[2].bits_v for rp in ok),
@@ -1404,15 +1578,37 @@ def make_esw_region_fn(
                 for k in range(12)
             )
 
-            def run(src, out, offs, *stacked):
-                def one(off, *st):
-                    start = (0,) * (src.ndim - 2) + (off[0], off[1])
-                    win = jax.lax.dynamic_slice(
-                        src, start, src.shape[:-2] + (wh, ww)
-                    )
-                    return piece_kernel(win, *st)
+            def one(src, off, *st):
+                start = (0,) * (src.ndim - 2) + (off[0], off[1])
+                win = jax.lax.dynamic_slice(
+                    src, start, src.shape[:-2] + (wh, ww)
+                )
+                return piece_kernel(win, *st)
 
-                out_stack = jax.vmap(one, in_axes=in_axes)(offs, *stacked)
+            # unrolled piece loop: batched (vmapped) gathers measured
+            # ~7-20% slower than per-piece programs on TPU
+            # (scratch/esw_static_proto.py); trace size scales with the
+            # member count, so XRTPU_MOSAIC_VMAP=1 restores the vmap
+            unroll = os.environ.get("XRTPU_MOSAIC_VMAP", "") != "1"
+
+            def run(src, out, offs, *stacked):
+                if unroll:
+                    for i, (r0, c0) in enumerate(starts_rc):
+                        st = tuple(
+                            a if ax is None else a[i]
+                            for a, ax in zip(stacked, in_axes[1:])
+                        )
+                        piece = one(src, offs[i], *st)
+                        out = jax.lax.dynamic_update_slice(
+                            out,
+                            piece,
+                            (0,) * (out.ndim - 2) + (r0, c0),
+                        )
+                    return out
+
+                out_stack = jax.vmap(
+                    lambda off, *st: one(src, off, *st), in_axes=in_axes
+                )(offs, *stacked)
                 for i, (r0, c0) in enumerate(starts_rc):
                     out = jax.lax.dynamic_update_slice(
                         out,
