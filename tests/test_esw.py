@@ -265,14 +265,29 @@ def test_static_cover_invariants():
         np.cumsum(rng.random((n, lanes)) < 0.6, axis=0)
         - np.cumsum(rng.random((n, lanes)) < 0.3, axis=0)
     ).astype(np.int32)
-    cov, J = _static_cover(base, d, axis=0)
+    cov, J_t = _static_cover(base, d, axis=0)
+    J = int(J_t.max())
     assert cov is not None and cov.shape == (n + J, lanes)
     assert (np.diff(cov.astype(np.int64), axis=0) >= 0).all()
     assert (np.diff(cov.astype(np.int64), axis=0) <= 1).all()
+    # per-lane slice counts: each lane's OWN J-window must already reach
+    # every needed tap (the kernel stops each tile at its lane count)
     for c in range(lanes):
         for r in range(n):
-            win = set(cov[r : r + J, c].tolist())
+            win = set(cov[r : r + int(J_t[c]), c].tolist())
             need = set(range(int(base[r, c]), int(base[r, c]) + d))
+            assert need <= win, (r, c)
+
+    # per-lane diversity: lanes with smaller d need no larger windows
+    d_lane = np.array([d, d - 4, 2], dtype=np.int64)
+    cov_l, J_l = _static_cover(base, d_lane, axis=0)
+    assert cov_l is not None and (J_l <= J_t).all()
+    for c in range(lanes):
+        for r in range(n):
+            win = set(cov_l[r : r + int(J_l[c]), c].tolist())
+            need = set(
+                range(int(base[r, c]), int(base[r, c]) + int(d_lane[c]))
+            )
             assert need <= win, (r, c)
 
     # a base that advances faster than one per index is infeasible
@@ -281,7 +296,8 @@ def test_static_cover_invariants():
     assert cov2 is None
 
     # axis=1: same contract on transposed layout
-    cov3, J3 = _static_cover(base.T.copy(), d, axis=1)
+    cov3, J3_t = _static_cover(base.T.copy(), d, axis=1)
+    J3 = int(J3_t.max())
     assert cov3 is not None and cov3.shape == (lanes, n + J3)
     np.testing.assert_array_equal(cov3, cov[: n + J3].T) if J3 == J else None
 
@@ -302,6 +318,43 @@ def test_esw_static_formulation_bit_equal(interp, monkeypatch):
     data = _rand((source_gm.height, source_gm.width), seed=3)
     a = np.asarray(dyn(jnp.asarray(data)))
     b = np.asarray(sta(jnp.asarray(data)))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("interp", ["bilinear", "nearest"])
+def test_esw_pertile_counts_bit_equal(interp, monkeypatch):
+    """Per-tile tap/slice counts must not change one output bit relative
+    to the plan-max counts (extra iterations only ever re-select values
+    already routed, or select nothing)."""
+    source_gm, target_gm = _severe_case()
+    data = _rand((source_gm.height, source_gm.width), seed=5)
+    monkeypatch.setenv("XRTPU_ESW_PERTILE", "0")
+    uni = make_esw_reproject_fn(source_gm, target_gm, interp, np.nan)
+    monkeypatch.setenv("XRTPU_ESW_PERTILE", "1")
+    per = make_esw_reproject_fn(source_gm, target_gm, interp, np.nan)
+    plan = plan_esw(source_gm, target_gm)
+    assert plan.d_v_t is not None and min(plan.d_v_t) < plan.d_v, (
+        "case no longer exercises per-tile variation"
+    )
+    a = np.asarray(uni(jnp.asarray(data)))
+    b = np.asarray(per(jnp.asarray(data)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_esw_region_mosaic_perpiece_bit_equal(monkeypatch):
+    """Per-piece kernel configs in the unrolled mosaic loop must
+    reproduce the group-max mosaic bit-for-bit."""
+    source_gm, target_gm = _extreme_case()
+    data = _rand((source_gm.height, source_gm.width), seed=13)
+    monkeypatch.setenv("XRTPU_MOSAIC_PERPIECE", "0")
+    monkeypatch.setenv("XRTPU_ESW_PERTILE", "0")
+    grp = make_esw_region_fn(source_gm, target_gm, "bilinear", np.nan)
+    monkeypatch.setenv("XRTPU_MOSAIC_PERPIECE", "1")
+    monkeypatch.setenv("XRTPU_ESW_PERTILE", "1")
+    per = make_esw_region_fn(source_gm, target_gm, "bilinear", np.nan)
+    assert grp is not None and per is not None
+    a = np.asarray(grp(jnp.asarray(data)))
+    b = np.asarray(per(jnp.asarray(data)))
     np.testing.assert_array_equal(a, b)
 
 

@@ -100,6 +100,13 @@ class ESWPlan:
     jv: int = 0
     cov_h: np.ndarray | None = None  # (n_row_tiles, out_w + jh) int32
     jh: int = 0
+    # per-tile tap/slice counts (maxima of the scalars above): the kernel
+    # unrolls its tile loops in Python, so each tile can stop at its OWN
+    # count — mild interior tiles stop paying the worst tile's diversity
+    d_v_t: tuple | None = None  # len n_col_tiles
+    d_h_t: tuple | None = None  # len n_row_tiles
+    jv_t: tuple | None = None  # len n_col_tiles
+    jh_t: tuple | None = None  # len n_row_tiles
 
 
 def _max_row_deviation(fields: _Fields, refine: int = 2) -> float:
@@ -160,9 +167,14 @@ def _static_cover(base: np.ndarray, d: int, axis: int):
     serializes dynamic cross-lane gathers; measured ~6.7x the cost of a
     static-slice select step, scratch/esw_prims*.py).
 
-    Returns ``(cov, J)`` with ``cov`` shaped like ``base`` extended by J
-    along ``axis``, or ``(None, 0)`` when no such cover exists (the base
-    advances faster than one source index per output index somewhere —
+    ``d`` may be a scalar or a per-lane array (per-tile tap diversity):
+    per-lane targets keep low-diversity lanes' windows short, so the
+    per-lane slice counts ``J_t`` shrink where the warp is mild.
+
+    Returns ``(cov, J_t)`` with ``cov`` shaped like ``base`` extended by
+    ``max(J_t)`` along ``axis`` and ``J_t`` an int array of per-lane slice
+    counts, or ``(None, None)`` when no cover exists (the base advances
+    faster than one source index per output index somewhere —
     downscale-like warps keep the dynamic formulation)."""
     b = base if axis == 0 else base.T  # (n, lanes)
     n, lanes = b.shape
@@ -170,17 +182,19 @@ def _static_cover(base: np.ndarray, d: int, axis: int):
     # largest valid cover: backward running min (nondecreasing, <= base)
     cov = np.minimum.accumulate(b64[::-1], axis=0)[::-1]
     if n > 1 and (np.diff(cov, axis=0) > 1).any():
-        return None, 0
-    targets = b64 + d - 1
+        return None, None
+    d_lane = np.broadcast_to(np.asarray(d, dtype=np.int64), (lanes,))
+    targets = b64 + d_lane[None, :] - 1
     tail = int(max(0, targets.max() - cov[-1].min()))
     cov_ext = np.concatenate(
         [cov, cov[-1][None, :] + 1 + np.arange(tail, dtype=np.int64)[:, None]]
     )
     # first k >= r with cov_ext[k] >= target[r], per lane
-    J = 1
+    J_t = np.ones(lanes, dtype=np.int64)
     for c in range(lanes):
         k = np.searchsorted(cov_ext[:, c], targets[:, c], side="left")
-        J = max(J, int((k - np.arange(n)).max()) + 1)
+        J_t[c] = max(1, int((k - np.arange(n)).max()) + 1)
+    J = int(J_t.max())
     out = cov_ext[: n + J]
     if out.shape[0] < n + J:  # tail too short (all-flat targets edge case)
         extra = n + J - out.shape[0]
@@ -188,7 +202,7 @@ def _static_cover(base: np.ndarray, d: int, axis: int):
             [out, out[-1][None, :] + 1 + np.arange(extra, dtype=np.int64)[:, None]]
         )
     out = out.astype(np.int32)
-    return (out if axis == 0 else out.T), J
+    return (out if axis == 0 else out.T), J_t
 
 
 def _pad_cover(cov: np.ndarray, n: int, J: int, axis: int) -> np.ndarray:
@@ -277,7 +291,7 @@ def plan_esw(
     def _v_layout(res_rows, col_tile):
         n_col_tiles = -(-src_w // col_tile)
         base = np.zeros((out_h, n_col_tiles), dtype=np.int32)
-        span_max = 0.0
+        d_t = np.zeros(n_col_tiles, dtype=np.int64)
         for t in range(n_col_tiles):
             c0 = t * col_tile
             c1 = min((t + 1) * col_tile, src_w)
@@ -286,18 +300,25 @@ def plan_esw(
             seg = res_rows[:, k0:k1]
             m = seg.min(axis=1)
             base[:, t] = np.floor(m - half).astype(np.int32) - 2
-            span_max = max(span_max, float((seg.max(axis=1) - m).max()))
-        # taps must cover the whole window [m, m+S-1] for every column of
-        # the tile: tile span + S samples + float/interp safety
-        return base, int(np.ceil(span_max)) + n_samples + 4
+            # taps must cover the whole window [m, m+S-1] for every column
+            # of the tile: tile span + S samples + float/interp safety
+            d_t[t] = (
+                int(np.ceil(float((seg.max(axis=1) - m).max())))
+                + n_samples
+                + 4
+            )
+        return base, d_t
 
     def _best_tiling(layout_fn, res, candidates):
         best = None
         for cand in candidates:
-            base, d = layout_fn(res, cand)
-            eff = d * max(1.0, 96.0 / cand)
+            base, d_t = layout_fn(res, cand)
+            # per-tile counts: cost follows the MEAN tap count (the kernel
+            # stops each tile at its own diversity), feasibility the max
+            d = int(d_t.max())
+            eff = float(d_t.mean()) * max(1.0, 96.0 / cand)
             if d <= max_taps and (best is None or eff < best[0]):
-                best = (eff, cand, base, d)
+                best = (eff, cand, base, d_t)
         return best
 
     def _sv_full():
@@ -318,15 +339,17 @@ def plan_esw(
         ct_f = force["col_tile"]
         if force["use_shift_v"]:
             s_v_full, res_v = _sv_full()
-            base_v, d_v = _v_layout(_interp_rows(res_v, out_h, step), ct_f)
+            base_v, dv_t = _v_layout(_interp_rows(res_v, out_h, step), ct_f)
             s_v = s_v_full
             bits_v = int(s_v_full.max()).bit_length()
         else:
-            base_v, d_v = _v_layout(_interp_rows(iystar, out_h, step), ct_f)
+            base_v, dv_t = _v_layout(
+                _interp_rows(iystar, out_h, step), ct_f
+            )
             s_v = None
             bits_v = 0
         col_tile = ct_f
-        if d_v > 2 * max_taps:
+        if int(dv_t.max()) > 2 * max_taps:
             return None
     else:
         plain_v = _best_tiling(
@@ -337,7 +360,7 @@ def plan_esw(
         s_v_full, res_v = _sv_full()
         shifted_v = None
         if s_v_full.max() > 0 and (
-            plain_v is None or plain_v[3] > n_samples + 8
+            plain_v is None or int(plain_v[3].max()) > n_samples + 8
         ):
             shifted_v = _best_tiling(
                 _v_layout, _interp_rows(res_v, out_h, step), tiles_v
@@ -346,18 +369,22 @@ def plan_esw(
         bits_v = int(s_v_full.max()).bit_length()
         # vertical taps touch (out_h, src_w)-sized streams (1 take + S
         # selects each); roll passes touch the (src_h, src_w) source once
-        # per bit — weight them by the array-size ratio
+        # per bit — weight them by the array-size ratio.  Costs compare
+        # MEAN per-tile counts (the kernel stops each tile at its own)
         roll_w_v = src_h / max(1, out_h * (1 + n_samples))
         use_shift_v = shifted_v is not None and (
-            plain_v is None or shifted_v[3] + roll_w_v * bits_v < plain_v[3]
+            plain_v is None
+            or float(shifted_v[3].mean()) + roll_w_v * bits_v
+            < float(plain_v[3].mean())
         )
         chosen_v = shifted_v if use_shift_v else plain_v
         if chosen_v is None:
             return None
-        _, col_tile, base_v, d_v = chosen_v
+        _, col_tile, base_v, dv_t = chosen_v
         s_v = s_v_full if use_shift_v else None
         if not use_shift_v:
             bits_v = 0
+    d_v = int(dv_t.max())
 
     # ---- horizontal tap layout: per-(row tile, output col) bases,
     # optionally shift-aligned per output row
@@ -367,7 +394,7 @@ def plan_esw(
     def _h_layout(res_cols, row_tile):
         n_row_tiles = -(-out_h // row_tile)
         base = np.zeros((n_row_tiles, out_w), dtype=np.int32)
-        span_max_h = 0.0
+        d_t = np.zeros(n_row_tiles, dtype=np.int64)
         for t in range(n_row_tiles):
             r0 = t * row_tile
             r1 = min((t + 1) * row_tile, out_h)
@@ -376,9 +403,9 @@ def plan_esw(
             seg = res_cols[k0:k1, :]
             m = seg.min(axis=0)
             base[t, :] = np.floor(m).astype(np.int32) - 2
-            span_max_h = max(span_max_h, float((seg.max(axis=0) - m).max()))
-        # +1 for the right column tap, + float/interp safety
-        return base, int(np.ceil(span_max_h)) + 5
+            # +1 for the right column tap, + float/interp safety
+            d_t[t] = int(np.ceil(float((seg.max(axis=0) - m).max()))) + 5
+        return base, d_t
 
     def _sh_full():
         dh_ = np.diff(ix64, axis=0)
@@ -409,7 +436,7 @@ def plan_esw(
             res_cols_f = _interp_cols(ix64, out_w, step)
             s_h = None
             bits_h = 0
-        base_h, d_h = _h_layout(res_cols_f, rt_f)
+        base_h, dh_t = _h_layout(res_cols_f, rt_f)
         # mosaic groups share one forced row tile; d_h scales with the
         # per-tile row span (vertical shear x tile height), so the caller
         # can request per-candidate layouts and pick the group-cheapest
@@ -421,9 +448,9 @@ def plan_esw(
                 for rt in sweep
                 if rt <= out_h and rt != rt_f
             }
-            h_sweep[rt_f] = (base_h, d_h)
+            h_sweep[rt_f] = (base_h, dh_t)
         row_tile = rt_f
-        if d_h > 2 * max_taps:
+        if int(dh_t.max()) > 2 * max_taps:
             return None
     else:
         plain_h = _best_tiling(
@@ -432,7 +459,9 @@ def plan_esw(
 
         s_h_full, res_h = _sh_full()
         shifted_h = None
-        if s_h_full.max() > 0 and (plain_h is None or plain_h[3] > 10):
+        if s_h_full.max() > 0 and (
+            plain_h is None or int(plain_h[3].max()) > 10
+        ):
             shifted_h = _best_tiling(
                 _h_layout, _interp_cols(res_h, out_w, step), tiles_h
             )
@@ -442,15 +471,18 @@ def plan_esw(
         # move the S (out_h, src_w) sample fields once per bit
         roll_w_h = (n_samples * src_w) / max(1, (1 + n_samples) * out_w)
         use_shift_h = shifted_h is not None and (
-            plain_h is None or shifted_h[3] + roll_w_h * bits_h < plain_h[3]
+            plain_h is None
+            or float(shifted_h[3].mean()) + roll_w_h * bits_h
+            < float(plain_h[3].mean())
         )
         chosen_h = shifted_h if use_shift_h else plain_h
         if chosen_h is None:
             return None
-        _, row_tile, base_h, d_h = chosen_h
+        _, row_tile, base_h, dh_t = chosen_h
         s_h = s_h_full if use_shift_h else None
         if not use_shift_h:
             bits_h = 0
+    d_h = int(dh_t.max())
 
     # ---- static-cover formulation (one shared gather + static slices)
     # where the cover exists and its length wins under the measured cost
@@ -460,13 +492,22 @@ def plan_esw(
     rh = float(os.environ.get("XRTPU_ESW_STATIC_RH", _STATIC_J_RATIO_H))
     cov_v = cov_h = None
     jv = jh = 0
+    jv_t = jh_t = None
     if static_env != "0":
-        cv_, jv_ = _static_cover(base_v, d_v, axis=0)
-        if cv_ is not None and (static_env == "1" or jv_ <= rv * d_v):
-            cov_v, jv = cv_, jv_
-        ch_, jh_ = _static_cover(base_h, d_h, axis=1)
-        if ch_ is not None and (static_env == "1" or jh_ <= rh * d_h):
-            cov_h, jh = ch_, jh_
+        cv_, jvt_ = _static_cover(base_v, dv_t, axis=0)
+        if cv_ is not None and (
+            static_env == "1"
+            or float(jvt_.mean()) <= rv * float(dv_t.mean())
+        ):
+            cov_v, jv = cv_, int(jvt_.max())
+            jv_t = tuple(int(x) for x in jvt_)
+        ch_, jht_ = _static_cover(base_h, dh_t, axis=1)
+        if ch_ is not None and (
+            static_env == "1"
+            or float(jht_.mean()) <= rh * float(dh_t.mean())
+        ):
+            cov_h, jh = ch_, int(jht_.max())
+            jh_t = tuple(int(x) for x in jht_)
 
     plan = ESWPlan(
         iystar_c=iystar.astype(np.float32),
@@ -496,6 +537,10 @@ def plan_esw(
         jv=jv,
         cov_h=cov_h,
         jh=jh,
+        d_v_t=tuple(int(x) for x in dv_t),
+        d_h_t=tuple(int(x) for x in dh_t),
+        jv_t=jv_t,
+        jh_t=jh_t,
     )
     if h_sweep is not None:
         plan.h_sweep = h_sweep
@@ -513,9 +558,16 @@ class _KernelCfg:
     __slots__ = (
         "n_samples", "d_v", "d_h", "col_tile", "row_tile", "bits_v",
         "bits_h", "r_lo", "r_hi", "c_lo", "c_hi", "interp", "jv", "jh",
+        # optional per-tile tap/slice counts (tuples; None = the scalar
+        # maxima above apply to every tile)
+        "d_v_t", "d_h_t", "jv_t", "jh_t",
     )
 
     def __init__(self, **kw):
+        kw.setdefault("d_v_t", None)
+        kw.setdefault("d_h_t", None)
+        kw.setdefault("jv_t", None)
+        kw.setdefault("jh_t", None)
         for k in self.__slots__:
             setattr(self, k, kw[k])
 
@@ -642,6 +694,10 @@ def _get_impls():
             tile_src = src2[..., c0:c1]
             m_t = m_v[:, c0:c1]  # (out_h, ct) float32 integer-valued
             base_t = bv[:, t]  # (out_h,) tap bases, or (out_h + jv,) cover
+            # per-tile counts: the Python tile loop unrolls, so each tile
+            # stops at its own diversity instead of the plan/group max
+            jv_tile = cfg.jv_t[t] if cfg.jv_t is not None else cfg.jv
+            dv_tile = cfg.d_v_t[t] if cfg.d_v_t is not None else cfg.d_v
             accs = [
                 jnp.zeros(batch + (out_h, c1 - c0), jnp.float32)
                 for _ in range(S)
@@ -651,19 +707,20 @@ def _get_impls():
                 # the monotone cover, then jv static slices — each output
                 # row r reaches every tap row in [base(r), base(r)+d_v)
                 # by VALUE via cov[r : r + jv] (see _static_cover)
-                rid_all = base_t.astype(jnp.float32)
+                used = base_t[: out_h + jv_tile]
+                rid_all = used.astype(jnp.float32)
                 R = jnp.take(
                     tile_src,
-                    jnp.clip(base_t - r_lo, 0, ext_h - 1),
+                    jnp.clip(used - r_lo, 0, ext_h - 1),
                     axis=-2,
-                )  # (..., out_h + jv, ct)
-                for j in range(cfg.jv):
+                )  # (..., out_h + jv_tile, ct)
+                for j in range(jv_tile):
                     taken = R[..., j : j + out_h, :]
                     rid = rid_all[j : j + out_h][:, None]
                     for s in range(S):
                         accs[s] = jnp.where(m_t == rid - s, taken, accs[s])
             else:
-                for d in range(cfg.d_v):
+                for d in range(dv_tile):
                     idx = jnp.clip(base_t + d - r_lo, 0, ext_h - 1)
                     taken = jnp.take(tile_src, idx, axis=-2)
                     rid = (base_t + d).astype(jnp.float32)[:, None]
@@ -736,25 +793,28 @@ def _get_impls():
             # samples must survive to the end instead of lerping early
             tv = [zero, zero, zero, zero] if triangular else None
 
+            jh_tile = cfg.jh_t[t] if cfg.jh_t is not None else cfg.jh
+            dh_tile = cfg.d_h_t[t] if cfg.d_h_t is not None else cfg.d_h
             if cfg.jh:
                 # static-cover formulation (see _static_cover): resample
                 # the anchor row and the S sample fields ONCE through the
                 # monotone cover, then jh static slices route by value
-                idx_all = jnp.clip(base_t - c_lo, 0, ext_w - 1)
+                used_h = base_t[: out_w + jh_tile]
+                idx_all = jnp.clip(used_h - c_lo, 0, ext_w - 1)
                 Am = jnp.take(m_rows, idx_all, axis=-1)
                 Af = [jnp.take(f, idx_all, axis=-1) for f in f_rows]
 
                 def taps():
-                    for j in range(cfg.jh):
+                    for j in range(jh_tile):
                         yield (
                             Am[..., :, j : j + out_w],
                             [a_[..., :, j : j + out_w] for a_ in Af],
-                            base_t[j : j + out_w][None, :],
+                            used_h[j : j + out_w][None, :],
                         )
             else:
 
                 def taps():
-                    for d in range(cfg.d_h):
+                    for d in range(dh_tile):
                         idx = jnp.clip(base_t + d - c_lo, 0, ext_w - 1)
                         yield (
                             jnp.take(m_rows, idx, axis=-1),  # (rt, out_w)
@@ -875,6 +935,13 @@ def make_esw_fn(
     if jh:
         bh_arr = _pad_cover(p.cov_h, p.out_w, jh, axis=1)
 
+    # per-tile counts ride along only when the layout is the plan's own
+    # (uniform mode shares ONE kernel across pieces, whose per-tile needs
+    # differ — the region fn rebuilds per-piece cfgs for the unrolled
+    # loop instead, see make_esw_region_fn)
+    pertile = uniform is None and (
+        os.environ.get("XRTPU_ESW_PERTILE", "1") != "0"
+    )
     cfg = _KernelCfg(
         n_samples=S,
         d_v=d_v,
@@ -890,6 +957,10 @@ def make_esw_fn(
         interp=interp_method,
         jv=jv,
         jh=jh,
+        d_v_t=p.d_v_t if pertile else None,
+        d_h_t=p.d_h_t if pertile else None,
+        jv_t=(p.jv_t if (pertile and jv) else None),
+        jh_t=(p.jh_t if (pertile and jh) else None),
     )
 
     precompute, kernel = _get_impls()
@@ -1268,25 +1339,33 @@ def make_esw_region_fn(
                 # n_tiles x d_h HLO ops — don't trade a runtime win for
                 # an unbounded compile-time regression
                 big = cands[0]
-                trace0 = -(-gh // big) * max(
-                    p.h_sweep[big][1] for p in planned
+                trace0 = max(
+                    int(p.h_sweep[big][1].sum()) for p in planned
                 )
                 best_rt = None
                 best_cost = None
                 for rt in cands:  # descending: ties keep the larger tile
-                    cost = max(p.h_sweep[rt][1] for p in planned)
-                    if -(-gh // rt) * cost > 1.7 * trace0:
+                    cost = max(
+                        float(p.h_sweep[rt][1].mean()) for p in planned
+                    )
+                    trace = max(
+                        int(p.h_sweep[rt][1].sum()) for p in planned
+                    )
+                    if trace > 1.7 * trace0:
                         continue
                     if best_cost is None or cost < 0.95 * best_cost:
                         best_rt, best_cost = rt, cost
             if best_rt is not None:
                 force["row_tile"] = best_rt
                 for p in planned:
-                    p.base_h, p.d_h = p.h_sweep[best_rt]
+                    base_h2, dh_t2 = p.h_sweep[best_rt]
+                    p.base_h = base_h2
+                    p.d_h = int(dh_t2.max())
+                    p.d_h_t = tuple(int(x) for x in dh_t2)
                     p.row_tile = best_rt
                     # the measurement-only sweep replaces base_h; the
                     # cover no longer matches it — drop to dynamic taps
-                    p.cov_h, p.jh = None, 0
+                    p.cov_h, p.jh, p.jh_t = None, 0, None
 
         # group tap counts are maxima: demote the most expensive members
         # to the gather kernel until the shared kernel's trace-size
@@ -1364,6 +1443,7 @@ def make_esw_region_fn(
                 else 0,
             }
         members = []  # (r0, c0, j0, i0, raw_parts) — the vmapped group
+        member_taps = []  # per-member (d_v, d_h, jv, jh) from its own plan
         group_cfg = None
         group_prekw = None
         for desc, win2, plan2 in replans:
@@ -1374,6 +1454,12 @@ def make_esw_region_fn(
                     return_parts="cfg_raw", uniform=uniform,
                 )
                 members.append((r0, c0, win2[0], win2[2], raw))
+                member_taps.append(
+                    (
+                        plan2.d_v, plan2.d_h, plan2.jv, plan2.jh,
+                        plan2.d_v_t, plan2.d_h_t, plan2.jv_t, plan2.jh_t,
+                    )
+                )
             else:
                 # forced layout did not fit this piece: fall back to its
                 # own probe plan (costs one extra compile + dispatch)
@@ -1382,8 +1468,49 @@ def make_esw_region_fn(
                 )
                 pieces.append((r0, r1, c0, c1, desc[5], kernel, statics))
         if members:
+            # per-piece kernel configs (unrolled piece loop only): the
+            # group maxima exist to share ONE compiled kernel, but the
+            # unrolled loop inlines each piece's HLO anyway — so each
+            # piece can run at its OWN tap counts (bulk members at
+            # d ~ 8-10 stop paying a d ~ 14 group max).  The stacked
+            # covers/bases stay group-max padded; a kernel that reads
+            # fewer slices of them is correct by the member's own plan.
+            # The member's static-vs-dynamic choice must match the
+            # group's (the stacked arrays hold covers XOR bases).
+            per_cfgs = None
+            if os.environ.get("XRTPU_MOSAIC_PERPIECE", "1") != "0":
+                pertile = os.environ.get("XRTPU_ESW_PERTILE", "1") != "0"
+                base_kw = {
+                    k: getattr(group_cfg, k) for k in _KernelCfg.__slots__
+                }
+                per_cfgs = [
+                    _KernelCfg(
+                        **{
+                            **base_kw,
+                            "d_v": dv,
+                            "d_h": dh,
+                            "jv": jv_m if group_cfg.jv else 0,
+                            "jh": jh_m if group_cfg.jh else 0,
+                            "d_v_t": dv_t if pertile else None,
+                            "d_h_t": dh_t if pertile else None,
+                            "jv_t": (
+                                jv_t
+                                if (pertile and group_cfg.jv)
+                                else None
+                            ),
+                            "jh_t": (
+                                jh_t
+                                if (pertile and group_cfg.jh)
+                                else None
+                            ),
+                        }
+                    )
+                    for (
+                        dv, dh, jv_m, jh_m, dv_t, dh_t, jv_t, jh_t
+                    ) in member_taps
+                ]
             vgroups.append(
-                (group_cfg, group_prekw, gh, gw, wh, ww, members)
+                (group_cfg, per_cfgs, group_prekw, gh, gw, wh, ww, members)
             )
             if os.environ.get("XRTPU_MOSAIC_DEBUG", ""):
                 print(
@@ -1486,7 +1613,7 @@ def make_esw_region_fn(
     # the round-2 mosaic's ~150 ms), while one whole-mosaic jit risks a
     # service-dropping compile; a few buckets is the measured sweet spot
     bodies = []  # (run_unjitted(src, out, *args) -> out, args or () -> args)
-    for group_cfg, group_prekw, gh, gw, wh, ww, members in vgroups:
+    for group_cfg, per_cfgs, group_prekw, gh, gw, wh, ww, members in vgroups:
         # stack the RAW coarse inputs on the host; the ONE vmapped
         # precompute per group (trace + compile + run) happens lazily at
         # the FIRST mosaic dispatch — the 30-odd eager precompute
@@ -1570,7 +1697,8 @@ def make_esw_region_fn(
         # decides vmap axes without materializing the precompute
         absent = (sv_np is None, sh_np is None)
 
-        def make_group_body(absent, starts_rc, piece_kernel, wh, ww):
+        def make_group_body(absent, starts_rc, piece_kernel, wh, ww,
+                            per_cfgs=per_cfgs):
             sv_absent, sh_absent = absent
             in_axes = (0,) + tuple(
                 None if (k == 7 and sv_absent) or (k == 8 and sh_absent)
@@ -1578,12 +1706,12 @@ def make_esw_region_fn(
                 for k in range(12)
             )
 
-            def one(src, off, *st):
+            def one(src, off, *st, kern=piece_kernel):
                 start = (0,) * (src.ndim - 2) + (off[0], off[1])
                 win = jax.lax.dynamic_slice(
                     src, start, src.shape[:-2] + (wh, ww)
                 )
-                return piece_kernel(win, *st)
+                return kern(win, *st)
 
             # unrolled piece loop: batched (vmapped) gathers measured
             # ~7-20% slower than per-piece programs on TPU
@@ -1598,7 +1726,12 @@ def make_esw_region_fn(
                             a if ax is None else a[i]
                             for a, ax in zip(stacked, in_axes[1:])
                         )
-                        piece = one(src, offs[i], *st)
+                        kern = (
+                            partial(kernel_impl, cfg=per_cfgs[i])
+                            if per_cfgs is not None
+                            else piece_kernel
+                        )
+                        piece = one(src, offs[i], *st, kern=kern)
                         out = jax.lax.dynamic_update_slice(
                             out,
                             piece,
