@@ -299,8 +299,12 @@ def bench_reproject_global(log):
         fn = make_srw_reproject_fn(source_gm, target_gm, interp, np.nan)
         kind = "srw"
         if fn is None:
+            # the production dispatch routes this singular-warp config to
+            # the exact ESW mosaic (measured in the mosaic section below);
+            # the serialized gather here is a diagnostic floor, NOT the
+            # engine's default path for this config
             fn = make_fused_reproject_fn(source_gm, target_gm, interp, np.nan)
-            kind = "gather"
+            kind = "gather diagnostic — default dispatch is the esw-mosaic line"
         dt = _time_fn(fn, src)
         mpix_s = out_w * out_h / dt / 1e6
         results[interp] = mpix_s
@@ -340,6 +344,7 @@ def bench_global_mosaics(log, exact=True, optin=True):
 
     sentinel = _mosaic_sentinel_path()
     kernels_warm = os.path.exists(sentinel)
+    allow_cold = os.environ.get("XRTPU_BENCH_ALLOW_COLD") == "1"
 
     def _attempt(tag, build, min_budget=420.0):
         # the remote XLA service occasionally drops the connection mid-
@@ -350,6 +355,18 @@ def bench_global_mosaics(log, exact=True, optin=True):
         # attempt needs ~2 min of planning + dispatch, not ~20 of compile
         if kernels_warm:
             min_budget = min(min_budget, 180.0)
+        elif not allow_cold:
+            # a cold kernel hash means the mosaic programs would compile
+            # from scratch (~10-20 min through the remote service) —
+            # never attempt that inside a driver-budgeted run (round 4
+            # died exactly here, rc=124).  Warm the cache explicitly:
+            # XRTPU_BENCH_ALLOW_COLD=1 python bench.py
+            log(
+                f"{tag}: skipped — mosaic kernel sources changed since "
+                f"the last cache-warming run (cold compile ~10-20 min); "
+                f"rerun with XRTPU_BENCH_ALLOW_COLD=1 to warm the cache"
+            )
+            return
         if _remaining() < min_budget:
             log(
                 f"{tag}: skipped — {_remaining():.0f} s left of the bench "

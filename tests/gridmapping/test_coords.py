@@ -306,3 +306,64 @@ def test_2d_xy_coords():
     assert (2, 3, 4) == xy_coords.shape
     assert ("lon", "lat") == gm.xy_var_names
     assert ("lon", "lat") == gm.xy_dim_names
+
+
+def _nan_edged_swath_coords(width=16, height=12):
+    """Gently curved swath with non-finite corner pixels — the normal
+    shape of real OLCI/SLSTR L2 products."""
+    j = np.arange(height, dtype=np.float64)[:, np.newaxis]
+    i = np.arange(width, dtype=np.float64)[np.newaxis, :]
+    res = 0.01
+    lon = 4.0 + res * (i + 0.12 * j)
+    lat = 62.0 - res * (j - 0.08 * i)
+    for jj, ii in ((0, 0), (0, 1), (1, 0), (-1, -1), (0, -1), (-1, 0)):
+        lon[jj, ii] = np.nan
+        lat[jj, ii] = np.nan
+    return (
+        DataArray(lon, dims=("y", "x")),
+        DataArray(lat, dims=("y", "x")),
+    )
+
+
+def test_2d_nan_edge_coords_bbox():
+    # NaN edge pixels must not poison the inferred bbox (the reference's
+    # scans are NaN-skipping, reference gridmapping/bboxes.py:143-166)
+    lon, lat = _nan_edged_swath_coords()
+    gm = GridMapping.from_coords(lon, lat, GEO_CRS)
+    assert gm.is_regular is False
+    x1, y1, x2, y2 = gm.xy_bbox
+    assert np.isfinite([x1, y1, x2, y2]).all()
+    # bbox covers the hull of all finite coordinates
+    assert x1 <= np.nanmin(lon.values) and x2 >= np.nanmax(lon.values)
+    assert y1 <= np.nanmin(lat.values) and y2 >= np.nanmax(lat.values)
+
+
+def test_2d_bowed_swath_bbox_covers_hull():
+    # Strongly bowed swath: the true x-minimum lies mid-edge of an
+    # INTERIOR column, where an edge-only scan cannot see it.
+    width, height = 20, 14
+    j = np.arange(height, dtype=np.float64)[:, np.newaxis]
+    i = np.arange(width, dtype=np.float64)[np.newaxis, :]
+    lon = 10.0 + 0.002 * (i - width / 2) ** 2 + 0.01 * j
+    lat = 50.0 + 0.002 * (j - height / 2) ** 2 + 0.01 * i
+    gm = GridMapping.from_coords(
+        DataArray(lon, dims=("y", "x")),
+        DataArray(lat, dims=("y", "x")),
+        GEO_CRS,
+    )
+    x1, y1, x2, y2 = gm.xy_bbox
+    assert x1 <= lon.min() and x2 >= lon.max()
+    assert y1 <= lat.min() and y2 >= lat.max()
+
+
+def test_2d_all_nan_coords_clear_error():
+    nan2d = np.full((4, 5), np.nan)
+    with pytest.raises(
+        (ValueError, RuntimeError),
+        match="finite values|could not be determined",
+    ):
+        GridMapping.from_coords(
+            DataArray(nan2d, dims=("y", "x")),
+            DataArray(nan2d, dims=("y", "x")),
+            GEO_CRS,
+        )

@@ -116,3 +116,46 @@ def test_from_sentinel_2():
 def test_no_grid_mapping_found():
     with pytest.raises(ValueError, match="cannot find any grid mapping in dataset"):
         GridMapping.from_dataset(Dataset())
+
+
+def test_broken_candidate_tolerated():
+    # A proxy whose 2D coord images are unusable (all-NaN — e.g. produced
+    # by resampling near a swath edge) must not take down inference when
+    # a healthy regular proxy exists.  The reference gets this for free
+    # from lazy dask bboxes (reference gridmapping/dataset.py:72-100).
+    nan2d = np.full((4, 5), np.nan)
+    dataset = Dataset(
+        dict(
+            band=DataArray(
+                np.zeros((4, 5), dtype=np.float32),
+                dims=("y", "x"),
+                attrs=dict(grid_mapping="crs"),
+            ),
+            crs=DataArray(
+                np.array(0), dims=(), attrs=CRS.from_epsg(32632).to_cf()
+            ),
+        ),
+        coords=dict(
+            x=DataArray(
+                np.arange(5, dtype=np.float64) * 10.0 + 5.0,
+                dims="x",
+                attrs=dict(standard_name="projection_x_coordinate", units="m"),
+            ),
+            y=DataArray(
+                np.arange(4, dtype=np.float64) * -10.0 + 100.0,
+                dims="y",
+                attrs=dict(standard_name="projection_y_coordinate", units="m"),
+            ),
+            lon=DataArray(
+                nan2d, dims=("y", "x"),
+                attrs=dict(standard_name="longitude", units="degrees_east"),
+            ),
+            lat=DataArray(
+                nan2d, dims=("y", "x"),
+                attrs=dict(standard_name="latitude", units="degrees_north"),
+            ),
+        ),
+    )
+    gm = GridMapping.from_dataset(dataset)
+    assert gm.is_regular is True
+    assert gm.size == (5, 4)

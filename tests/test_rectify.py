@@ -500,13 +500,38 @@ def test_phase_a_tier_cost_model():
 
     olci_swath = 1189 * 1890
     olci_target = 2926 * 2177
-    tunnel = dict(bw=35e6, rtt=0.05)   # this build rig
-    pcie = dict(bw=8e9, rtt=2e-4)      # a real TPU host
+    # injected rate profile (the build rig's measured engine rates); the
+    # production path uses the per-process calibration instead
+    rates = dict(
+        host_quad=6e6, host_gather=25e6, device_gather=4e8,
+        device_fixed=0.1,
+    )
+    tunnel = dict(bw=35e6, rtt=0.05, rates=rates)   # this build rig
+    pcie = dict(bw=8e9, rtt=2e-4, rates=rates)      # a real TPU host
 
     assert _phase_a_auto_choice(1, olci_swath, olci_target, **tunnel) == "host"
     assert _phase_a_auto_choice(16, olci_swath, olci_target, **tunnel) == "device"
     assert _phase_a_auto_choice(1, olci_swath, olci_target, **pcie) == "device"
     assert _phase_a_auto_choice(16, olci_swath, olci_target, **pcie) == "device"
+
+
+def test_engine_rate_calibration(monkeypatch):
+    """The tier model measures host rates once per process (fallback
+    constants only when the probes cannot run) and honours XRTPU_RATE_*
+    overrides."""
+    from xcube_resampling_tpu import rectify as r
+
+    monkeypatch.setattr(r, "_ENGINE_RATES", {})
+    rates = r._engine_rates()
+    assert rates["host_quad"] > 0 and rates["host_gather"] > 0
+    assert rates["device_gather"] == r._DEVICE_GATHER_RATE
+
+    monkeypatch.setattr(r, "_ENGINE_RATES", {})
+    monkeypatch.setenv("XRTPU_RATE_HOST_QUAD", "123.0")
+    monkeypatch.setenv("XRTPU_RATE_DEVICE_FIXED", "0.5")
+    rates = r._engine_rates()
+    assert rates["host_quad"] == 123.0
+    assert rates["device_fixed"] == 0.5
 
 
 def test_phase_a_tier_env_override(monkeypatch):
@@ -519,3 +544,30 @@ def test_phase_a_tier_env_override(monkeypatch):
     # auto on the CPU test backend always stays on host
     monkeypatch.delenv("XRTPU_PHASEA")
     assert _phase_a_tier(16, swath_px=100, target_px=100) == "host"
+
+
+def test_rectify_nan_edge_swath_end_to_end():
+    # Real OLCI/SLSTR L2 swaths carry non-finite edge coordinates; both
+    # grid-mapping inference AND rectification must survive them
+    # (reference handles this via NaN-skipping scans, reference
+    # gridmapping/bboxes.py:143-166).
+    from tests.sampledata import create_olci_like_swath
+
+    ds = create_olci_like_swath(width=64, height=48, tile_size=32)
+    lon = np.asarray(ds.lon.data).copy()
+    lat = np.asarray(ds.lat.data).copy()
+    for jj, ii in ((0, 0), (0, 1), (1, 0), (-1, -1), (0, -1)):
+        lon[jj, ii] = np.nan
+        lat[jj, ii] = np.nan
+    ds = ds.assign_coords(
+        lon=DataArray(lon, dims=ds.lon.dims, attrs=ds.lon.attrs),
+        lat=DataArray(lat, dims=ds.lat.dims, attrs=ds.lat.attrs),
+    )
+    gm = GridMapping.from_dataset(ds)
+    assert np.isfinite(np.asarray(gm.xy_bbox, dtype=float)).all()
+
+    out = rectify_dataset(ds)
+    vals = np.asarray(out.rad.values)
+    assert vals.ndim == 2
+    # most of the grid rectifies; NaN-cornered pixels only thin the edges
+    assert np.isfinite(vals).mean() > 0.5

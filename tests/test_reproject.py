@@ -279,3 +279,40 @@ def test_engine_fast_extreme_warp_env(monkeypatch):
     assert both.mean() > 0.9
     # smooth input: the two paths agree to the documented tolerance
     np.testing.assert_allclose(fast[both], base[both], atol=2e-2)
+
+
+def test_reproject_no_overlap_raises_early():
+    # A disjoint target grid must fail with a clear message, not the
+    # downstream "cannot find any grid mapping in dataset" (the reference
+    # fails the confusing way, reference utils.py:119-124 -> downstream)
+    source_ds = create_5x5_dataset_regular_utm()
+    target_gm = GridMapping.regular(
+        size=(4, 4), xy_min=(900000, 900000), xy_res=10, crs="epsg:3035"
+    )
+    with pytest.raises(ValueError, match="does not overlap the source extent"):
+        reproject_dataset(source_ds, target_gm)
+
+
+def test_reproject_downscale_with_2d_aux_coords():
+    # Downscale path over a dataset carrying 2D lat/lon aux coords (the
+    # reference's flagship CF fixture shape): the resampled 2D coord
+    # images must not take down the grid-mapping re-inference inside
+    # _maybe_downscale (reproject.py), however NaN-edged they come out.
+    from .sampledata import create_s2plus_dataset
+
+    source_ds = create_s2plus_dataset()
+    source_gm = GridMapping.from_dataset(source_ds)
+    from xcube_resampling_tpu.crs import Transformer
+
+    fwd = Transformer.from_crs(source_gm.crs, "epsg:3035", always_xy=True)
+    b = fwd.transform_bounds(*source_gm.xy_bbox)
+    # coarser-than-source target slightly larger than the source extent
+    target_gm = GridMapping.regular(
+        size=(6, 6), xy_min=(b[0] - 40, b[1] - 40), xy_res=25.0,
+        crs="epsg:3035",
+    )
+    target_ds = reproject_dataset(source_ds, target_gm)
+    assert "rrs_443" in target_ds
+    assert target_ds.rrs_443.shape == (6, 6)
+    vals = np.asarray(target_ds.rrs_443.values)
+    assert np.isfinite(vals).any()

@@ -339,16 +339,40 @@ def _profile_2d(
 
 
 def _default_bbox(profile: _CoordsProfile) -> tuple:
-    """Pixel-edge bbox from the outermost coordinate centers +- res/2."""
+    """Pixel-edge bbox from the coordinate centers +- res/2.
+
+    2D coordinate images get a NaN-skipping full-image scan: real swaths
+    (OLCI/SLSTR L2) routinely carry non-finite edge pixels, and strongly
+    bowed swaths place the coordinate extremes mid-edge of interior
+    rows/columns — an edge-only scan under-covers both.  The reference
+    survives NaN edges because its reductions are xarray ``skipna`` /
+    NaN-false comparisons (reference gridmapping/bboxes.py:143-166,
+    coords.py:297-307); a full scan additionally guarantees
+    ``bbox ⊇ hull(finite coords)``.
+    """
     (x_res, y_res) = profile.xy_res
     x_data = np.asarray(profile.x_coords.data)
     y_data = np.asarray(profile.y_coords.data)
-    x_lo = _to_int_or_float(float(x_data[..., 0].min()) - x_res / 2)
-    x_hi = _to_int_or_float(float(x_data[..., -1].max()) + x_res / 2)
-    first, last = y_data[0, ...], y_data[-1, ...]
-    lo_edge, hi_edge = (first, last) if profile.is_j_axis_up else (last, first)
-    y_lo = _to_int_or_float(float(lo_edge.min()) - y_res / 2)
-    y_hi = _to_int_or_float(float(hi_edge.max()) + y_res / 2)
+    with np.errstate(all="ignore"):
+        if x_data.ndim == 2:
+            x_lo_c, x_hi_c = np.nanmin(x_data), np.nanmax(x_data)
+            y_lo_c, y_hi_c = np.nanmin(y_data), np.nanmax(y_data)
+        else:
+            x_lo_c, x_hi_c = np.nanmin(x_data[..., 0]), np.nanmax(x_data[..., -1])
+            first, last = y_data[0, ...], y_data[-1, ...]
+            lo_edge, hi_edge = (
+                (first, last) if profile.is_j_axis_up else (last, first)
+            )
+            y_lo_c, y_hi_c = np.nanmin(lo_edge), np.nanmax(hi_edge)
+    if not (np.isfinite(x_lo_c) and np.isfinite(y_lo_c)):
+        raise ValueError(
+            "cannot determine xy_bbox: x_coords/y_coords contain no"
+            " finite values"
+        )
+    x_lo = _to_int_or_float(float(x_lo_c) - x_res / 2)
+    x_hi = _to_int_or_float(float(x_hi_c) + x_res / 2)
+    y_lo = _to_int_or_float(float(y_lo_c) - y_res / 2)
+    y_hi = _to_int_or_float(float(y_hi_c) + y_res / 2)
     return (x_lo, y_lo, x_hi, y_hi)
 
 

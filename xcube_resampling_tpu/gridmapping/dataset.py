@@ -78,17 +78,29 @@ def new_grid_mapping_from_dataset(
         missing_latitude_longitude_crs=forced_crs,
     )
 
-    candidates = [
-        new_grid_mapping_from_coords(
-            x_coords=proxy.coords.x,
-            y_coords=proxy.coords.y,
-            crs=proxy.crs,
-            tile_size=tile_size or proxy.tile_size,
-            tolerance=tolerance,
-        )
-        for proxy in proxies.values()
-    ]
+    # A broken proxy (e.g. an all-NaN 2D lat/lon image produced by
+    # resampling near a swath edge) must not take down inference when a
+    # healthy sibling proxy exists — the reference gets this tolerance
+    # for free from lazy dask bboxes (reference gridmapping/dataset.py:
+    # 72-100 never computes a candidate's bbox unless it is selected).
+    candidates = []
+    errors: list[Exception] = []
+    for proxy in proxies.values():
+        try:
+            candidates.append(
+                new_grid_mapping_from_coords(
+                    x_coords=proxy.coords.x,
+                    y_coords=proxy.coords.y,
+                    crs=proxy.crs,
+                    tile_size=tile_size or proxy.tile_size,
+                    tolerance=tolerance,
+                )
+            )
+        except (ValueError, RuntimeError) as error:
+            errors.append(error)
     if not candidates:
+        if errors:
+            raise errors[0]
         raise ValueError("cannot find any grid mapping in dataset")
 
     # max() keeps the earliest candidate on rank ties, so a dataset with

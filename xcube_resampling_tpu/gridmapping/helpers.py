@@ -106,6 +106,12 @@ def _to_int_or_float(x: FloatInt) -> FloatInt:
     if isinstance(x, int):
         return x
     xf = float(x)
+    if math.isnan(xf):
+        raise ValueError(
+            "grid geometry value is NaN — the coordinate arrays likely"
+            " contain only non-finite values where a finite extent or"
+            " resolution was required"
+        )
     xi = round(xf)
     return xi if math.isclose(xi, xf, rel_tol=1e-5) else xf
 

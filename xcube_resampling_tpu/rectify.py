@@ -210,16 +210,75 @@ def _tile_search_border(target_gm: GridMapping) -> float:
 
 _LINK_PROFILE: list = []
 
-# Engine throughput constants for the tier cost model, measured on the
+# FALLBACK engine throughputs for the tier cost model, measured on the
 # build rig (docs/benchmarks.md): the C++ host Phase-A kernel sustains
 # ~6 Mquads/s, the tiled host Phase-B gather ~25 Mpix/s/band, the
-# resident device Phase B ~400 Mpix/s/band.  The decision they feed is
-# coarse (the tiers differ by >2x wherever the choice matters), so
-# order-of-magnitude accuracy suffices on other hosts.
+# resident device Phase B ~400 Mpix/s/band.  The HOST rates are
+# calibrated once per process by :func:`_engine_rates` (a faster CPU
+# shifts them 1-2 orders of magnitude, which would wrongly favor host
+# for mid-size jobs); these constants only serve hosts where the
+# micro-probes cannot run, and ``XRTPU_RATE_*`` env vars override both.
 _HOST_QUAD_RATE = 6e6
 _HOST_GATHER_RATE = 25e6
-_DEVICE_GATHER_RATE = 4e8
+_DEVICE_GATHER_RATE = 4e8  # v5e-class resident gather (hardware, not rig)
 _DEVICE_FIXED_S = 0.1  # dispatch/planning overhead of the hybrid tiers
+
+_ENGINE_RATES: dict = {}
+
+
+def _measure_host_rates() -> tuple[float, float]:
+    """(quad rate, gather rate) of the host tier, measured with two
+    sub-20 ms micro-probes on synthetic data.  Rates extrapolate well:
+    both kernels stream memory linearly, so a small probe is within ~2x
+    of the asymptote — far inside the >2x tier gaps the choice spans."""
+    from .ops import rectify_ops as _ops
+
+    n = 96
+    jj, ii = np.mgrid[0:n, 0:n].astype(np.float64)
+    gx = ii * 1.03 + 0.11 * jj
+    gy = jj * 0.97 - 0.07 * ii
+    # warm once (first call loads the native library / faults pages)
+    _ops.inverse_ij_map(gx, gy, 0, 0, (n, n), 0.0, 0.0, 1.0, 1.0, 1e-3)
+    t0 = time.perf_counter()
+    ij_map = _ops.inverse_ij_map(
+        gx, gy, 0, 0, (n, n), 0.0, 0.0, 1.0, 1.0, 1e-3
+    )
+    quad_rate = (n - 1) * (n - 1) / max(time.perf_counter() - t0, 1e-6)
+
+    src = np.ascontiguousarray(gx, dtype=np.float32)
+    _ops.var_image_from_ij_map(src, ij_map, np.nan, "nearest")
+    t0 = time.perf_counter()
+    _ops.var_image_from_ij_map(src, ij_map, np.nan, "nearest")
+    gather_rate = n * n / max(time.perf_counter() - t0, 1e-6)
+    return quad_rate, gather_rate
+
+
+def _engine_rates() -> dict:
+    """Tier-model throughputs: measured once per process where possible,
+    module fallbacks otherwise, ``XRTPU_RATE_*`` env overrides last."""
+    if _ENGINE_RATES:
+        return _ENGINE_RATES
+    rates = dict(
+        host_quad=_HOST_QUAD_RATE,
+        host_gather=_HOST_GATHER_RATE,
+        device_gather=_DEVICE_GATHER_RATE,
+        device_fixed=_DEVICE_FIXED_S,
+    )
+    try:
+        rates["host_quad"], rates["host_gather"] = _measure_host_rates()
+    except Exception:  # noqa: BLE001 - fallbacks already in place
+        pass
+    for key, env in (
+        ("host_quad", "XRTPU_RATE_HOST_QUAD"),
+        ("host_gather", "XRTPU_RATE_HOST_GATHER"),
+        ("device_gather", "XRTPU_RATE_DEVICE_GATHER"),
+        ("device_fixed", "XRTPU_RATE_DEVICE_FIXED"),
+    ):
+        value = os.environ.get(env)
+        if value:
+            rates[key] = float(value)
+    _ENGINE_RATES.update(rates)
+    return _ENGINE_RATES
 
 
 def _device_link_profile() -> tuple[float, float]:
@@ -282,19 +341,28 @@ def _phase_a_tier(
 
 
 def _phase_a_auto_choice(
-    work_bands: int, swath_px: int, target_px: int, bw: float, rtt: float
+    work_bands: int,
+    swath_px: int,
+    target_px: int,
+    bw: float,
+    rtt: float,
+    rates: dict | None = None,
 ) -> str:
-    """Pure cost comparison behind the auto tier (see :func:`_phase_a_tier`)."""
+    """Pure cost comparison behind the auto tier (see :func:`_phase_a_tier`).
+    *rates* defaults to the per-process calibration (:func:`_engine_rates`);
+    tests inject fixed rate profiles here."""
+    if rates is None:
+        rates = _engine_rates()
     coord_bytes = 2 * swath_px * 4  # two float32 coordinate images
     device_cost = (
         coord_bytes / bw
         + 6 * rtt
-        + _DEVICE_FIXED_S
-        + work_bands * target_px / _DEVICE_GATHER_RATE
+        + rates["device_fixed"]
+        + work_bands * target_px / rates["device_gather"]
     )
     host_cost = (
-        swath_px / _HOST_QUAD_RATE
-        + work_bands * target_px / _HOST_GATHER_RATE
+        swath_px / rates["host_quad"]
+        + work_bands * target_px / rates["host_gather"]
     )
     return "device" if device_cost <= host_cost else "host"
 

@@ -327,6 +327,7 @@ def _maybe_downscale(
     """Clip + affine-downscale the source when its resolution is finer than
     the target's (reference reproject.py:338-382; SCALE_LIMIT gate)."""
     span = inv.transform_bounds(*target_gm.xy_bbox)
+    _assert_target_overlaps_source(span, source_gm, target_gm)
     res_in_source = (
         (span[2] - span[0]) / target_gm.width,
         (span[3] - span[1]) / target_gm.height,
@@ -390,6 +391,36 @@ def _maybe_downscale(
             }
         )
     return source_ds, GridMapping.from_dataset(source_ds)
+
+
+def _assert_target_overlaps_source(
+    span: tuple[float, float, float, float],
+    source_gm: GridMapping,
+    target_gm: GridMapping,
+) -> None:
+    """Raise early when the target grid, transformed into the source CRS,
+    is disjoint from the source extent.  Without this the failure surfaces
+    far downstream as a zero-sized clip plus a misleading "cannot find any
+    grid mapping in dataset" (the reference fails the same confusing way,
+    /root/reference/xcube_resampling/utils.py:119-124 → downstream).
+
+    Conservative on purpose: only raises when the transformed bounds are
+    finite and non-wrapping and still clearly disjoint.
+    """
+    if not all(math.isfinite(v) for v in span):
+        return
+    if span[0] > span[2] or span[1] > span[3]:
+        # wrapped/degenerate transform (e.g. antimeridian) — let the
+        # regular pipeline handle it
+        return
+    sx0, sy0, sx1, sy1 = source_gm.xy_bbox
+    if span[2] < sx0 or span[0] > sx1 or span[3] < sy0 or span[1] > sy1:
+        raise ValueError(
+            "target grid does not overlap the source extent: target bbox"
+            f" {tuple(target_gm.xy_bbox)} ({target_gm.crs}) maps to"
+            f" {tuple(span)} in the source CRS, but the source bbox is"
+            f" {(sx0, sy0, sx1, sy1)} ({source_gm.crs})"
+        )
 
 
 def _plan_source_windows(
