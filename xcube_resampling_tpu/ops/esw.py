@@ -581,6 +581,16 @@ class _KernelCfg:
         return isinstance(other, _KernelCfg) and self._key() == other._key()
 
 
+def _norm_tile_tuple(t: tuple | None, scalar: int) -> tuple | None:
+    """None when every per-tile entry equals the scalar maximum — plans
+    with uniform tap diversity then share one kernel cfg, keeping the
+    documented cross-plan jit-cache sharing instead of compiling a
+    near-identical program per plan."""
+    if t is not None and all(x == scalar for x in t):
+        return None
+    return t
+
+
 _IMPLS: dict = {}
 
 
@@ -957,12 +967,11 @@ def make_esw_fn(
         interp=interp_method,
         jv=jv,
         jh=jh,
-        d_v_t=p.d_v_t if pertile else None,
-        d_h_t=p.d_h_t if pertile else None,
-        jv_t=(p.jv_t if (pertile and jv) else None),
-        jh_t=(p.jh_t if (pertile and jh) else None),
+        d_v_t=_norm_tile_tuple(p.d_v_t, d_v) if pertile else None,
+        d_h_t=_norm_tile_tuple(p.d_h_t, d_h) if pertile else None,
+        jv_t=(_norm_tile_tuple(p.jv_t, jv) if (pertile and jv) else None),
+        jh_t=(_norm_tile_tuple(p.jh_t, jh) if (pertile and jh) else None),
     )
-
     precompute, kernel = _get_impls()
 
     pre_kwargs = dict(
@@ -1491,15 +1500,21 @@ def make_esw_region_fn(
                             "d_h": dh,
                             "jv": jv_m if group_cfg.jv else 0,
                             "jh": jh_m if group_cfg.jh else 0,
-                            "d_v_t": dv_t if pertile else None,
-                            "d_h_t": dh_t if pertile else None,
+                            "d_v_t": (
+                                _norm_tile_tuple(dv_t, dv)
+                                if pertile else None
+                            ),
+                            "d_h_t": (
+                                _norm_tile_tuple(dh_t, dh)
+                                if pertile else None
+                            ),
                             "jv_t": (
-                                jv_t
+                                _norm_tile_tuple(jv_t, jv_m)
                                 if (pertile and group_cfg.jv)
                                 else None
                             ),
                             "jh_t": (
-                                jh_t
+                                _norm_tile_tuple(jh_t, jh_m)
                                 if (pertile and group_cfg.jh)
                                 else None
                             ),
@@ -1510,7 +1525,14 @@ def make_esw_region_fn(
                     ) in member_taps
                 ]
             vgroups.append(
-                (group_cfg, per_cfgs, group_prekw, gh, gw, wh, ww, members)
+                (
+                    group_cfg, per_cfgs, group_prekw, gh, gw, wh, ww,
+                    members,
+                    # debug/bucket tag: this group's OWN sample/tap counts
+                    # (reading the planning loop's `uniform` later would
+                    # leak the LAST group's values into every tag)
+                    (uniform["n_samples"], uniform["d_v"], uniform["d_h"]),
+                )
             )
             if os.environ.get("XRTPU_MOSAIC_DEBUG", ""):
                 print(
@@ -1613,7 +1635,9 @@ def make_esw_region_fn(
     # the round-2 mosaic's ~150 ms), while one whole-mosaic jit risks a
     # service-dropping compile; a few buckets is the measured sweet spot
     bodies = []  # (run_unjitted(src, out, *args) -> out, args or () -> args)
-    for group_cfg, per_cfgs, group_prekw, gh, gw, wh, ww, members in vgroups:
+    for (
+        group_cfg, per_cfgs, group_prekw, gh, gw, wh, ww, members, tag_sdh
+    ) in vgroups:
         # stack the RAW coarse inputs on the host; the ONE vmapped
         # precompute per group (trace + compile + run) happens lazily at
         # the FIRST mosaic dispatch — the 30-odd eager precompute
@@ -1756,8 +1780,7 @@ def make_esw_region_fn(
             (
                 make_group_body(absent, starts_rc, piece_kernel, wh, ww),
                 make_args_thunk(),
-                ("esw", gh, gw, wh, ww, n_m,
-                 uniform["n_samples"], uniform["d_v"], uniform["d_h"]),
+                ("esw", gh, gw, wh, ww, n_m) + tag_sdh,
             )
         )
 
