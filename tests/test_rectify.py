@@ -571,3 +571,33 @@ def test_rectify_nan_edge_swath_end_to_end():
     assert vals.ndim == 2
     # most of the grid rectifies; NaN-cornered pixels only thin the edges
     assert np.isfinite(vals).mean() > 0.5
+
+
+def test_compressed_coord_upload_roundtrip():
+    """Predictor + f16-residual coordinate staging reconstructs within
+    the hybrid tier's f32 error class; unsuitable fields decline."""
+    import jax.numpy as jnp
+
+    from xcube_resampling_tpu.ops import rectify_ops as ops
+
+    h, w = 190, 123
+    j = np.arange(h, dtype=np.float64)[:, None]
+    i = np.arange(w, dtype=np.float64)[None, :]
+    gx = ((i + 0.12 * j + 2e-5 * j * i) * 1.02 + 7.3).astype(np.float32)
+    packed = ops._compress_coords(gx, "test_resid")
+    assert packed is not None
+    coarse, resid = packed
+    assert resid.dtype == np.float16
+    assert coarse.nbytes + resid.nbytes < 0.6 * gx.nbytes
+    recon = ops._coord_recon(gx.shape)
+    rec = np.asarray(recon(jnp.asarray(coarse), jnp.asarray(resid)))
+    assert np.abs(rec.astype(np.float64) - gx).max() < 5e-4
+
+    # non-finite coordinates decline (NaN-edged swaths keep plain f32)
+    gnan = gx.copy()
+    gnan[0, 0] = np.nan
+    assert ops._compress_coords(gnan, "test_resid2") is None
+
+    # a field too rough for f16 residuals declines
+    rough = np.random.default_rng(0).random((h, w)).astype(np.float32) * 99
+    assert ops._compress_coords(rough, "test_resid3") is None

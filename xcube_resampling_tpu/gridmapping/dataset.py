@@ -12,6 +12,7 @@ function rather than the reference's sequence of loops:
 
 from __future__ import annotations
 
+from ..constants import LOG
 from ..crs import CRS
 from ..xrlite import Dataset
 from .base import DEFAULT_TOLERANCE, GridMapping
@@ -97,6 +98,10 @@ def new_grid_mapping_from_dataset(
                 )
             )
         except (ValueError, RuntimeError) as error:
+            LOG.warning(
+                "ignoring unusable grid mapping candidate "
+                f"({proxy.crs}): {error}"
+            )
             errors.append(error)
     if not candidates:
         if errors:

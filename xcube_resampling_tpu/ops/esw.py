@@ -1133,7 +1133,7 @@ def make_esw_region_fn(
     step: int = 16,
     base_split: int = 2,
     max_depth: int = 4,
-    op_budget: int = 4000,
+    op_budget: int | None = None,
     **plan_kwargs,
 ):
     """Exact reprojection for domain-scale warps no single ESW plan covers
@@ -1159,6 +1159,16 @@ def make_esw_region_fn(
 
     if interp_method not in ("bilinear", "nearest", "triangular"):
         return None
+
+    if op_budget is None:
+        # Default raised 4000 -> 7000 in round 5: the per-region failure
+        # probe (scratch/esw_plan_failures.py) showed most 1024^2 regions
+        # of the global config just over the old budget (est 4100-6000),
+        # splitting into four children whose budgets SUM higher (4x~1500)
+        # plus three extra pieces of fixed per-piece cost — measured
+        # 1024^2 pieces run ~2x the Mpix/s of the 512^2 swarms they
+        # replace (scratch/mosaic_breakdown.py).
+        op_budget = int(os.environ.get("XRTPU_ESW_OPBUDGET", "7000"))
 
     out_h, out_w = target_gm.height, target_gm.width
     src_h_g, src_w_g = source_gm.height, source_gm.width
@@ -1853,7 +1863,12 @@ def make_esw_region_fn(
     # and XLA sees the full canvas dataflow (in-place piece scatters, no
     # inter-program canvas handoffs).  XRTPU_MOSAIC_PROGS tunes the
     # count; >1 keeps each one-time remote compile in the ~1-2 min range
-    n_progs = max(1, int(os.environ.get("XRTPU_MOSAIC_PROGS", "2")))
+    # default raised 2 -> 12 in round 5: per-bucket probing showed the
+    # dispatches pipeline (~free on the tunnel) while the two giant fused
+    # programs scheduled measurably worse than per-group programs
+    # (258 vs 326 Mpix/s on the global config) AND each cold compile
+    # stays in the ~1-2 min service-friendly range
+    n_progs = max(1, int(os.environ.get("XRTPU_MOSAIC_PROGS", "12")))
     n_progs = min(n_progs, len(bodies))
     bucket_fns = []
     bounds = [

@@ -2054,6 +2054,149 @@ def _normalize_chunked(sx, offset, scale, out):
         out[r0:r1] = (sx[r0:r1] - offset) / scale
 
 
+#: per-(H, W, step) jitted device reconstruction for the compressed
+#: coordinate upload (see _stage_compressed)
+_COORD_RECON_JIT: dict = {}
+_COORD_STEP = 16
+#: residuals beyond this magnitude [px] would quantize coarser than the
+#: hybrid tier's own f32 error class (f16 ulp at 2.0 = 0.002 px)
+_COORD_RESID_CAP = 2.0
+
+
+def _coord_nodes(n: int) -> np.ndarray:
+    k = np.arange(0, n - 1, _COORD_STEP, dtype=np.int64)
+    return np.append(k, n - 1)
+
+
+def _coord_recon(shape: tuple[int, int]):
+    """Device-side f32 bilinear predictor + f16 residual add, jitted per
+    swath shape.  The weight/index lines are trace-time constants."""
+    import jax
+    import jax.numpy as jnp
+
+    fn = _COORD_RECON_JIT.get(shape)
+    if fn is not None:
+        return fn
+    h, w = shape
+    ch, cw = _coord_nodes(h), _coord_nodes(w)
+    kh, kw = len(ch) - 1, len(cw) - 1
+    jj = np.arange(h, dtype=np.float32)
+    ii = np.arange(w, dtype=np.float32)
+    rj = np.clip(np.searchsorted(ch, jj, side="right") - 1, 0, kh - 1)
+    ri = np.clip(np.searchsorted(cw, ii, side="right") - 1, 0, kw - 1)
+    wj = ((jj - ch[rj]) / (ch[rj + 1] - ch[rj])).astype(np.float32)
+    wi = ((ii - cw[ri]) / (cw[ri + 1] - cw[ri])).astype(np.float32)
+    rj_d, ri_d = jnp.asarray(rj), jnp.asarray(ri)
+    wj_d = jnp.asarray(wj[:, None])
+    wi_d = jnp.asarray(wi[None, :])
+
+    @jax.jit
+    def recon(coarse, resid):
+        c00 = coarse[rj_d][:, ri_d]
+        c01 = coarse[rj_d][:, ri_d + 1]
+        c10 = coarse[rj_d + 1][:, ri_d]
+        c11 = coarse[rj_d + 1][:, ri_d + 1]
+        # lerp form must match the host predictor in _compress_coords
+        top = c00 * (1 - wi_d) + c01 * wi_d
+        bot = c10 * (1 - wi_d) + c11 * wi_d
+        pred = top * (1 - wj_d) + bot * wj_d
+        return pred + resid.astype(jnp.float32)
+
+    _COORD_RECON_JIT[shape] = recon
+    return recon
+
+
+def _compress_coords(a32: np.ndarray, key: str):
+    """(coarse f32, resid f16) halving the coordinate upload bytes, or
+    None when the field is not representable (non-finite values, or a
+    residual the f16 quantization would round coarser than the tier's
+    f32 error class).
+
+    The full-resolution residual rides against a bilinear prediction
+    from a 16x-subsampled grid; reconstruction error = prediction f32
+    ulp + f16 residual quantization — the same class as the plain f32
+    upload this replaces (measured 6.1e-5 px interior / 3.0e-4 px edge
+    strips vs 6.1e-5 plain f32, scratch/tpu_compressed_upload_probe2.py).
+    Interior cells use block-broadcast prediction (no full-image
+    gathers: 33 ms vs 266 on this host); ragged edge strips go through
+    the small generic path.
+    """
+    h, w = a32.shape
+    ch, cw = _coord_nodes(h), _coord_nodes(w)
+    kh, kw = len(ch) - 1, len(cw) - 1
+    if kh < 2 or kw < 2:
+        return None
+    step = _COORD_STEP
+    fh, fw = (kh - 1) * step, (kw - 1) * step
+    coarse = a32[np.ix_(ch, cw)]
+    if not np.isfinite(coarse).all():
+        return None
+    resid = _scratch(key, (h, w), np.float16)
+
+    wf = (np.arange(step, dtype=np.float32) / step)[None, :]
+    wj = wf.reshape(1, step, 1, 1)
+    wi = wf.reshape(1, 1, 1, step)
+    c00 = coarse[: kh - 1, : kw - 1][:, None, :, None]
+    c01 = coarse[: kh - 1, 1:kw][:, None, :, None]
+    c10 = coarse[1:kh, : kw - 1][:, None, :, None]
+    c11 = coarse[1:kh, 1:kw][:, None, :, None]
+    top = c00 * (1 - wi) + c01 * wi
+    bot = c10 * (1 - wi) + c11 * wi
+    pred = top * (1 - wj) + bot * wj
+    block = a32[:fh, :fw].reshape(kh - 1, step, kw - 1, step)
+    res_int = (block - pred).reshape(fh, fw)
+    if not np.isfinite(res_int).all():
+        return None
+    if float(np.abs(res_int).max()) > _COORD_RESID_CAP:
+        return None
+    resid[:fh, :fw] = res_int
+
+    def strip(r0, r1, c0, c1):
+        if r0 >= r1 or c0 >= c1:
+            return True
+        jj = np.arange(r0, r1, dtype=np.float32)
+        ii = np.arange(c0, c1, dtype=np.float32)
+        rj = np.clip(np.searchsorted(ch, jj, side="right") - 1, 0, kh - 1)
+        ri = np.clip(np.searchsorted(cw, ii, side="right") - 1, 0, kw - 1)
+        wjs = ((jj - ch[rj]) / (ch[rj + 1] - ch[rj])).astype(np.float32)
+        wis = ((ii - cw[ri]) / (cw[ri + 1] - cw[ri])).astype(np.float32)
+        s00 = coarse[np.ix_(rj, ri)]
+        s01 = coarse[np.ix_(rj, ri + 1)]
+        s10 = coarse[np.ix_(rj + 1, ri)]
+        s11 = coarse[np.ix_(rj + 1, ri + 1)]
+        tops = s00 + wis[None, :] * (s01 - s00)
+        bots = s10 + wis[None, :] * (s11 - s10)
+        preds = tops + wjs[:, None] * (bots - tops)
+        res = a32[r0:r1, c0:c1] - preds
+        if not np.isfinite(res).all() or float(np.abs(res).max()) > _COORD_RESID_CAP:
+            return False
+        resid[r0:r1, c0:c1] = res
+        return True
+
+    if not (strip(0, fh, fw, w) and strip(fh, h, 0, w)):
+        return None
+    return coarse, resid
+
+
+def _stage_compressed(a32: np.ndarray, key: str):
+    """Stage a normalized f32 coordinate image through the halved-byte
+    compressed upload; None -> caller stages the plain f32 array.  The
+    device_put calls are async, so the caller's next host compression
+    overlaps these transfers (the tunnel moves ~36 MB/s and transfers
+    serialize — bytes are the only lever,
+    scratch/tpu_upload_overlap_probe.py)."""
+    import jax
+
+    if os.environ.get("XRTPU_PHASEA_COMPRESS", "1") == "0":
+        return None
+    packed = _compress_coords(a32, key + "_resid")
+    if packed is None:
+        return None
+    coarse, resid = packed
+    recon = _coord_recon(a32.shape)
+    return recon(jax.device_put(coarse), jax.device_put(resid))
+
+
 def inverse_ij_map_hybrid(
     src_x: np.ndarray,
     src_y: np.ndarray,
@@ -2111,8 +2254,12 @@ def inverse_ij_map_hybrid(
         np_dt = np.float32
 
     # normalize/upload interleaved per array: gy's host pass overlaps
-    # gx's async device transfer (the tunnel moves ~35 MB/s, so every
-    # overlappable host millisecond counts)
+    # gx's async device transfer.  On the f32 (accelerator) path each
+    # array first tries the compressed upload (coarse f32 + f16
+    # residual — halves the bytes through the ~36 MB/s tunnel, same
+    # error class as plain f32; see _stage_compressed); non-finite or
+    # rough fields fall back to the plain f32 transfer.
+    compress_ok = np_dt is np.float32
     with _T("phase_a.hybrid.normalize"):
         sx = np.asarray(src_x, dtype=np.float64)
         sy = np.asarray(src_y, dtype=np.float64)
@@ -2120,11 +2267,15 @@ def inverse_ij_map_hybrid(
         gy_n = _scratch("hyb_gy", sy.shape, np_dt)
         _normalize_chunked(sx, dst_x_offset, dst_x_scale, gx_n)
     with _T("phase_a.hybrid.stage"):
-        gx_d = jnp.asarray(gx_n, dtype=dt)
+        gx_d = _stage_compressed(gx_n, "hyb_gx") if compress_ok else None
+        if gx_d is None:
+            gx_d = jnp.asarray(gx_n, dtype=dt)
     with _T("phase_a.hybrid.normalize"):
         _normalize_chunked(sy, dst_y_offset, dst_y_scale, gy_n)
     with _T("phase_a.hybrid.stage"):
-        gy_d = jnp.asarray(gy_n, dtype=dt)
+        gy_d = _stage_compressed(gy_n, "hyb_gy") if compress_ok else None
+        if gy_d is None:
+            gy_d = jnp.asarray(gy_n, dtype=dt)
 
     max_edge = float(max(dst_h, dst_w))
     cap = _HYBRID_WINS[-1]
