@@ -518,10 +518,14 @@ def bench_rectify(log):
     out = rectify_dataset(ds, interp_methods=0)
     _sync_scalar(out.rad)
     dt_cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    out = rectify_dataset(ds, interp_methods=0)
-    _sync_scalar(out.rad)
-    dt = time.perf_counter() - t0
+    # min-of-3 warm runs: this VM's lazy page restore adds occasional
+    # multi-100ms stalls that only ever bias timings upward
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = rectify_dataset(ds, interp_methods=0)
+        _sync_scalar(out.rad)
+        dt = min(dt, time.perf_counter() - t0)
     t0 = time.perf_counter()
     _ = out.rad.values
     dt_fetch = time.perf_counter() - t0
@@ -539,10 +543,12 @@ def bench_rectify(log):
     os.environ["XRTPU_PHASEA"] = "host"
     try:
         rectify_dataset(ds, interp_methods=0)  # warm native load + pages
-        t0 = time.perf_counter()
-        out_h = rectify_dataset(ds, interp_methods=0)
-        _sync_scalar(out_h.rad)
-        dt_h = time.perf_counter() - t0
+        dt_h = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out_h = rectify_dataset(ds, interp_methods=0)
+            _sync_scalar(out_h.rad)
+            dt_h = min(dt_h, time.perf_counter() - t0)
         log(
             f"rectify e2e single-band [host tier]: "
             f"{npix / dt_h / 1e6:.1f} Mpix/s ({dt_h:.2f} s warm)"

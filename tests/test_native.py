@@ -57,6 +57,49 @@ def test_native_phase_a_parity_2x2():
     np.testing.assert_array_equal(nat, ref)
 
 
+def test_native_phase_a_strided_view_matches_contiguous():
+    """Row-sliced swath windows pass to the kernel without a copy (row
+    stride parameter); the result must equal the contiguous-copy call."""
+    src_x, src_y = _swath(12, 14)
+    vx = src_x[3:9, 2:11]
+    vy = src_y[3:9, 2:11]
+    assert not vx.flags.c_contiguous
+    args_tail = (2, 3, (25, 30), -4.0, 57.0, 0.5, -0.5, UV_DELTA)
+    nat_view = inverse_ij_map_native(vx, vy, *args_tail)
+    nat_copy = inverse_ij_map_native(
+        np.ascontiguousarray(vx), np.ascontiguousarray(vy), *args_tail
+    )
+    np.testing.assert_array_equal(nat_view, nat_copy)
+
+
+def test_native_phase_b_parity_swath_gather():
+    """C++ Phase B gather equals the vectorized numpy gather bit-for-bit
+    on float32/float64 sources for every interpolation."""
+    from xcube_resampling_tpu import native as nat
+
+    rng = np.random.default_rng(3)
+    ij = np.empty((2, 21, 17))
+    ij[0] = rng.random((21, 17)) * 13
+    ij[1] = rng.random((21, 17)) * 9
+    ij[0, 4, 4] = np.nan
+    ij[1, 2, 9] = np.nan
+    for dt in (np.float32, np.float64):
+        src = rng.random((2, 10, 14)).astype(dt)
+        src[0, 3, 3] = np.nan
+        for interp in ("nearest", "triangular", "bilinear"):
+            got = nat.var_image_gather_native(src, ij, np.nan, interp, dt)
+            assert got is not None
+            lib, tried = nat._lib, nat._tried
+            nat._lib, nat._tried = None, True
+            try:
+                ref = rectify_ops.var_image_from_ij_map(
+                    src, ij, np.nan, interp, dt
+                )
+            finally:
+                nat._lib, nat._tried = lib, tried
+            np.testing.assert_array_equal(got, ref)
+
+
 def test_native_phase_a_handles_nans():
     src_x, src_y = _swath(6, 6)
     src_x[2, 3] = np.nan
@@ -94,7 +137,7 @@ def test_native_mt_bit_identical_across_thread_counts():
     sy = np.ascontiguousarray(src_xy[1])
     args = (
         sx.ctypes.data_as(dbl_p), sy.ctypes.data_as(dbl_p),
-        sx.shape[0], sx.shape[1], 0, 0, dst_h, dst_w,
+        sx.shape[0], sx.shape[1], sx.shape[1], 0, 0, dst_h, dst_w,
         float(x_min), float(y_max), float(target_gm.x_res),
         float(-target_gm.y_res), UV_DELTA,
     )

@@ -36,6 +36,14 @@ def compute_ij_bboxes(
         ij_boxes: Pre-allocated (n, 4) int array initialised to -1;
             filled in place and returned.
     """
+    from ..native import compute_ij_bboxes_native
+
+    native = compute_ij_bboxes_native(
+        x_image, y_image, xy_boxes, xy_border, ij_border, ij_boxes
+    )
+    if native is not None:
+        return native
+
     h, w = x_image.shape
     n = xy_boxes.shape[0]
     for k in range(n):

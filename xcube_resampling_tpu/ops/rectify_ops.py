@@ -2777,6 +2777,13 @@ def var_image_from_ij_map(
     (rectify.py:605-734), including the float64 upcast and the window
     min/max slicing with +2 pad."""
     out_dtype = np.dtype(out_dtype or src_var.dtype)
+    from ..native import var_image_gather_native
+
+    native = var_image_gather_native(
+        src_var, np.asarray(ij_map), fill_value, interp_method, out_dtype
+    )
+    if native is not None:
+        return native
     dst_h, dst_w = ij_map.shape[-2], ij_map.shape[-1]
     dst_shape = src_var.shape[:-2] + (dst_h, dst_w)
     dst_out = np.full(dst_shape, fill_value, dtype=out_dtype)
@@ -2820,10 +2827,14 @@ def var_image_from_ij_map(
         j0c = np.clip(j0, 0, src_h - 1)
         i1 = np.clip(i0c + 1, 0, src_w - 1)
         j1 = np.clip(j0c + 1, 0, src_h - 1)
-        v00 = window[..., j0c, i0c]
-        v01 = window[..., j0c, i1]
-        v10 = window[..., j1, i0c]
-        v11 = window[..., j1, i1]
+        # promote the gathered taps (not the whole window) to float64:
+        # tap DIFFERENCES must be taken in float64 to match the
+        # reference's upcast-then-interpolate semantics (rectify.py:630)
+        # bit-for-bit — f32 differences deviate by 1 ulp
+        v00 = window[..., j0c, i0c].astype(np.float64, copy=False)
+        v01 = window[..., j0c, i1].astype(np.float64, copy=False)
+        v10 = window[..., j1, i0c].astype(np.float64, copy=False)
+        v11 = window[..., j1, i1].astype(np.float64, copy=False)
         if interp_method == "triangular":
             near = v00 + u * (v01 - v00) + v * (v10 - v00)
             far = v11 + (1.0 - u) * (v10 - v11) + (1.0 - v) * (v01 - v11)
