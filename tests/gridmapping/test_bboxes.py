@@ -107,3 +107,48 @@ def test_compute_xy_bbox_many_nans():
     y[np.random.randint(0, h)] = 34.0
     xy_coords = np.array([x.reshape((h, w)), y.reshape((h, w))], dtype=np.float64)
     assert (73.0, 34.0, 73.0, 34.0) == compute_xy_bbox(xy_coords)
+
+
+def test_native_ij_bboxes_fuzz_matches_numpy():
+    """The C++ row-culled bbox scan (native/bbox.cpp) must equal the
+    vectorized numpy scan on random images, NaN patterns, borders and
+    box layouts — including boxes with no hit (-1 rows)."""
+    from xcube_resampling_tpu import native as nat
+    from xcube_resampling_tpu.gridmapping.bboxes import compute_ij_bboxes
+
+    if not nat.native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        h, w = int(rng.integers(2, 90)), int(rng.integers(2, 90))
+        x = rng.random((h, w)) * 100
+        y = rng.random((h, w)) * 80
+        if trial % 3 == 0:
+            x[rng.random((h, w)) < 0.1] = np.nan
+            y[rng.random((h, w)) < 0.15] = np.nan
+        n = int(rng.integers(1, 12))
+        b = rng.random((n, 4)) * 110 - 5  # some boxes fully miss
+        boxes = np.stack(
+            [
+                np.minimum(b[:, 0], b[:, 2]),
+                np.minimum(b[:, 1], b[:, 3]),
+                np.maximum(b[:, 0], b[:, 2]),
+                np.maximum(b[:, 1], b[:, 3]),
+            ],
+            axis=1,
+        )
+        border = float(rng.random() * 5)
+        ij_border = int(rng.integers(0, 3))
+        out_nat = np.full((n, 4), -1, dtype=np.int64)
+        out_ref = np.full((n, 4), -1, dtype=np.int64)
+        nat.compute_ij_bboxes_native(x, y, boxes, border, ij_border, out_nat)
+        real = nat.compute_ij_bboxes_native
+        nat.compute_ij_bboxes_native = lambda *a: None
+        try:
+            compute_ij_bboxes(x, y, boxes, border, ij_border, out_ref)
+        finally:
+            nat.compute_ij_bboxes_native = real
+        np.testing.assert_array_equal(out_nat, out_ref, err_msg=f"trial {trial}")

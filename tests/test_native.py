@@ -152,3 +152,36 @@ def test_native_mt_bit_identical_across_thread_counts():
         np.testing.assert_array_equal(
             np.nan_to_num(out, nan=-9e9), np.nan_to_num(ref, nan=-9e9)
         )
+
+
+def test_native_phase_b_fuzz_matches_numpy():
+    """Fuzz the C++ Phase B gather against the numpy path: random maps
+    (with NaN cells and exact-integer/edge indices), f32/f64 sources with
+    NaN taps, finite and NaN fills, all interpolations."""
+    from xcube_resampling_tpu import native as nat
+
+    rng = np.random.default_rng(11)
+    for trial in range(12):
+        sh, sw = int(rng.integers(2, 40)), int(rng.integers(2, 40))
+        dh, dw = int(rng.integers(1, 35)), int(rng.integers(1, 35))
+        dt = np.float32 if trial % 2 else np.float64
+        interp = ("nearest", "triangular", "bilinear")[trial % 3]
+        fill = np.nan if trial % 4 else -9.0
+        bands = () if trial % 5 else (3,)
+        src = rng.random(bands + (sh, sw)).astype(dt)
+        src[(np.s_[...],) + tuple(rng.integers(0, d) for d in (sh, sw))] = np.nan
+        ij = np.empty((2, dh, dw))
+        ij[0] = rng.random((dh, dw)) * (sw - 1)
+        ij[1] = rng.random((dh, dw)) * (sh - 1)
+        ij[:, rng.random((dh, dw)) < 0.1] = np.nan
+        ij[0].flat[0] = float(sw - 1)  # exact max index
+        ij[1].flat[0] = float(sh - 1)
+        got = nat.var_image_gather_native(src, ij, fill, interp, dt)
+        assert got is not None
+        lib, tried = nat._lib, nat._tried
+        nat._lib, nat._tried = None, True
+        try:
+            ref = rectify_ops.var_image_from_ij_map(src, ij, fill, interp, dt)
+        finally:
+            nat._lib, nat._tried = lib, tried
+        np.testing.assert_array_equal(got, ref, err_msg=f"trial {trial}")
