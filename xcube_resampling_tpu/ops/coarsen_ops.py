@@ -87,15 +87,29 @@ def coarsen_jax(array, j_div: int, i_div: int, agg_name: str):
     raise ValueError(f"unsupported aggregation {agg_name!r}")
 
 
-def _mode_jax(block, axis):
-    """Categorical mode via sort + longest-run detection.
+#: window size above which the O(w^2) pairwise mode yields to the
+#: O(w log w) sort-based mode
+_MODE_PAIRWISE_MAX_W = 64
 
-    Value-range independent and O(window log window) per pixel with tiny
-    memory (the one-hot/histogram alternative is O(range) memory, which
-    blows up on device for wide-ranged categorical data).  Ties resolve to
-    the smallest value — the run lengths of an ascending sort peak at each
-    group's end, and argmax returns the first maximum — matching the host
-    reducer's histogram scan."""
+
+def _mode_jax(block, axis):
+    """Categorical mode — ties resolve to the smallest value, matching
+    the host reducer's histogram scan.
+
+    Small windows (the common 2x2..8x8 coarsenings) use a pairwise
+    running-best: counts[i] = sum_j (x_i == x_j) accumulated tap by tap
+    (never the (N, w, w) equality tensor), then best = max count with
+    min value.  No sort, pure fused elementwise+select on the VPU —
+    measured 449 vs 245 Mpix/s on the 4-band 4096^2 4x4 bench config
+    (scratch/mode_pairwise_probe.py).  NaN taps never self-match, so a
+    NaN only wins an all-NaN window — identical to the sort path.
+
+    Larger windows fall back to sort + longest-run detection:
+    value-range independent and O(w log w) per pixel with tiny memory
+    (the one-hot/histogram alternative is O(range) memory, which blows
+    up on device for wide-ranged categorical data); the run lengths of
+    an ascending sort peak at each group's end, and argmax returns the
+    first maximum."""
     import jax.lax
     import jax.numpy as jnp
 
@@ -106,6 +120,21 @@ def _mode_jax(block, axis):
     lead_shape = moved.shape[: len(keep)]
     w = int(np.prod(moved.shape[len(keep):]))
     flat = moved.reshape((-1, w))
+
+    if 1 < w <= _MODE_PAIRWISE_MAX_W:
+        counts = jnp.zeros(flat.shape, dtype=jnp.int32)
+        for j in range(w):
+            counts = counts + (flat == flat[:, j : j + 1]).astype(jnp.int32)
+        best_c = counts[:, 0]
+        best_v = flat[:, 0]
+        for i in range(1, w):
+            ci = counts[:, i]
+            vi = flat[:, i]
+            better = (ci > best_c) | ((ci == best_c) & (vi < best_v))
+            best_c = jnp.where(better, ci, best_c)
+            best_v = jnp.where(better, vi, best_v)
+        return best_v.reshape(lead_shape)
+
     s = jnp.sort(flat, axis=1)
     idx = jnp.arange(w)
     new_group = jnp.concatenate(
