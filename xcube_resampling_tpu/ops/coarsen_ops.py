@@ -94,7 +94,8 @@ _MODE_PAIRWISE_MAX_W = 64
 
 def _mode_jax(block, axis):
     """Categorical mode — ties resolve to the smallest value, matching
-    the host reducer's histogram scan.
+    the host reducer's histogram scan (reference
+    `_mode_from_normalized`, coarsen.py:138-155).
 
     Small windows (the common 2x2..8x8 coarsenings) use a pairwise
     running-best: counts[i] = sum_j (x_i == x_j) accumulated tap by tap
